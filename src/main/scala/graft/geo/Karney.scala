@@ -1,0 +1,414 @@
+package graft.geo
+
+import math.{sin, cos, tan, atan, atan2, sqrt, abs, hypot, signum, max, Pi}
+import VecMath.{normalizeAngle, truncateSmall, nthroot}
+
+/** Scalar direct + inverse ellipsoidal geodesic solver after
+  * C. F. F. Karney, "Algorithms for geodesics", J. Geodesy 87, 43-55
+  * (2013) — 6th-order series (eqs 15-25), Newton iteration on alpha1
+  * with the reduced-length derivative (eqs 38-39), astroid starting
+  * guess for nearly-antipodal pairs (eqs 55-57).
+  *
+  * Structure mirrors the reference's self-contained solver
+  * (reference: src/envector/karney.py) but is a per-point scalar
+  * implementation suited to row-wise Catalyst evaluation. Instances are
+  * immutable and precompute all ellipsoid-constant series coefficients;
+  * obtain via [[Karney.apply]] (cached per (a, f)).
+  */
+final class Karney private (val a: Double, val f: Double) {
+  import Karney._
+
+  val b: Double = a * (1.0 - f)
+  val e2: Double = f * (2.0 - f)
+  val e2m: Double = e2 / (1.0 - e2) // second eccentricity squared
+  val n3: Double = f / (2.0 - f)    // third flattening
+
+  // A3/C3 polynomial coefficients evaluated at n (Karney eqs 24, 25).
+  private val a3Coefs: Array[Double] = A3Coefficients.map(polyval(_, n3))
+  private val c3Coefs: Array[Array[Double]] =
+    C3Coefficients.map(row => row.map(c => polyval(c.init, n3) / c.last))
+
+  /** epsilon from eq (16): k^2 = e'^2 cos^2(alpha0). */
+  @inline private def epsilonOf(cosAlpha0: Double): Double = {
+    val k2 = e2m * cosAlpha0 * cosAlpha0
+    k2 / (math.pow(sqrt(1.0 + k2) + 1.0, 2))
+  }
+
+  /** Per-line series state for a given equatorial azimuth. */
+  private final class Series(epsi: Double) {
+    val eps2 = epsi * epsi
+    val a1 = polyval(A1Coefficients, eps2) / (1.0 - epsi) // eq 17
+    val c1x = evalCij(C1Coefficients, epsi, squared = true) // eq 18
+    lazy val cm1x = evalCij(CM1Coefficients, epsi, squared = true) // eq 21
+    val a3 = polyval(a3Coefs, epsi) // eq 24
+    val c3x = evalCij(c3Coefs, epsi, squared = false) // eq 25
+
+    def i1(sigma: Double): Double = a1 * (sigma + cosineSum(c1x, sigma))
+    def i1inv(sdb: Double): Double = {
+      val tau = sdb / a1
+      tau + cosineSum(cm1x, tau) // eq 20
+    }
+    def i3(sigma: Double): Double = a3 * (sigma + cosineSum(c3x, sigma))
+    /** J(sigma) = I1(sigma) - I2(sigma); eqs 40-43. */
+    def mkJ: Double => Double = {
+      val a2 = polyval(A2Coefficients, eps2) * (1.0 - epsi) // eq 42
+      val c2x = evalCij(C2Coefficients, epsi, squared = true) // eq 43
+      val c1m2 = Array.tabulate(c1x.length)(i => a1 * c1x(i) - a2 * c2x(i))
+      val a1m2 = a1 - a2
+      (sigma: Double) => a1m2 * sigma + cosineSum(c1m2, sigma)
+    }
+  }
+
+  /** NEA triangle (Karney eqs 5, 10-12): returns
+    * (sigma1, w1, cosAlpha0, sinAlpha0).
+    */
+  private def triangleNEA(blat1: Double, alpha1: Double): (Double, Double, Double, Double) = {
+    val cosA1 = cos(alpha1); val sinA1 = sin(alpha1)
+    val cosB1 = cos(blat1) + TINY; val sinB1 = sin(blat1)
+    val sinA0 = sinA1 * cosB1                  // eq 5
+    val cosA0 = hypot(cosA1, sinA1 * sinB1)    // eq 10
+    val sigma1 = atan2(sinB1, cosA1 * cosB1)   // eq 11
+    val w1 = atan2(sinA0 * sin(sigma1), cos(sigma1)) // eq 12
+    (sigma1, w1, cosA0, sinA0)
+  }
+
+  /** NEB triangle, direct problem (eqs 12-14): returns (alpha2, blat2, w2). */
+  private def triangleNEBDirect(sigma2: Double, cosA0: Double, sinA0: Double): (Double, Double, Double) = {
+    val cosS2 = cos(sigma2); val sinS2 = sin(sigma2)
+    val sinB2 = cosA0 * sinS2
+    val cosB2 = hypot(cosA0 * cosS2, sinA0)
+    val w2 = atan2(sinA0 * sinS2, cosS2)       // eq 12
+    val blat2 = atan2(sinB2, cosB2)            // eq 13
+    val alpha2 = atan2(sinA0, cosA0 * cosS2)   // eq 14
+    (blat2, w2, alpha2)
+  }
+
+  /** NEB triangle, inverse problem (eqs 11, 12, 45): returns
+    * (sigma2, w2, alpha2). The sign trick forces sigma2 = pi for
+    * antipodal equatorial points.
+    */
+  private def triangleNEB(cosB1: Double, cosB2: Double, sinB2: Double,
+                          sinA0: Double, alpha1: Double): (Double, Double, Double) = {
+    val sgn = if (sinB2 == 0.0 && cosB1 == 1.0) -1.0 else 1.0
+    val cosA1 = cos(alpha1)
+    val cosA2cosB2 = sgn * sqrt(cosA1 * cosA1 * cosB1 * cosB1
+      + (cosB2 * cosB2 - cosB1 * cosB1))
+    val sinA2cosB2 = sin(alpha1) * cosB1
+    val alpha2 = atan2(sinA2cosB2, cosA2cosB2)
+    val sigma2 = atan2(sinB2, cosA2cosB2)
+    val w2raw = atan2(sinA0 * sin(sigma2), cos(sigma2))
+    val w2 = signum(sigma2) * abs(w2raw)
+    (sigma2, w2, alpha2)
+  }
+
+  /** Direct problem: position B and forward azimuth at B from
+    * (lat1, lon1, azimuth1, distance s12). Angles in radians.
+    */
+  def direct(lat1: Double, lon1: Double, distance: Double, azimuth: Double,
+             longUnroll: Boolean = false): (Double, Double, Double) = {
+    val alpha1 = truncateSmall(azimuth)
+    val blat1 = atan((1.0 - f) * tan(truncateSmall(lat1))) // eq 6
+    val (sigma1, w1, cosA0, sinA0) = triangleNEA(blat1, alpha1)
+    val ser = new Series(epsilonOf(cosA0))
+    val s1 = b * ser.i1(sigma1) // eq 7
+    val sigma2 = ser.i1inv((s1 + distance) / b) // eq 20
+    val (blat2, w2, alpha2) = triangleNEBDirect(sigma2, cosA0, sinA0)
+    val lamda12 = w2 - w1 + f * sinA0 * (ser.i3(sigma1) - ser.i3(sigma2)) // eq 8
+    val lon2 =
+      if (longUnroll) {
+        val correction = (sigma2 - atan2(sin(sigma2), cos(sigma2))
+          - sigma1 + atan2(sin(sigma1), cos(sigma1)))
+        val sgn = if (sinA0 >= 0) 1.0 else -1.0
+        lon1 + lamda12 + sgn * correction
+      } else normalizeAngle(lon1 + lamda12)
+    val lat2 = atan(tan(blat2) / (1.0 - f)) // eq 6 inverse
+    (lat2, lon2, alpha2)
+  }
+
+  /** Astroid starting azimuth for nearly-antipodal pairs
+    * (Karney eqs 55-57, table 4); oblate and prolate branches.
+    */
+  private def solveAstroid(blat1: Double, blat2: Double, lamda12: Double,
+                           cosB1: Double): Double = {
+    val delta = if (f == 0.0) 1.0 else abs(f * Pi * cosB1 * cosB1)
+    val x = (lamda12 - Pi) * cosB1 / delta
+    val y = (blat1 + blat2) / delta
+    val k = astroidK(x, y)
+    if (f < 0) {
+      if (y == 0.0) atan2(sqrt(max(1.0 - x * x, 0.0)), -x)
+      else atan2(-y, x * k / (1.0 + k))
+    } else {
+      if (y == 0.0) atan2(-x, sqrt(max(1.0 - x * x, 0.0)))
+      else atan2(-x * k / (1.0 + k), y)
+    }
+  }
+
+  /** Newton iteration on alpha1 (Karney table 5, eqs 38-39). */
+  private def solveAlpha1(alpha10: Double, blat1: Double, blat2: Double,
+                          trueLamda12: Double): Double = {
+    val tol = 1e-15
+    val sinB1 = sin(blat1) - TINY; val cosB1 = cos(blat1)
+    val sinB2 = sin(blat2); val cosB2 = cos(blat2)
+
+    def newtonStep(alpha1: Double): (Double, Double) = {
+      val (sigma1, w1, cosA0, sinA0) = triangleNEA(blat1, alpha1)
+      val (sigma2, w2, alpha2) = triangleNEB(cosB1, cosB2, sinB2, sinA0, alpha1)
+      val ser = new Series(epsilonOf(cosA0))
+      val lamda1 = w1 - f * sinA0 * ser.i3(sigma1)
+      val lamda2 = w2 - f * sinA0 * ser.i3(sigma2)
+      val lamda12 = lamda2 - lamda1
+      val jf = ser.mkJ
+      val k2 = e2m * cosA0 * cosA0
+      val sinS1 = sin(sigma1); val cosS1 = cos(sigma1)
+      val sinS2 = sin(sigma2); val cosS2 = cos(sigma2)
+      val kSinS1 = sqrt(1.0 + k2 * sinS1 * sinS1)
+      val kSinS2 = sqrt(1.0 + k2 * sinS2 * sinS2)
+      val deltaJ = jf(sigma2) - jf(sigma1)
+      val m12 = b * (kSinS2 * cosS1 * sinS2
+        - kSinS1 * cosS2 * sinS1
+        - cosS1 * cosS2 * deltaJ) // eq 38
+      val cosA2 = cos(alpha2)
+      val dLdA =
+        if (abs(cosA2) < tol) -sqrt(1.0 - e2 * cosB1 * cosB1) / sinB1 * 2.0
+        else m12 / a / (cosA2 * cosB2)
+      val dlamda12 = trueLamda12 - lamda12
+      (dlamda12 / dLdA, dlamda12)
+    }
+
+    var alpha1 = alpha10
+    var dalphaOld = 0.0
+    var it = 0
+    var done = false
+    while (it < 20 && !done) {
+      val (dalpha1, dlamda12) = newtonStep(alpha1)
+      if (dalpha1.isNaN) {
+        dalphaOld *= 0.5
+        alpha1 -= dalphaOld
+      } else {
+        alpha1 = math.min(Pi, math.max(0.0, alpha1 + dalpha1))
+        dalphaOld = dalpha1
+      }
+      if (abs(dlamda12) < 1e-12) done = true
+      it += 1
+    }
+    alpha1
+  }
+
+  /** Final distance + azimuth2 for a solved alpha1 (Karney table 6). */
+  private def solveHybrid(alpha1: Double, blat1: Double, blat2: Double): (Double, Double) = {
+    val cosB1 = cos(blat1) + TINY
+    val sinB2 = sin(blat2); val cosB2 = cos(blat2) + TINY
+    val (sigma1, _, cosA0, sinA0) = triangleNEA(blat1, alpha1)
+    val (sigma2, _, alpha2) = triangleNEB(cosB1, cosB2, sinB2, sinA0, alpha1)
+    val ser = new Series(epsilonOf(cosA0))
+    val s12 = b * abs(ser.i1(sigma2) - ser.i1(sigma1)) // eq 7
+    (s12, alpha2)
+  }
+
+  /** Inverse problem: (s12 [m], azimuth1, azimuth2 [rad]) between
+    * (lat1, lon1) and (lat2, lon2) [rad].
+    */
+  def inverse(latA: Double, lonA: Double, latB: Double, lonB: Double): (Double, Double, Double) = {
+    // canonical form: blat1 <= 0, blat1 <= blat2 <= -blat1, 0 <= lamda12 <= pi
+    val blat1r = truncateSmall(atan((1.0 - f) * tan(latA)))
+    val blat2r = truncateSmall(atan((1.0 - f) * tan(latB)))
+    val swap = abs(blat1r) < abs(blat2r)
+    var blat1 = if (swap) blat2r else blat1r
+    var blat2 = if (swap) blat1r else blat2r
+    val negate = blat1 > 0
+    if (negate) { blat1 = -blat1; blat2 = -blat2 }
+    val lamRaw = truncateSmall(normalizeAngle(lonB - lonA))
+    val negLam = lamRaw < 0
+    val lamda12 = if (negLam) -lamRaw else lamRaw
+    val swapAlpha = swap ^ negate
+
+    def restore(a1: Double, a2: Double): (Double, Double) = {
+      var az1 = if (swap) a2 else a1
+      var az2 = if (swap) a1 else a2
+      if (swapAlpha) { az1 = Pi - az1; az2 = Pi - az2 }
+      if (negLam) { az1 = -az1; az2 = -az2 }
+      (normalizeAngle(az1), normalizeAngle(az2))
+    }
+
+    val cosB1 = cos(blat1) + TINY
+    val sinB2 = sin(blat2); val cosB2 = cos(blat2) + TINY
+
+    // Vincenty-style first guess on the auxiliary sphere (table 3)
+    val cbm = 0.5 * (cosB1 + cosB2)
+    val wbar = sqrt(1.0 - e2 * cbm * cbm) // eq 48
+    val w12 = lamda12 / wbar
+    val (sigma12, alpha1v, alpha2v) = sphereDistanceRad(blat1, 0.0, blat2, w12)
+    var s12 = a * wbar * sigma12
+    var alpha1 = alpha1v
+    var alpha2 = alpha2v
+    if (s12.isNaN) {
+      val (az1, az2) = restore(alpha1, alpha2)
+      return (s12, az1, az2)
+    }
+
+    val tol = 1e-12
+    val sphere = f == 0.0
+    val meridional = abs(sin(lamda12)) <= tol
+    val deltaBlat = blat2 - blat1
+    val equatorial = abs(deltaBlat) <= tol && abs(blat1) <= tol &&
+      lamda12 <= (1.0 - f) * Pi
+    val oblate = f >= 0
+    val prolate = f < 0
+
+    if (equatorial && !(meridional && oblate)) { alpha1 = Pi / 2; alpha2 = alpha1 }
+    if (meridional && !(equatorial && prolate)) {
+      alpha1 = signum(deltaBlat) * lamda12
+      alpha2 = lamda12 - alpha1
+    }
+    val nearlyAntipodal = !sphere && !equatorial &&
+      sigma12 >= Pi * (1.0 - 3.0 * abs(f) * cosB1 * cosB1)
+    if (nearlyAntipodal)
+      alpha1 = solveAstroid(blat1, blat2, lamda12, cosB1)
+
+    val shortDistance = s12 < a * 1e-4
+    val doNewton = !(equatorial || meridional || shortDistance || sphere) || nearlyAntipodal
+    if (doNewton)
+      alpha1 = solveAlpha1(alpha1, blat1, blat2, lamda12)
+    val doHybrid = !(equatorial || shortDistance || sphere) || nearlyAntipodal
+    if (doHybrid) {
+      val (s, a2) = solveHybrid(alpha1, blat1, blat2)
+      s12 = s; alpha2 = a2
+    }
+    val (az1, az2) = restore(alpha1, alpha2)
+    (s12, az1, az2)
+  }
+}
+
+object Karney {
+  /** Guard against division blow-ups; matches the reference solver. */
+  val TINY = 1e-150
+
+  // Series coefficients of Karney (2013) eqs 17, 18, 21, 24, 25, 42, 43
+  // (6th order; highest power first for Horner evaluation).
+  private[geo] val A1Coefficients = Array(1.0 / 256, 1.0 / 64, 1.0 / 4, 1.0)
+  private[geo] val C1Coefficients: Array[Array[Double]] = Array(
+    Array(-1.0 / 32, 3.0 / 16, -1.0 / 2),
+    Array(-9.0 / 2048, 1.0 / 32, -1.0 / 16),
+    Array(3.0 / 256, -1.0 / 48),
+    Array(3.0 / 512, -5.0 / 512),
+    Array(-7.0 / 1280),
+    Array(-7.0 / 2048))
+  private[geo] val CM1Coefficients: Array[Array[Double]] = Array(
+    Array(205.0 / 1536, -9.0 / 32, 1.0 / 2),
+    Array(1335.0 / 4096, -37.0 / 96, 5.0 / 16),
+    Array(-75.0 / 128, 29.0 / 96),
+    Array(-2391.0 / 2560, 539.0 / 1536),
+    Array(3467.0 / 7680),
+    Array(38081.0 / 61440))
+  private[geo] val A2Coefficients = Array(25.0 / 256, 9.0 / 64, 1.0 / 4, 1.0)
+  private[geo] val C2Coefficients: Array[Array[Double]] = Array(
+    Array(1.0 / 32, 1.0 / 16, 1.0 / 2),
+    Array(35.0 / 2048, 1.0 / 32, 3.0 / 16),
+    Array(5.0 / 256, 5.0 / 48),
+    Array(7.0 / 512, 35.0 / 512),
+    Array(63.0 / 1280),
+    Array(77.0 / 2048))
+  private[geo] val A3Coefficients: Array[Array[Double]] = Array(
+    Array(-3.0 / 128),
+    Array(-2.0 / 64, -3.0 / 64),
+    Array(-1.0 / 16, -3.0 / 16, -1.0 / 16),
+    Array(3.0 / 8, -1.0 / 8, -1.0 / 4),
+    Array(1.0 / 2, -1.0 / 2),
+    Array(1.0))
+  /** C3 rows: leading numerators + trailing denominator. */
+  private[geo] val C3Coefficients: Array[Array[Array[Double]]] = Array(
+    Array(Array(3, 128.0), Array(2, 5, 128.0), Array(-1, 3, 3, 64.0),
+      Array(-1, 0, 1, 8.0), Array(-1, 1, 4.0)),
+    Array(Array(5, 256.0), Array(1, 3, 128.0), Array(-3, -2, 3, 64.0),
+      Array(1, -3, 2, 32.0)),
+    Array(Array(7, 512.0), Array(-10, 9, 384.0), Array(5, -9, 5, 192.0)),
+    Array(Array(7, 512.0), Array(-14, 7, 512.0)),
+    Array(Array(21, 2560.0)))
+
+  @inline private[geo] def polyval(c: Array[Double], x: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc = acc * x + c(i); i += 1 }
+    acc
+  }
+
+  /** C_ij(eps) rows: eps^l * polyval(row_l, eps or eps^2). */
+  private[geo] def evalCij(rows: Array[Array[Double]], epsi: Double,
+                           squared: Boolean): Array[Double] = {
+    val arg = if (squared) epsi * epsi else epsi
+    val out = new Array[Double](rows.length)
+    var factor = 1.0
+    var i = 0
+    while (i < rows.length) {
+      factor *= epsi
+      out(i) = factor * polyval(rows(i), arg)
+      i += 1
+    }
+    out
+  }
+
+  /** Clenshaw summation of sum c(i-1) * sin(2 i x) (Karney eq 59). */
+  private[geo] def cosineSum(c: Array[Double], x: Double): Double = {
+    val cosx = cos(x); val sinx = sin(x)
+    val factor = 2.0 * (cosx - sinx) * (cosx + sinx)
+    var y0 = 0.0; var y1 = 0.0
+    var n = c.length
+    if (n % 2 == 1) { y0 = c(n - 1); n -= 1 }
+    var k = n - 1
+    while (k >= 1) {
+      y1 = factor * y0 - y1 + c(k)
+      y0 = factor * y1 - y0 + c(k - 1)
+      k -= 2
+    }
+    2.0 * sinx * cosx * y0
+  }
+
+  /** Positive root of the astroid quartic
+    * k^4 + 2k^3 - (x^2+y^2-1)k^2 - 2y^2 k - y^2 = 0 (Karney eq 55).
+    */
+  private[geo] def astroidK(x: Double, y: Double): Double = {
+    val p = x * x; val q = y * y
+    val r = (p + q - 1.0) / 6.0
+    if (q == 0.0 && r <= 0.0) return 0.0
+    val pq4 = p * q / 4.0
+    val r2 = r * r; val r3 = r * r2
+    val disc = pq4 * (pq4 + 2.0 * r3)
+    var u = r
+    if (disc >= 0) {
+      var t3 = pq4 + r3
+      t3 += (if (t3 < 0) -1.0 else 1.0) * sqrt(disc)
+      val t = signum(t3) * nthroot(abs(t3), 3)
+      u += t + (if (t != 0.0) r2 / t else 0.0)
+    } else {
+      val ang = atan2(sqrt(-disc), -(pq4 + r3))
+      u += 2.0 * r * cos(ang / 3.0)
+    }
+    val v = sqrt(u * u + q)
+    val uv = if (u < 0) q / (v - u) else u + v
+    val w = (uv - q) / (2.0 * v)
+    uv / (sqrt(uv + w * w) + w)
+  }
+
+  /** Spherical inverse problem (Karney eqs 49-51): returns
+    * (arc distance [rad], azimuth1, azimuth2).
+    */
+  def sphereDistanceRad(lat1: Double, lon1: Double, lat2: Double, lon2: Double): (Double, Double, Double) = {
+    val w = lon2 - lon1
+    val cb1 = cos(lat1); val sb1 = sin(lat1)
+    val cb2 = cos(lat2); val sb2 = sin(lat2)
+    val cw = cos(w); val sw = sin(w)
+    val sinA1 = cb2 * sw
+    val cosA1 = cb1 * sb2 - sb1 * cb2 * cw
+    val sinA2 = cb1 * sw
+    val cosA2 = -cb2 * sb1 + sb2 * cb1 * cw
+    val cosDist = sb1 * sb2 + cb1 * cb2 * cw
+    val sinDist = hypot(sinA1, cosA1)
+    (atan2(sinDist, cosDist), atan2(sinA1, cosA1), atan2(sinA2, cosA2))
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Double, Double), Karney]()
+  def apply(a: Double, f: Double): Karney =
+    cache.computeIfAbsent((a, f), { case (aa, ff) => new Karney(aa, ff) })
+
+  val WGS84: Karney = apply(Ellipsoids.WGS84.a, Ellipsoids.WGS84.f)
+}

@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftSqlBridge
+import graft.geo.Ellipsoids
+
+/** Column DSL for the n-vector geodesy kernels.
+  *
+  * Every algebraic kernel (Gade 2010 eqs 3, 5-6, 9, 16, 22; path and
+  * azimuth operators) is composed from Spark builtin functions so the
+  * whole pipeline stays inside Catalyst codegen, participates in
+  * constant folding / pushdown, and has an exact ANSI-SQL mirror for
+  * the DuckDB oracle. Only the iterative Karney solver goes through
+  * `StaticInvoke` into [[GeoKernels]] (still codegen: a direct static
+  * call in the generated code).
+  *
+  * Conventions: n-vectors are `struct(x, y, z)` doubles in the standard
+  * ECEF frame (z to the North pole); NED deltas are `struct(n, e, d)`
+  * meters; angles radians unless the function name says Deg.
+  */
+object geo {
+  import Ellipsoids.{WGS84, MeanEarthRadius}
+
+  // ---- 3-vector struct algebra -------------------------------------
+
+  def vec(x: Column, y: Column, z: Column): Column =
+    struct(x.as("x"), y.as("y"), z.as("z"))
+
+  def vx(v: Column): Column = v.getField("x")
+  def vy(v: Column): Column = v.getField("y")
+  def vz(v: Column): Column = v.getField("z")
+
+  def vadd(a: Column, b: Column): Column = vec(vx(a) + vx(b), vy(a) + vy(b), vz(a) + vz(b))
+  def vsub(a: Column, b: Column): Column = vec(vx(a) - vx(b), vy(a) - vy(b), vz(a) - vz(b))
+  def vscale(a: Column, s: Column): Column = vec(vx(a) * s, vy(a) * s, vz(a) * s)
+  def vdot(a: Column, b: Column): Column = vx(a) * vx(b) + vy(a) * vy(b) + vz(a) * vz(b)
+  def vcross(a: Column, b: Column): Column = vec(
+    vy(a) * vz(b) - vz(a) * vy(b),
+    vz(a) * vx(b) - vx(a) * vz(b),
+    vx(a) * vy(b) - vy(a) * vx(b))
+  def vnorm(a: Column): Column = sqrt(vdot(a, a))
+  /** Normalize; degenerate (zero) vectors become NaN components. */
+  def vunit(a: Column): Column = { val n = vnorm(a); vec(vx(a) / n, vy(a) / n, vz(a) / n) }
+
+  // ---- conversions (Gade eqs 3, 5, 6, 22, 23) ----------------------
+
+  /** lat/lon [rad] -> n-vector struct (Gade eq 3). */
+  def nvec(lat: Column, lon: Column): Column =
+    vec(cos(lat) * cos(lon), cos(lat) * sin(lon), sin(lat))
+
+  def nvecDeg(latDeg: Column, lonDeg: Column): Column =
+    nvec(radians(latDeg), radians(lonDeg))
+
+  /** n-vector -> geodetic latitude [rad] (Gade eq 6, robust atan2). */
+  def lat(n: Column): Column = atan2(vz(n), sqrt(vx(n) * vx(n) + vy(n) * vy(n)))
+  /** n-vector -> longitude [rad] (Gade eq 5). */
+  def lon(n: Column): Column = atan2(vy(n), vx(n))
+  def latDeg(n: Column): Column = degrees(lat(n))
+  def lonDeg(n: Column): Column = degrees(lon(n))
+
+  /** Gade eq (22): n-vector + depth [m] -> ECEF p-vector [m]. */
+  def toPvec(n: Column, depth: Column,
+             a: Double = WGS84.a, f: Double = WGS84.f): Column = {
+    val om = 1.0 - f
+    val b = a * om
+    val d = sqrt(vz(n) * vz(n) + (vx(n) * vx(n) + vy(n) * vy(n)) / lit(om * om))
+    val s = lit(b) / d
+    vec(s * vx(n) / lit(om * om) - vx(n) * depth,
+        s * vy(n) / lit(om * om) - vy(n) * depth,
+        s * vz(n) - vz(n) * depth)
+  }
+
+  /** Gade eq (23): ECEF p-vector -> struct(nvec struct, depth). Exact
+    * (Newton-polished root) via a static kernel call.
+    */
+  def fromPvec(p: Column, a: Double = WGS84.a, f: Double = WGS84.f): Column = {
+    val ret = StructType(Seq(StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false),
+      StructField("z", DoubleType, nullable = false),
+      StructField("depth", DoubleType, nullable = false)))
+    val c = invoke("pvecToNvec", ret, Seq(vx(p), vy(p), vz(p), lit(a), lit(f)))
+    struct(vec(c.getField("x"), c.getField("y"), c.getField("z")).as("nvec"),
+      c.getField("depth").as("depth"))
+  }
+
+  // ---- deltas, frames, azimuth (Gade §5.4, eq 9) -------------------
+
+  /** Exact ellipsoidal delta A->B decomposed in E [m]. */
+  def deltaE(nA: Column, nB: Column, zA: Column = lit(0.0), zB: Column = lit(0.0),
+             a: Double = WGS84.a, f: Double = WGS84.f): Column =
+    vsub(toPvec(nB, zB, a, f), toPvec(nA, zA, a, f))
+
+  /** East unit vector at n (Gade eq 9); NaN at the exact poles. */
+  def eastAt(n: Column): Column = vunit(vec(-vy(n), vx(n), lit(0.0)))
+  /** North unit vector at n. */
+  def northAt(n: Column): Column = vcross(n, eastAt(n))
+
+  /** Delta A->B decomposed in NED of A: struct(n, e, d) [m]. */
+  def deltaN(nA: Column, nB: Column, zA: Column = lit(0.0), zB: Column = lit(0.0),
+             a: Double = WGS84.a, f: Double = WGS84.f): Column = {
+    val dE = deltaE(nA, nB, zA, zB, a, f)
+    struct(vdot(northAt(nA), dE).as("n"), vdot(eastAt(nA), dE).as("e"),
+      vdot(vscale(nA, lit(-1.0)), dE).as("d"))
+  }
+
+  /** Ellipsoid-exact initial bearing A->B relative North [rad]. */
+  def azimuth(nA: Column, nB: Column,
+              a: Double = WGS84.a, f: Double = WGS84.f): Column = {
+    val d = deltaN(nA, nB, lit(0.0), lit(0.0), a, f)
+    atan2(d.getField("e"), d.getField("n"))
+  }
+
+  // ---- distances (Gade eq 16) --------------------------------------
+
+  /** Great-circle angle [rad], atan2(||a x b||, a.b) — eq 16. */
+  def gcDistanceRad(nA: Column, nB: Column): Column =
+    atan2(vnorm(vcross(nA, nB)), vdot(nA, nB))
+
+  def gcDistance(nA: Column, nB: Column, radius: Double = MeanEarthRadius): Column =
+    gcDistanceRad(nA, nB) * lit(radius)
+
+  /** Chord (euclidean) distance [m]. */
+  def euclideanDistance(nA: Column, nB: Column, radius: Double = MeanEarthRadius): Column =
+    vnorm(vsub(nB, nA)) * lit(radius)
+
+  /** Haversine-free great-circle distance straight from lat/lon [rad]
+    * (same eq 16, avoids materializing structs — for tight loops).
+    */
+  def gcDistanceLatLon(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+                       radius: Double = MeanEarthRadius): Column =
+    gcDistance(nvec(lat1, lon1), nvec(lat2, lon2), radius)
+
+  // ---- path operators (Gade §6-style composites) -------------------
+
+  /** Unit normal of the great circle through (a1, a2). */
+  def gcNormal(a1: Column, a2: Column): Column = vunit(vcross(a1, a2))
+
+  /** Signed great-circle cross-track distance from B to path (a1,a2). */
+  def crossTrackDistance(a1: Column, a2: Column, nB: Column,
+                         radius: Double = MeanEarthRadius): Column =
+    asin(-vdot(gcNormal(a1, a2), nB)) * lit(radius)
+
+  /** Euclidean (chord) cross-track distance. */
+  def crossTrackDistanceEuclid(a1: Column, a2: Column, nB: Column,
+                               radius: Double = MeanEarthRadius): Column =
+    -vdot(gcNormal(a1, a2), nB) * lit(radius)
+
+  /** Closest point on the great circle of (a1,a2) to B. */
+  def closestPointOnGreatCircle(a1: Column, a2: Column, nB: Column): Column = {
+    val c = gcNormal(a1, a2)
+    val n = vunit(vcross(c, vcross(nB, c)))
+    vscale(n, signum(vdot(n, nB)))
+  }
+
+  /** B on great circle of (a1,a2) within atol meters. */
+  def onGreatCircle(a1: Column, a2: Column, nB: Column,
+                    radius: Double = MeanEarthRadius, atol: Double = 1e-8): Column =
+    abs(crossTrackDistance(a1, a2, nB, radius)) <= lit(atol)
+
+  /** B on great circle AND between endpoints (chord-ratio test). */
+  def onGreatCirclePath(a1: Column, a2: Column, nB: Column,
+                        radius: Double = MeanEarthRadius, atol: Double = 1e-8): Column = {
+    val scale = vnorm(vsub(a2, a1))
+    (vnorm(vsub(nB, a1)) / scale <= 1) && (vnorm(vsub(nB, a2)) / scale <= 1) &&
+      onGreatCircle(a1, a2, nB, radius, atol)
+  }
+
+  /** Linear blend + renormalize; ti=0.5 is the geodesic midpoint. */
+  def interpolate(a1: Column, a2: Column, ti: Column): Column =
+    vunit(vadd(a1, vscale(vsub(a2, a1), ti)))
+
+  /** Great-circle intersection of paths (a1,a2) and (b1,b2), solution
+    * nearer a1.
+    */
+  def intersect(a1: Column, a2: Column, b1: Column, b2: Column): Column = {
+    val c = vunit(vcross(vcross(a1, a2), vcross(b1, b2)))
+    vscale(c, signum(vdot(c, a1)))
+  }
+
+  /** Spherical direct problem: destination from (A, arc [rad], az). */
+  def sphereReckon(nA: Column, distanceRad: Column, az: Column): Column = {
+    val east = eastAt(nA)
+    val north = vcross(nA, east)
+    val d = vadd(vscale(north, cos(az)), vscale(east, sin(az)))
+    vadd(vscale(nA, cos(distanceRad)), vscale(d, sin(distanceRad)))
+  }
+
+  // ---- aggregates ---------------------------------------------------
+
+  /** Aggregate: unit(sum of n-vectors) — mean horizontal position.
+    * Partial aggregation is a plain component sum (associative), so
+    * map-side combine applies.
+    */
+  def meanPosition(n: Column): Column =
+    vunit(vec(sum(vx(n)), sum(vy(n)), sum(vz(n))))
+
+  // ---- Karney solver (StaticInvoke -> graft.geo.Karney) ------------
+
+  private lazy val kernelsClass: Class[_] = Class.forName("graft.functions.GeoKernels")
+
+  private def invoke(method: String, ret: DataType, args: Seq[Column]): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, ret, method, args,
+      args.map(_ => DoubleType: DataType))
+
+  private val tripleType = StructType(Seq(
+    StructField("_1", DoubleType, nullable = false),
+    StructField("_2", DoubleType, nullable = false),
+    StructField("_3", DoubleType, nullable = false)))
+
+  /** Ellipsoidal (Karney) surface distance [m] between lat/lon pairs
+    * [rad].
+    */
+  def geodesicDistance(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+                       a: Double = WGS84.a, f: Double = WGS84.f): Column =
+    invoke("geodesicDistance", DoubleType, Seq(lat1, lon1, lat2, lon2, lit(a), lit(f)))
+
+  /** Karney inverse: struct(s12, az1, az2). */
+  def geodesicInverse(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+                      a: Double = WGS84.a, f: Double = WGS84.f): Column = {
+    val c = invoke("geodesicInverse", tripleType, Seq(lat1, lon1, lat2, lon2, lit(a), lit(f)))
+    struct(c.getField("_1").as("s12"), c.getField("_2").as("az1"), c.getField("_3").as("az2"))
+  }
+
+  /** Karney direct: struct(lat2, lon2, az2) from (A, distance [m], az
+    * [rad]).
+    */
+  def geodesicReckon(lat1: Column, lon1: Column, distance: Column, az1: Column,
+                     a: Double = WGS84.a, f: Double = WGS84.f): Column = {
+    val c = invoke("geodesicReckon", tripleType, Seq(lat1, lon1, distance, az1, lit(a), lit(f)))
+    struct(c.getField("_1").as("lat2"), c.getField("_2").as("lon2"), c.getField("_3").as("az2"))
+  }
+}

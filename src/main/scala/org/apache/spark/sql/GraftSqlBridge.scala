@@ -1,0 +1,22 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.DataType
+
+/** Bridge into `private[sql]` Spark internals the library needs:
+  * Column <-> catalyst Expression conversion and StaticInvoke
+  * construction (both are stable internals used the same way by
+  * Spark's own function DSL).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** StaticInvoke of a static method on `cls` with double-typed args. */
+  def staticInvoke(cls: Class[_], returnType: DataType, method: String,
+                   args: Seq[Column], argTypes: Seq[DataType]): Column =
+    column(StaticInvoke(cls, returnType, method, args.map(expression),
+      argTypes, propagateNull = true, returnNullable = false))
+}

@@ -1,0 +1,76 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import graft.geo.VecMath
+
+/** Static entry points for `StaticInvoke` codegen over [[CellIndex]]
+  * (object without companion class => static forwarders).
+  */
+object CellKernels {
+  def cellAt(x: Double, y: Double, z: Double, level: Int): Long =
+    CellIndex.cellAt(x, y, z, level)
+
+  def parent(id: Long, steps: Int): Long = CellIndex.parent(id, steps)
+
+  def ring(id: Long, k: Int): ArrayData =
+    new GenericArrayData(CellIndex.ring(id, k))
+
+  def center(id: Long): InternalRow = {
+    val c = VecMath.unit(CellIndex.centerXYZ(id))
+    new GenericInternalRow(Array[Any](c.x, c.y, c.z))
+  }
+
+  /** True when the point lies inside the spherical polygon (vertices
+    * flattened [x0,y0,z0,x1,...], implicitly closed): the winding
+    * angle of the vertex loop seen from the point is +-2pi inside and
+    * ~0 outside. A loop also winds +-2pi around the point's ANTIPODE,
+    * so the point must additionally lie on the polygon's hemisphere
+    * (dot with the vertex sum > 0) — valid for any polygon, concave
+    * included, that fits inside a hemisphere. Points exactly on the
+    * boundary are undefined at double precision, as in any winding
+    * test.
+    */
+  def pointInPolygon(px: Double, py: Double, pz: Double, verts: ArrayData): Boolean = {
+    val vs = verts.toDoubleArray()
+    var sx = 0.0; var sy = 0.0; var sz = 0.0
+    var i = 0
+    while (i < vs.length) { sx += vs(i); sy += vs(i + 1); sz += vs(i + 2); i += 3 }
+    (px * sx + py * sy + pz * sz) > 0.0 &&
+      windingAngle(px, py, pz, vs) > math.Pi
+  }
+
+  /** |winding angle| of the polygon loop around the point. */
+  def windingAngle(px: Double, py: Double, pz: Double, vs: Array[Double]): Double = {
+    val n = vs.length / 3
+    var total = 0.0
+    // tangent-plane projection of vertex i: t_i = v_i - p (v_i . p)
+    var prevX = 0.0; var prevY = 0.0; var prevZ = 0.0
+    var firstX = 0.0; var firstY = 0.0; var firstZ = 0.0
+    var i = 0
+    while (i <= n) {
+      val idx = if (i == n) -1 else i
+      val (tx, ty, tz) =
+        if (idx < 0) (firstX, firstY, firstZ)
+        else {
+          val vx = vs(3 * idx); val vy = vs(3 * idx + 1); val vz = vs(3 * idx + 2)
+          val d = vx * px + vy * py + vz * pz
+          (vx - px * d, vy - py * d, vz - pz * d)
+        }
+      if (i == 0) { firstX = tx; firstY = ty; firstZ = tz }
+      else {
+        // signed angle prev -> t about p
+        val cx = prevY * tz - prevZ * ty
+        val cy = prevZ * tx - prevX * tz
+        val cz = prevX * ty - prevY * tx
+        val sinA = cx * px + cy * py + cz * pz
+        val cosA = prevX * tx + prevY * ty + prevZ * tz
+        total += math.atan2(sinA, cosA)
+      }
+      prevX = tx; prevY = ty; prevZ = tz
+      i += 1
+    }
+    math.abs(total)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.geo
+
+/** Column DSL over the cell index. Cell ids are LongType; all calls
+  * compile to static invocations inside whole-stage codegen.
+  */
+object cells {
+  private lazy val kernelsClass: Class[_] = Class.forName("graft.index.CellKernels")
+
+  /** Cell id of an n-vector struct at `level`. */
+  def cellAt(n: Column, level: Int): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, LongType, "cellAt",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), lit(level)),
+      Seq(DoubleType, DoubleType, DoubleType, IntegerType))
+
+  /** Cell ids at several levels at once (multi-resolution encode). */
+  def cellsAt(n: Column, levels: Seq[Int]): Column =
+    array(levels.map(l => cellAt(n, l)): _*)
+
+  def parentCell(cell: Column, steps: Int = 1): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, LongType, "parent",
+      Seq(cell, lit(steps)), Seq(LongType, IntegerType))
+
+  /** Array of the distinct cells in the (2k+1)^2 block around `cell`. */
+  def ringCells(cell: Column, k: Int): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass,
+      ArrayType(LongType, containsNull = false), "ring",
+      Seq(cell, lit(k)), Seq(LongType, IntegerType))
+
+  /** Unit n-vector struct of the cell center. */
+  def cellCenter(cell: Column): Column = {
+    val ret = StructType(Seq(StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false),
+      StructField("z", DoubleType, nullable = false)))
+    val c = GraftSqlBridge.staticInvoke(kernelsClass, ret, "center",
+      Seq(cell), Seq(LongType))
+    geo.vec(c.getField("x"), c.getField("y"), c.getField("z"))
+  }
+
+  /** Point-in-spherical-polygon over an n-vector struct and a flat
+    * [x0,y0,z0,x1,...] vertex array column.
+    */
+  def pointInPolygon(n: Column, verts: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, BooleanType, "pointInPolygon",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), verts),
+      Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
+
+  /** Flat n-vector vertex array literal from (latDeg, lonDeg) pairs. */
+  def polygonLiteral(latLonDeg: Seq[(Double, Double)]): Column = {
+    val flat = latLonDeg.flatMap { case (la, lo) =>
+      val n = graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Seq(n.x, n.y, n.z)
+    }
+    array(flat.map(lit): _*)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.{Gade, Vec3, VecMath}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+class CellIndexSpec extends AnyFunSuite {
+  import CellIndex._
+
+  /** Deterministic splitmix64-based pseudo-random doubles in [0,1). */
+  def rnd(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  def randomPoint(i: Long): Vec3 = {
+    val lat = math.asin(2 * rnd(i * 2) - 1)
+    val lon = math.Pi * (2 * rnd(i * 2 + 1) - 1)
+    Gade.latLonToNvec(lat, lon)
+  }
+
+  test("pack/unpack round trip") {
+    for (face <- 0 to 5; level <- Seq(0, 1, 7, 26)) {
+      val scale = 1 << level
+      val i = math.min(scale - 1, 12345 % scale)
+      val j = math.min(scale - 1, 999 % scale)
+      val id = pack(face, level, i, j)
+      assert(id >= 0)
+      assert(faceOf(id) == face && levelOf(id) == level && iOf(id) == i && jOf(id) == j)
+    }
+  }
+
+  test("cell of point contains the point (center is in same cell)") {
+    for (i <- 1L to 500L; level <- Seq(3, 10, 18)) {
+      val p = randomPoint(i)
+      val id = cellAt(p.x, p.y, p.z, level)
+      val c = VecMath.unit(centerXYZ(id))
+      assert(cellAt(c.x, c.y, c.z, level) == id)
+      // point and its cell center are within a cell diagonal
+      val maxAngle = 2.0 / (1 << level) * 1.5
+      assert(Gade.greatCircleDistanceRad(p, c) <= maxAngle)
+    }
+  }
+
+  test("parent/children consistency") {
+    for (i <- 1L to 200L) {
+      val p = randomPoint(i)
+      val id = cellAt(p.x, p.y, p.z, 12)
+      assert(parent(id) == cellAt(p.x, p.y, p.z, 11))
+      assert(children(parent(id)).contains(id))
+      assert(parent(id, 12) == cellAt(p.x, p.y, p.z, 0))
+    }
+  }
+
+  test("ring contains own cell; interior rings have 9 cells") {
+    val p = Gade.latLonToNvec(0.3, 0.3) // mid-face
+    val id = cellAt(p.x, p.y, p.z, 10)
+    val r = ring(id, 1)
+    assert(r.contains(id))
+    assert(r.length == 9)
+    assert(r.sorted.sameElements(r), "ring must be sorted")
+  }
+
+  test("1-ring coverage: any point within minCellAngle is joinable") {
+    var checked = 0
+    for (i <- 1L to 3000L; level <- Seq(4, 9, 14)) {
+      val p = randomPoint(i)
+      val angle = minCellAngle(level) * rnd(i * 31 + level)
+      val az = 2 * math.Pi * rnd(i * 37 + level)
+      val q = Gade.sphereReckon(p, angle, az)
+      val ringP = ring(cellAt(p.x, p.y, p.z, level), 1)
+      val cellQ = cellAt(q.x, q.y, q.z, level)
+      assert(java.util.Arrays.binarySearch(ringP, cellQ) >= 0,
+        s"point $i level $level not covered (angle=$angle)")
+      checked += 1
+    }
+    assert(checked == 9000)
+  }
+
+  test("levelForRadius picks a covering level") {
+    for (meters <- Seq(10.0, 1000.0, 50000.0, 2e6)) {
+      val angle = meters / 6371009.0
+      val l = levelForRadius(angle)
+      assert(minCellAngle(l) >= angle || l == 0)
+      if (l < MaxLevel) assert(minCellAngle(l + 1) < angle || l == MaxLevel)
+    }
+  }
+
+  test("point in polygon: winding test") {
+    // a lat/lon box around (0,0)
+    val box = Array((-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0), (10.0, -10.0))
+    val flat = box.flatMap { case (la, lo) =>
+      val n = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Array(n.x, n.y, n.z)
+    }
+    def inside(latDeg: Double, lonDeg: Double): Boolean = {
+      val p = Gade.latLonToNvec(math.toRadians(latDeg), math.toRadians(lonDeg))
+      CellKernels.pointInPolygon(p.x, p.y, p.z, new GenericArrayData(flat))
+    }
+    assert(inside(0, 0))
+    assert(inside(9, 9))
+    assert(!inside(11, 0))
+    assert(!inside(0, 11))
+    assert(!inside(-45, 100))
+    assert(!inside(89, 0))
+
+    // antimeridian-crossing polygon
+    val am = Array((-5.0, 175.0), (-5.0, -175.0), (5.0, -175.0), (5.0, 175.0))
+    val amFlat = am.flatMap { case (la, lo) =>
+      val n = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Array(n.x, n.y, n.z)
+    }
+    def insideAm(la: Double, lo: Double): Boolean = {
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      CellKernels.pointInPolygon(p.x, p.y, p.z, new GenericArrayData(amFlat))
+    }
+    assert(insideAm(0, 179))
+    assert(insideAm(0, -179))
+    assert(!insideAm(0, 170))
+    assert(!insideAm(0, 0))
+
+    // pole-containing polygon (lat ring at 80N, CCW seen from pole)
+    val pole = (0 until 8).map(i => (80.0, -180.0 + 45.0 * i))
+    val poleFlat = pole.flatMap { case (la, lo) =>
+      val n = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Seq(n.x, n.y, n.z)
+    }.toArray
+    def insidePole(la: Double, lo: Double): Boolean = {
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      CellKernels.pointInPolygon(p.x, p.y, p.z, new GenericArrayData(poleFlat))
+    }
+    assert(insidePole(89, 33))
+    assert(insidePole(85, -120))
+    assert(!insidePole(70, 0))
+
+    // concave polygon (notched box)
+    val concave = Array((-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0),
+      (0.0, 0.5), (10.0, -10.0))
+    val cFlat = concave.flatMap { case (la, lo) =>
+      val n = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Array(n.x, n.y, n.z)
+    }
+    def insideC(la: Double, lo: Double): Boolean = {
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      CellKernels.pointInPolygon(p.x, p.y, p.z, new GenericArrayData(cFlat))
+    }
+    assert(insideC(-5, 0))   // below the notch
+    assert(!insideC(8, 0))   // inside the notch -> outside polygon
+    assert(insideC(8, 9))    // right arm
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.functions.geo
+import graft.geo.Gade
+import graft.operators.SpatialJoins.Aoi
+
+/** Join operators must agree with brute force on deterministic random
+  * point sets (including near face-edge and polar points).
+  */
+class SpatialJoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Deterministic points: splitmix64 lanes of the ordinal. */
+  def pointsDf(n: Int, name: String, seed: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val la = math.toDegrees(math.asin(2 * rnd(seed * 1000003L + i * 2) - 1))
+      val lo = 360 * rnd(seed * 1000003L + i * 2 + 1) - 180
+      (i.toLong, la, lo)
+    }.toDF(s"${name}_id", s"${name}_lat", s"${name}_lon")
+      .withColumn(s"${name}_n", geo.nvecDeg(col(s"${name}_lat"), col(s"${name}_lon")))
+  }
+
+  def rnd(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  test("distance join matches brute force") {
+    val a = pointsDf(400, "a", 1)
+    val b = pointsDf(300, "b", 2)
+    val radius = 800e3 // 800 km so there are plenty of pairs
+    val got = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", radius)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.crossJoin(b)
+      .withColumn("d", geo.gcDistance(col("a_n"), col("b_n")))
+      .filter(col("d") <= radius)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
+  test("knn join matches brute force") {
+    val q = pointsDf(120, "q", 3)
+    val d = pointsDf(500, "d", 4)
+    val k = 5
+    val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", k)
+      .select("q_id", "d_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force via window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("dist_m"), col("d_id"))
+    val brute = q.crossJoin(d)
+      .withColumn("dist_m", geo.gcDistance(col("q_n"), col("d_n")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "d_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.size == 120 * k)
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("knn join with sparse data hits fallback and stays correct") {
+    val q = pointsDf(20, "q", 5)
+    val d = pointsDf(8, "d", 6) // fewer points than make cells dense
+    val k = 3
+    val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", k, level = 8)
+      .select("q_id", "d_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("dist_m"), col("d_id"))
+    val brute = q.crossJoin(d)
+      .withColumn("dist_m", geo.gcDistance(col("q_n"), col("d_n")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "d_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
+
+  test("aoi join matches brute-force winding test") {
+    val p = pointsDf(3000, "p", 7)
+    val aois = Seq(
+      Aoi("box", Seq((-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0), (10.0, -10.0))),
+      Aoi("antimeridian", Seq((-20.0, 160.0), (-20.0, -160.0), (25.0, -160.0), (25.0, 160.0))),
+      Aoi("polar", (0 until 8).map(i => (75.0, -180.0 + 45.0 * i))),
+      Aoi("concave", Seq((30.0, 60.0), (30.0, 80.0), (50.0, 80.0), (40.0, 70.0), (50.0, 60.0))))
+    val got = SpatialJoins.aoiJoin(p, "p_n", aois)
+      .select("p_id", "aoi_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val brute = p.collect().flatMap { r =>
+      val s = r.getStruct(r.fieldIndex("p_n"))
+      val (x, y, z) = (s.getDouble(0), s.getDouble(1), s.getDouble(2))
+      aois.filter(a => graft.index.CellKernels.pointInPolygon(x, y, z,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.flatVerts)))
+        .map(a => (r.getLong(0), a.id))
+    }.toSet
+    assert(brute.nonEmpty, "expected some points in AOIs")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("cells DSL round trips against scalar kernels") {
+    import graft.index.{cells, CellIndex}
+    val p = pointsDf(200, "c", 8)
+      .withColumn("cell", cells.cellAt(col("c_n"), 12))
+      .withColumn("parent", cells.parentCell(col("cell"), 2))
+      .withColumn("ring", cells.ringCells(col("cell"), 1))
+      .withColumn("center", cells.cellCenter(col("cell")))
+    p.collect().foreach { r =>
+      val s = r.getStruct(r.fieldIndex("c_n"))
+      val expected = CellIndex.cellAt(s.getDouble(0), s.getDouble(1), s.getDouble(2), 12)
+      assert(r.getLong(r.fieldIndex("cell")) == expected)
+      assert(r.getLong(r.fieldIndex("parent")) == CellIndex.parent(expected, 2))
+      assert(r.getSeq[Long](r.fieldIndex("ring")) == CellIndex.ring(expected, 1).toSeq)
+    }
+  }
+}

@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.ByteArrayOutputStream
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+/** Deterministic synthetic image+caption table generator matching
+  * BASELINE.json `input_hint`:
+  * (image_id string, bytes binary, w int, h int, fmt string,
+  *  caption string, phash long).
+  *
+  * Everything derives from the row ordinal through splitmix64 lanes —
+  * no RNG state, so any row can be regenerated independently on any
+  * executor (this is what makes the per-row PSNR/caption verification
+  * and checkpoint resume possible). Pixels are smooth 2-D sine mixes
+  * (JPEG-compressible, so the lossy path meets PSNR >= 40 dB);
+  * every 8th row is JPEG-encoded, the rest stay RAW (w*h*3 RGB).
+  */
+object ImageTable {
+  val Formats = Seq("RAW", "JPG")
+
+  /** Fixed 256-word caption vocabulary (deterministic). */
+  val Vocabulary: Array[String] = {
+    val syll = Array("ba", "co", "di", "fu", "ga", "hi", "jo", "ka", "lu",
+      "me", "no", "pa", "qui", "ro", "su", "ta")
+    (0 until 256).map { i =>
+      syll(i % 16) + syll((i / 16) % 16) + (if (i % 3 == 0) "n" else "")
+    }.toArray
+  }
+
+  @inline def mix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline def lane(ordinal: Long, lane: Int): Long = mix(ordinal * 64 + lane)
+
+  @inline def uniform(ordinal: Long, l: Int): Double =
+    (lane(ordinal, l) >>> 11).toDouble / (1L << 53).toDouble
+
+  def widthOf(ordinal: Long): Int = 16 + (lane(ordinal, 1) & 0x3f).toInt  // 16..79
+  def heightOf(ordinal: Long): Int = 16 + (lane(ordinal, 2) & 0x3f).toInt
+  def fmtOf(ordinal: Long): String = if (ordinal % 8 == 7) "JPG" else "RAW"
+
+  /** Smooth grayscale pixel field (identical RGB channels): a mix of
+    * two sine waves whose frequencies/phases derive from the ordinal.
+    * Grayscale keeps JPEG chroma subsampling lossless so the lossy
+    * path stays above the PSNR >= 40 dB invariant.
+    */
+  def pixelsOf(ordinal: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    val fx = 1.0 + (lane(ordinal, 3) & 0x3).toInt * 0.5
+    val fy = 1.0 + (lane(ordinal, 4) & 0x3).toInt * 0.5
+    val ph = uniform(ordinal, 5) * math.Pi * 2
+    val amp = 60.0 + (lane(ordinal, 6) & 0x1f).toInt
+    val base = 96.0 + (lane(ordinal, 9) & 0x3f).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = base + amp * math.sin(fx * math.Pi * x / w + ph) *
+          math.cos(fy * math.Pi * y / h)
+        val b = math.max(0, math.min(255, v.toInt)).toByte
+        val p = (y * w + x) * 3
+        out(p) = b; out(p + 1) = b; out(p + 2) = b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def captionOf(ordinal: Long): String = {
+    val n = 5 + (lane(ordinal, 12) % 8).toInt.abs
+    (0 until n).map(i => Vocabulary((lane(ordinal, 13 + i) & 0xff).toInt))
+      .mkString(" ")
+  }
+
+  /** 64-bit average-hash over an 8x8 luma downsample. */
+  def phash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val cellsW = w / 8.0; val cellsH = h / 8.0
+    val luma = new Array[Double](64)
+    var gi = 0
+    while (gi < 64) {
+      val cx = gi % 8; val cy = gi / 8
+      val x0 = (cx * cellsW).toInt; val x1 = math.max(x0 + 1, ((cx + 1) * cellsW).toInt)
+      val y0 = (cy * cellsH).toInt; val y1 = math.max(y0 + 1, ((cy + 1) * cellsH).toInt)
+      var sum = 0.0; var cnt = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val p = (y * w + x) * 3
+          sum += 0.299 * (pixels(p) & 0xff) + 0.587 * (pixels(p + 1) & 0xff) +
+            0.114 * (pixels(p + 2) & 0xff)
+          cnt += 1; x += 1
+        }
+        y += 1
+      }
+      luma(gi) = sum / cnt
+      gi += 1
+    }
+    val mean = luma.sum / 64
+    var bits = 0L
+    gi = 0
+    while (gi < 64) { if (luma(gi) >= mean) bits |= (1L << gi); gi += 1 }
+    bits
+  }
+
+  def jpegEncode(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        val rgb = ((pixels(p) & 0xff) << 16) | ((pixels(p + 1) & 0xff) << 8) |
+          (pixels(p + 2) & 0xff)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.98f)
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] =
+    if (fmt == "RAW") bytes
+    else {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val p = (y * w + x) * 3
+          out(p) = ((rgb >> 16) & 0xff).toByte
+          out(p + 1) = ((rgb >> 8) & 0xff).toByte
+          out(p + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** PSNR [dB] between two equally-sized RGB buffers; infinite for
+    * identical buffers is capped at 99.0.
+    */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    var mse = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      mse += d * d
+      i += 1
+    }
+    mse /= a.length
+    if (mse == 0) 99.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
+                            fmt: String, caption: String, phash: Long)
+
+  def rowOf(ordinal: Long): ImageRow = {
+    val w = widthOf(ordinal); val h = heightOf(ordinal)
+    val px = pixelsOf(ordinal, w, h)
+    val fmt = fmtOf(ordinal)
+    val bytes = if (fmt == "RAW") px else jpegEncode(px, w, h)
+    ImageRow(f"img_$ordinal%012d", bytes, w, h, fmt, captionOf(ordinal),
+      phash64(decode(bytes, w, h, fmt), w, h))
+  }
+
+  /** Distributed generation: `rows` rows in `partitions` tasks. */
+  def generate(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).mapPartitions(_.map(l => rowOf(l.longValue))).toDF()
+  }
+
+  // -- static verification kernels (StaticInvoke-friendly) -----------
+
+  /** PSNR of the stored payload vs the regenerated reference pixels. */
+  def referencePsnr(ordinal: Long, bytes: Array[Byte], w: Int, h: Int, fmt: String): Double =
+    psnr(decode(bytes, w, h, fmt), pixelsOf(ordinal, w, h))
+
+  /** Recomputed phash of the stored payload. */
+  def payloadPhash(bytes: Array[Byte], w: Int, h: Int, fmt: String): Long =
+    phash64(decode(bytes, w, h, fmt), w, h)
+
+  def referenceCaption(ordinal: Long): String = captionOf(ordinal)
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot/manifest layer over parquet directories
+  * (hand-rolled: no Iceberg jar exists in this environment; SURVEY.md
+  * §2.10). Layout under `root`:
+  *
+  * {{{
+  *   data/s<N>/<name>/...parquet     immutable data of snapshot N
+  *   _snapshots/v<N>.json            snapshot: files, counts, lineage
+  *   _snapshots/current              text pointer to latest N
+  * }}}
+  *
+  * Commit protocol: data is written to the snapshot-versioned
+  * directory, the snapshot JSON is written, and `current` is replaced
+  * by atomic rename — readers only ever follow `current` so a crashed
+  * writer leaves at most unreferenced files, never a torn table
+  * (same guarantee Iceberg's metadata pointer gives). Re-committing an
+  * already-current name+version is a no-op, which is what makes
+  * [[getOrCompute]] a resumable checkpoint.
+  */
+final class SnapshotStore(spark: SparkSession, root: String) {
+  private val snapDir = Paths.get(root, "_snapshots")
+  Files.createDirectories(snapDir)
+
+  private def currentPath = snapDir.resolve("current")
+
+  def currentVersion: Option[Int] =
+    if (Files.exists(currentPath)) Some(Files.readString(currentPath).trim.toInt)
+    else None
+
+  private def snapshotJson(v: Int): Path = snapDir.resolve(s"v$v.json")
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** All committed snapshots: (version, name, rowCount). */
+  def snapshots: Seq[(Int, String, Long)] =
+    (1 to currentVersion.getOrElse(0)).flatMap { v =>
+      val p = snapshotJson(v)
+      if (!Files.exists(p)) None
+      else {
+        val s = Files.readString(p)
+        val name = """"name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+        val rows = """"rowCount"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+        Some((v, name.getOrElse(""), rows.getOrElse(0L)))
+      }
+    }
+
+  /** Latest committed snapshot version carrying `name`, if any. */
+  def versionOf(name: String): Option[Int] =
+    snapshots.filter(_._2 == name).map(_._1).lastOption
+
+  def dataPath(v: Int, name: String): String =
+    Paths.get(root, "data", s"s$v", name).toString
+
+  def read(name: String): DataFrame = {
+    val v = versionOf(name).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot named '$name' in $root"))
+    spark.read.parquet(dataPath(v, name))
+  }
+
+  /** Write `df` as a new snapshot called `name`: data files, then
+    * per-partition row counts + input-file lineage in the snapshot
+    * JSON, then the atomic `current` pointer flip.
+    */
+  def commit(name: String, df: DataFrame): Int = {
+    val v = currentVersion.getOrElse(0) + 1
+    val out = dataPath(v, name)
+    df.write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    // lineage metrics: rows per output partition (file) of this snapshot
+    val partCounts = written
+      .groupBy(input_file_name().as("file")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val rowCount = partCounts.map(_._2).sum
+    val inputs = df.inputFiles.sorted
+    val json = new StringBuilder
+    json.append("{\n")
+    json.append(s"""  "version": $v,\n""")
+    json.append(s"""  "parent": ${currentVersion.getOrElse(0)},\n""")
+    json.append(s"""  "name": "${esc(name)}",\n""")
+    json.append(s"""  "rowCount": $rowCount,\n""")
+    json.append(s"""  "schema": "${esc(df.schema.json)}",\n""")
+    json.append("  \"files\": [\n")
+    json.append(partCounts.map { case (f, c) =>
+      s"""    {"path": "${esc(f)}", "rows": $c}"""
+    }.mkString(",\n"))
+    json.append("\n  ],\n")
+    json.append("  \"lineage\": [")
+    json.append(inputs.map(f => s""""${esc(f)}"""").mkString(", "))
+    json.append("]\n}\n")
+    Files.writeString(snapshotJson(v), json.toString)
+    // atomic pointer flip
+    val tmp = snapDir.resolve(s".current.tmp.$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Resumable checkpoint: if a committed snapshot named `name`
+    * exists, read it back; otherwise compute, commit, and read back
+    * (so downstream stages always consume the materialized files).
+    */
+  def getOrCompute(name: String)(compute: => DataFrame): DataFrame =
+    versionOf(name) match {
+      case Some(_) => read(name)
+      case None => commit(name, compute); read(name)
+    }
+
+  /** Files added/removed between two snapshot versions of a name. */
+  def diff(v1: Int, v2: Int): (Seq[String], Seq[String]) = {
+    def files(v: Int): Set[String] = {
+      val s = Files.readString(snapshotJson(v))
+      """"path"\s*:\s*"([^"]*)"""".r.findAllMatchIn(s).map(_.group(1)).toSet
+    }
+    val (a, b) = (files(v1), files(v2))
+    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+}

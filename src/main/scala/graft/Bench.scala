@@ -1,24 +1,102 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.index.cells
+import graft.operators.SpatialJoins
+import graft.operators.SpatialJoins.Aoi
+import graft.sources.ImageTable
+
+/** Benchmark entry point (driver contract): prints ONE JSON line.
+  *
+  * Two workloads:
+  *  1. every `SparkEntry.queries` entry once over
+  *     `SPARK_GRAFT_SF_DIR` (operator-family timings);
+  *  2. the flagship image join+tile pipeline (BASELINE.json metric
+  *     "images joined+tiled/sec"): read the pre-materialized synthetic
+  *     image table, derive positions, multi-resolution cell-encode,
+  *     broadcast-PIP against AOI polygons, per-tile aggregation —
+  *     1 warm-up + 3 timed runs, median reported.
+  *
+  * The image parquet is materialized once under /tmp and reused, so
+  * two invocations at different `SPARK_GRAFT_CPUS` (e.g. 8 then 32)
+  * time the identical input — that pair of runs is the two-cluster-
+  * size scaling evidence (see BENCH/BASELINE.md).
+  */
 object Bench {
+  def imageSource(spark: SparkSession, rows: Long, genPartitions: Int): DataFrame = {
+    val path = s"/tmp/graft_bench_images_$rows"
+    val marker = new java.io.File(path + "/_SUCCESS")
+    if (!marker.exists()) {
+      ImageTable.generate(spark, rows, genPartitions)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The flagship pipeline: images -> positions -> tiles -> AOI join
+    * -> per-tile stats. Returns (tiles, assignment rows) counts.
+    */
+  def imagePipeline(images: DataFrame): (Long, Long) = {
+    val aois = Seq(
+      Aoi("eq", Seq((-25.0, -30.0), (-25.0, 30.0), (25.0, 30.0), (25.0, -30.0))),
+      Aoi("am", Seq((-30.0, 150.0), (-30.0, -150.0), (30.0, -150.0), (30.0, 150.0))),
+      Aoi("nc", (0 until 8).map(i => (55.0, -180.0 + 45.0 * i))),
+      Aoi("sb", Seq((-65.0, -120.0), (-65.0, 0.0), (-35.0, 0.0), (-35.0, -120.0))))
+    // positions derived from phash lanes (deterministic, SQL-free)
+    val pts = images
+      .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
+      .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
+      .withColumn("lon", (((col("ord") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+      .withColumn("n", geo.nvec(col("lat"), col("lon")))
+      .withColumn("tile", cells.cellAt(col("n"), 8))
+      .withColumn("tile_coarse", cells.cellAt(col("n"), 4))
+      .select("image_id", "phash", "caption", "n", "tile", "tile_coarse")
+    val assigned = SpatialJoins.aoiJoin(pts, "n", aois)
+    val tileStats = assigned.groupBy("aoi_id", "tile")
+      .agg(count(lit(1)).as("n_imgs"),
+        geo.meanPosition(col("n")).as("mean_n"),
+        approx_count_distinct(col("phash")).as("n_phash"))
+    val tiles = tileStats.count()
+    val rows = assigned.count()
+    (tiles, rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val imgRows = sys.env.getOrElse("SPARK_GRAFT_IMG_ROWS", "150000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // flagship image pipeline: 1 warm-up + 3 timed, median
+    val images = imageSource(spark, imgRows, math.max(cpus.toInt * 2, 8))
+    imagePipeline(images) // warm-up
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      imagePipeline(images)
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val median = times(1)
+    val imgsPerSec = imgRows / median
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + median
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$median,"images_per_sec":${imgsPerSec.round}}""")
     spark.stop()
   }
 }

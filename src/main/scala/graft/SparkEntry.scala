@@ -189,12 +189,19 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
     "q12_sphere_reckon" -> ((s, dir) => {
-      val dist = ((col("c_custkey") % 97).cast("double") / 97.0) * 0.5 + 0.01
-      val dest = geo.sphereReckon(col("n"), dist, col("lon"))
+      // stage each frame vector as a column: keeps the Catalyst tree
+      // linear instead of re-inlining the struct subtrees per field
       custPts(s, dir)
+        .withColumn("dr", ((col("c_custkey") % 97).cast("double") / 97.0) * 0.5 + 0.01)
+        .withColumn("east", geo.eastAt(col("n")))
+        .withColumn("north", geo.vcross(col("n"), col("east")))
+        .withColumn("d", geo.vadd(geo.vscale(col("north"), cos(col("lon"))),
+          geo.vscale(col("east"), sin(col("lon")))))
+        .withColumn("dest", geo.vadd(geo.vscale(col("n"), cos(col("dr"))),
+          geo.vscale(col("d"), sin(col("dr")))))
         .select(col("c_custkey"),
-          round(geo.latDeg(dest), 6).as("dlat"),
-          round(geo.lonDeg(dest), 6).as("dlon"))
+          round(geo.latDeg(col("dest")), 6).as("dlat"),
+          round(geo.lonDeg(col("dest")), 6).as("dlon"))
         .orderBy("c_custkey")
     }),
     "q13_mean_position" -> ((s, dir) => {
@@ -296,7 +303,8 @@ object SparkEntry {
     }),
     "q34_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"),
+        .withColumn("__h", transform(Dedup.shingles(col("text")), x => xxhash64(x)))
+        .select(col("doc_id"), Dedup.simHashFromHashes(col("__h")).as("sig"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),

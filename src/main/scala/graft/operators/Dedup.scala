@@ -27,15 +27,22 @@ object Dedup {
     slice(transform(sequence(lit(0), greatest(length(text) - k, lit(0))),
       i => substring(lower(text), i + 1, lit(k))), 1, cap)
 
-  /** MinHash signature: for each of `numHashes` permutations, the
-    * minimum of seeded xxhash64 over the shingle set.
+  /** MinHash signature over an already-materialized shingle column:
+    * for each of `numHashes` permutations, the minimum of seeded
+    * xxhash64 over the shingle set.
     */
-  def minHashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column = {
-    val sh = shingles(text, k)
+  def minHashSignatureFromShingles(sh: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(sh, s => xxhash64(lit(seed), s)))
     }: _*)
-  }
+
+  /** MinHash signature of a text column. Prefer staging [[shingles]]
+    * into its own column first (see [[minHashPairs]]) — inlining the
+    * shingle expression `numHashes` times makes the Catalyst tree
+    * quadratic.
+    */
+  def minHashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column =
+    minHashSignatureFromShingles(shingles(text, k), numHashes)
 
   /** LSH band keys from a minhash signature: hash of each band of
     * `rowsPerBand` signature entries. Two docs sharing any band key
@@ -58,7 +65,9 @@ object Dedup {
                    k: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val sigs = df.select(col(idCol).as("__id"),
-      minHashSignature(col(textCol), k, numHashes).as("__sig"))
+      shingles(col(textCol), k).as("__sh"))
+      .select(col("__id"),
+        minHashSignatureFromShingles(col("__sh"), numHashes).as("__sig"))
     val banded = sigs.withColumn("__band",
       explode(minHashBands(col("__sig"), numHashes, rowsPerBand)))
     val left = banded.select(col("__band"), col("__id").as("id_a"),
@@ -80,8 +89,14 @@ object Dedup {
     * similarity of the shingle sets; built with bit-vote aggregation
     * over shingle hashes, all in builtin array functions.
     */
-  def simHash(text: Column, k: Int = 5): Column = {
-    val hashes = transform(shingles(text, k), s => xxhash64(s))
+  def simHash(text: Column, k: Int = 5): Column =
+    simHashFromHashes(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** SimHash over an already-materialized shingle-hash array column
+    * (stage it to keep the plan tree linear — 64 bit-votes reference
+    * the array).
+    */
+  def simHashFromHashes(hashes: Column): Column = {
     // per-bit votes: sum over shingles of +-1 depending on the bit
     val bits = (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0),

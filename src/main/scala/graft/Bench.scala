@@ -35,42 +35,58 @@ object Bench {
     spark.read.parquet(path)
   }
 
-  /** The flagship pipeline: images -> positions -> tiles -> AOI join
-    * -> per-tile stats. Returns (tiles, assignment rows) counts.
+  /** The flagship pipeline: images -> payload verification (decode,
+    * PSNR vs regenerated reference, phash, caption) -> positions ->
+    * tiles -> AOI join -> per-tile stats. Returns
+    * (tiles, assignment rows, verify failures).
     */
-  def imagePipeline(images: DataFrame): (Long, Long) = {
+  def imagePipeline(images: DataFrame): (Long, Long, Long) = {
     val aois = Seq(
       Aoi("eq", Seq((-25.0, -30.0), (-25.0, 30.0), (25.0, 30.0), (25.0, -30.0))),
       Aoi("am", Seq((-30.0, 150.0), (-30.0, -150.0), (30.0, -150.0), (30.0, 150.0))),
       Aoi("nc", (0 until 8).map(i => (55.0, -180.0 + 45.0 * i))),
       Aoi("sb", Seq((-65.0, -120.0), (-65.0, 0.0), (-35.0, 0.0), (-35.0, -120.0))))
-    // positions derived from phash lanes (deterministic, SQL-free)
-    val pts = images
+    val spark = images.sparkSession
+    import spark.implicits._
+    // per-row payload invariants (north_star: PSNR>=40dB + caption
+    // equality + phash match) — the compute-heavy verification stage
+    val verified = images.as[ImageTable.ImageRow].map { r =>
+      val ord = r.image_id.drop(4).toLong
+      val ok = ImageTable.referencePsnr(ord, r.bytes, r.w, r.h, r.fmt) >= 40.0 &&
+        ImageTable.payloadPhash(r.bytes, r.w, r.h, r.fmt) == r.phash &&
+        ImageTable.referenceCaption(ord) == r.caption
+      (r.image_id, r.phash, r.caption, ok)
+    }.toDF("image_id", "phash", "caption", "verify_ok")
+    // positions derived from the image ordinal (deterministic, SQL-free)
+    val pts = verified
       .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
       .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
       .withColumn("lon", (((col("ord") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
       .withColumn("n", geo.nvec(col("lat"), col("lon")))
       .withColumn("tile", cells.cellAt(col("n"), 8))
       .withColumn("tile_coarse", cells.cellAt(col("n"), 4))
-      .select("image_id", "phash", "caption", "n", "tile", "tile_coarse")
+      .select("image_id", "phash", "caption", "verify_ok", "n", "tile", "tile_coarse")
     val assigned = SpatialJoins.aoiJoin(pts, "n", aois)
     val tileStats = assigned.groupBy("aoi_id", "tile")
       .agg(count(lit(1)).as("n_imgs"),
         geo.meanPosition(col("n")).as("mean_n"),
-        approx_count_distinct(col("phash")).as("n_phash"))
-    val tiles = tileStats.count()
-    val rows = assigned.count()
-    (tiles, rows)
+        approx_count_distinct(col("phash")).as("n_phash"),
+        sum(when(!col("verify_ok"), 1).otherwise(0)).as("n_bad"))
+    // one action drives the whole DAG exactly once
+    val row = tileStats.agg(count(lit(1)).as("tiles"),
+      sum("n_imgs").as("rows"), sum("n_bad").as("bad")).collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val imgRows = sys.env.getOrElse("SPARK_GRAFT_IMG_ROWS", "150000").toLong
+    val imgRows = sys.env.getOrElse("SPARK_GRAFT_IMG_ROWS", "300000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

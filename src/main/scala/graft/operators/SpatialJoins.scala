@@ -42,16 +42,43 @@ object SpatialJoins {
                    radiusMeters: Double,
                    sphereRadius: Double = MeanEarthRadius,
                    distCol: String = "dist_m",
-                   broadcastRight: Boolean = false): DataFrame = {
+                   broadcastRight: Boolean = false,
+                   skewSalt: Int = 0,
+                   hotCellThreshold: Long = 1000000L): DataFrame = {
     val level = CellIndex.levelForRadius(radiusMeters / sphereRadius)
-    val probes = left.withColumn("__cell",
+    val probes0 = left.withColumn("__cell",
       explode(cells.ringCells(cells.cellAt(col(leftNvec), level), 1)))
     val build0 = right.withColumn("__cell", cells.cellAt(col(rightNvec), level))
-    val build = if (broadcastRight) broadcast(build0) else build0
-    probes.join(build, "__cell")
+    val (probes, build1) =
+      if (skewSalt <= 1) (probes0.withColumn("__salt", lit(0)),
+        build0.withColumn("__salt", lit(0)))
+      else {
+        // heavy-hitter pre-pass on the probe side: AQE can split skewed
+        // shuffle partitions but not one giant key, so hot cells get a
+        // per-row salt while the build side replicates only those
+        // cells x skewSalt (north_rule "salted repartitioning of hot
+        // cells")
+        val hot = probes0.groupBy("__cell").count()
+          .filter(col("count") >= hotCellThreshold)
+          .collect().map(_.getLong(0))
+        val hotSet = hot.toSet
+        val isHot = (c: Column) =>
+          if (hotSet.isEmpty) lit(false) else c.isInCollection(hotSet)
+        val p = probes0.withColumn("__salt",
+          when(isHot(col("__cell")),
+            pmod(xxhash64(geo.vx(col(leftNvec))), lit(skewSalt)).cast("int"))
+            .otherwise(lit(0)))
+        val b = build0.withColumn("__salt",
+          explode(when(isHot(col("__cell")),
+            sequence(lit(0), lit(skewSalt - 1)))
+            .otherwise(array(lit(0)))))
+        (p, b)
+      }
+    val build = if (broadcastRight) broadcast(build1) else build1
+    probes.join(build, Seq("__cell", "__salt"))
       .withColumn(distCol, geo.gcDistance(col(leftNvec), col(rightNvec), sphereRadius))
       .filter(col(distCol) <= radiusMeters)
-      .drop("__cell")
+      .drop("__cell", "__salt")
   }
 
   /** k-nearest-neighbor join with iterative cell-ring expansion and

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.index.cells
+
+/** Structured-Streaming forms of the pipeline stages. The geodesy
+  * kernels are stateless expressions, so the same Column DSL runs
+  * unchanged under `readStream`; these helpers add the stateful
+  * pieces: watermarked dedup and windowed per-cell aggregation
+  * (SURVEY.md §2.10 streaming row).
+  */
+object GeoStreams {
+
+  /** Drop duplicate image ids within the watermark horizon (the
+    * streaming ingest guard for the image+caption table).
+    */
+  def dedupeByIdStream(stream: DataFrame, idCol: String, tsCol: String,
+                       watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Event-time windowed counts + mean position per cell: the
+    * streaming tile-statistics operator.
+    */
+  def cellCountsStream(stream: DataFrame, nvecCol: String, tsCol: String,
+                       level: Int, windowDuration: String,
+                       watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .withColumn("cell", cells.cellAt(col(nvecCol), level))
+      .groupBy(window(col(tsCol), windowDuration), col("cell"))
+      .agg(count(lit(1)).as("n"),
+        geo.meanPosition(col(nvecCol)).as("mean_n"))
+      .select(col("window.start").as("window_start"), col("cell"), col("n"),
+        round(geo.latDeg(col("mean_n")), 6).as("mean_lat"),
+        round(geo.lonDeg(col("mean_n")), 6).as("mean_lon"))
+}

@@ -103,6 +103,31 @@ class SpatialJoinsSpec extends AnyFunSuite {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("salted distance join handles hot cells and stays exact") {
+    // heavy skew: 60% of left points packed into a ~20 km disc
+    import spark.implicits._
+    val base = pointsDf(300, "a", 11)
+    val hotSpot = (1000 until 1450).map { i =>
+      val la = 12.0 + rnd(i * 17L) * 0.2
+      val lo = 44.0 + rnd(i * 19L) * 0.2
+      (i.toLong, la, lo)
+    }.toDF("a_id", "a_lat", "a_lon")
+      .withColumn("a_n", geo.nvecDeg(col("a_lat"), col("a_lon")))
+    val a = base.unionByName(hotSpot)
+    val b = pointsDf(250, "b", 12)
+    val radius = 500e3
+    val salted = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", radius,
+      skewSalt = 8, hotCellThreshold = 100)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.crossJoin(b)
+      .withColumn("d", geo.gcDistance(col("a_n"), col("b_n")))
+      .filter(col("d") <= radius)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(salted == brute,
+      s"missing=${(brute -- salted).take(5)} extra=${(salted -- brute).take(5)}")
+  }
+
   test("cells DSL round trips against scalar kernels") {
     import graft.index.{cells, CellIndex}
     val p = pointsDf(200, "c", 8)

@@ -266,6 +266,38 @@ object SparkEntry {
           col("label"))
         .orderBy("vec_id")
     }),
+    "q21_intersect" -> ((s, dir) => {
+      // path A: customer point -> Oslo; path B: fixed
+      val b1 = geo.nvecDeg(lit(50.0), lit(-40.0))
+      val b2 = geo.nvecDeg(lit(60.0), lit(20.0))
+      custPts(s, dir)
+        .withColumn("ix", geo.intersect(col("n"),
+          geo.nvec(lit(OsloLat), lit(OsloLon)), b1, b2))
+        .select(col("c_custkey"),
+          round(geo.latDeg(col("ix")), 6).as("ilat"),
+          round(geo.lonDeg(col("ix")), 6).as("ilon"))
+        .orderBy("c_custkey")
+    }),
+    "q22_closest_point" -> ((s, dir) => {
+      val a1 = geo.nvecDeg(lit(-10.0), lit(-60.0))
+      val a2 = geo.nvecDeg(lit(35.0), lit(40.0))
+      // staged columns: see q12 (struct re-inlining blows up the tree)
+      custPts(s, dir)
+        .withColumn("gcn", geo.gcNormal(a1, a2))
+        .withColumn("w", geo.vcross(col("n"), col("gcn")))
+        .withColumn("p0", geo.vunit(geo.vcross(col("gcn"), col("w"))))
+        .withColumn("cp", geo.vscale(col("p0"), signum(geo.vdot(col("p0"), col("n")))))
+        .select(col("c_custkey"),
+          round(geo.latDeg(col("cp")), 6).as("clat"),
+          round(geo.lonDeg(col("cp")), 6).as("clon"))
+        .orderBy("c_custkey")
+    }),
+    "q23_stopword_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("sw_ratio"))
+        .orderBy("doc_id")
+    }),
     // rows-only (not SQL-expressible): Karney, LSH, images -----------
     "q30_geodesic_inverse" -> ((s, dir) => {
       custPts(s, dir)
@@ -336,16 +368,31 @@ object SparkEntry {
     }),
     "q37_course_over_ground" -> ((s, dir) => {
       // treat each user's event sequence as a vehicle track
-      val w = Window.partitionBy("user_id").orderBy("event_id")
       val ev = t(s, dir, "events")
         .withColumn("lat", latRad(col("event_id")))
         .withColumn("lon", lonRad(col("event_id")))
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
-        .withColumn("n_next", lead("n", 1).over(w))
-      ev.filter(col("n_next").isNotNull)
-        .select(col("user_id"), col("event_id"),
-          round(geo.azimuth(col("n"), col("n_next")), 6).as("cog_rad"))
+      graft.operators.Tracks.courseOverGround(ev, "user_id", "event_id", "n")
+        .filter(!isnan(col("cog")))
+        .select(col("user_id"), col("event_id"), round(col("cog"), 6).as("cog_rad"))
         .orderBy("user_id", "event_id")
+    }),
+    "q38_track_interpolation" -> ((s, dir) => {
+      // interpolate each user's position track at fixed times
+      val ev = t(s, dir, "events")
+        .withColumn("tsec", col("event_id").cast("double"))
+        .withColumn("lat", latRad(col("event_id")))
+        .withColumn("lon", lonRad(col("event_id")))
+        .withColumn("n", geo.nvec(col("lat"), col("lon")))
+        .select(col("user_id"), col("tsec"), col("n"))
+      val qs = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)
+      graft.operators.Tracks.interpolateLinear(ev, qs, "user_id", "tsec", "n")
+        .filter(col("n").isNotNull)
+        .select(col("user_id"), col("tsec"),
+          round(geo.latDeg(col("n")), 6).as("ilat"),
+          round(geo.lonDeg(col("n")), 6).as("ilon"))
+        .orderBy("user_id")
     })
   )
 
@@ -495,6 +542,50 @@ object SparkEntry {
             | ranked AS (SELECT k, sk2, d, row_number() OVER (PARTITION BY k ORDER BY d, sk2) AS rank FROM pairs)
             | SELECT k AS c_custkey, rank, sk2 AS s_suppkey, round(d / 1000.0, 6) AS dist_km
             | FROM ranked WHERE rank <= 3 ORDER BY c_custkey, rank""".stripMargin.replace("\n", " ")),
+      "q21_intersect" -> {
+        val b1 = graft.geo.Gade.latLonToNvec(math.toRadians(50.0), math.toRadians(-40.0))
+        val b2 = graft.geo.Gade.latLonToNvec(math.toRadians(60.0), math.toRadians(20.0))
+        val cb = b1 cross b2
+        ptsSql("customer", "c_custkey") +
+          s""", ca AS (SELECT k, ny*${fmt(oslo.z)} - nz*${fmt(oslo.y)} AS ax,
+             |  nz*${fmt(oslo.x)} - nx*${fmt(oslo.z)} AS ay,
+             |  nx*${fmt(oslo.y)} - ny*${fmt(oslo.x)} AS az, nx, ny, nz FROM pts),
+             | tv AS (SELECT k, ay*${fmt(cb.z)} - az*${fmt(cb.y)} AS tx,
+             |  az*${fmt(cb.x)} - ax*${fmt(cb.z)} AS ty,
+             |  ax*${fmt(cb.y)} - ay*${fmt(cb.x)} AS tz, nx, ny, nz FROM ca),
+             | sg AS (SELECT k, CASE WHEN tx*nx + ty*ny + tz*nz >= 0 THEN 1.0 ELSE -1.0 END AS s,
+             |  tx, ty, tz FROM tv)
+             | SELECT k AS c_custkey,
+             |  round(degrees(atan2(s*tz, sqrt(tx*tx + ty*ty))), 6) AS ilat,
+             |  round(degrees(atan2(s*ty, s*tx)), 6) AS ilon
+             | FROM sg ORDER BY c_custkey""".stripMargin.replace("\n", " ")
+      },
+      "q22_closest_point" -> {
+        val a1 = graft.geo.Gade.latLonToNvec(math.toRadians(-10.0), math.toRadians(-60.0))
+        val a2 = graft.geo.Gade.latLonToNvec(math.toRadians(35.0), math.toRadians(40.0))
+        val c = graft.geo.VecMath.unit(a1 cross a2)
+        ptsSql("customer", "c_custkey") +
+          s""", c2 AS (SELECT k, ny*${fmt(c.z)} - nz*${fmt(c.y)} AS wx,
+             |  nz*${fmt(c.x)} - nx*${fmt(c.z)} AS wy,
+             |  nx*${fmt(c.y)} - ny*${fmt(c.x)} AS wz, nx, ny, nz FROM pts),
+             | cp AS (SELECT k, ${fmt(c.y)}*wz - ${fmt(c.z)}*wy AS px,
+             |  ${fmt(c.z)}*wx - ${fmt(c.x)}*wz AS py,
+             |  ${fmt(c.x)}*wy - ${fmt(c.y)}*wx AS pz, nx, ny, nz FROM c2),
+             | sg AS (SELECT k, CASE WHEN px*nx + py*ny + pz*nz >= 0 THEN 1.0 ELSE -1.0 END AS s,
+             |  px, py, pz FROM cp)
+             | SELECT k AS c_custkey,
+             |  round(degrees(atan2(s*pz, sqrt(px*px + py*py))), 6) AS clat,
+             |  round(degrees(atan2(s*py, s*px)), 6) AS clon
+             | FROM sg ORDER BY c_custkey""".stripMargin.replace("\n", " ")
+      },
+      "q23_stopword_ratio" -> {
+        val preds = graft.operators.TextAnalysis.EnglishStopwords
+          .map(w => s"x = '$w'").mkString(" OR ")
+        s"""SELECT doc_id, round(CAST(len(list_filter(string_split(lower(text), ' '),
+           | x -> $preds)) AS DOUBLE)
+           | / greatest(len(string_split(lower(text), ' ')), 1), 6) AS sw_ratio
+           | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
       "q18_text_stats" ->
         """SELECT doc_id,
           | CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS words,

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, GraftSqlBridge}
+import org.apache.spark.sql.functions._
+
+/** SQL-callable registration of the geodesy surface: every function is
+  * built from the same Column DSL (builtin expressions / StaticInvoke)
+  * so `spark.sql` users get identical semantics and codegen as the
+  * DataFrame API — no UDF wrappers.
+  */
+object GeoFunctions {
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftSqlBridge.column(e)
+
+  /** name -> (arity, columns => column) */
+  val registry: Map[String, (Int, Seq[Column] => Column)] = Map(
+    "geo_nvec" -> (2, { case Seq(lat, lon) => geo.nvec(lat, lon) }),
+    "geo_lat" -> (1, { case Seq(n) => geo.lat(n) }),
+    "geo_lon" -> (1, { case Seq(n) => geo.lon(n) }),
+    "geo_gc_distance" -> (4, { case Seq(a, b, cc, d) => geo.gcDistanceLatLon(a, b, cc, d) }),
+    "geo_chord_distance" -> (4, { case Seq(a, b, cc, d) =>
+      geo.euclideanDistance(geo.nvec(a, b), geo.nvec(cc, d)) }),
+    "geo_azimuth" -> (4, { case Seq(a, b, cc, d) =>
+      geo.azimuth(geo.nvec(a, b), geo.nvec(cc, d)) }),
+    "geo_geodesic_distance" -> (4, { case Seq(a, b, cc, d) =>
+      geo.geodesicDistance(a, b, cc, d) }),
+    "geo_cell" -> (3, { case Seq(lat, lon, level) =>
+      // level must be a foldable int literal
+      val lvl = GraftSqlBridge.expression(level).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"level must be literal, got $other")
+      }
+      graft.index.cells.cellAt(geo.nvec(lat, lon), lvl)
+    }),
+    "geo_interpolate_lat" -> (5, { case Seq(a, b, cc, d, t) =>
+      geo.latDeg(geo.interpolate(geo.nvec(a, b), geo.nvec(cc, d), t)) }),
+    "geo_cross_track" -> (6, { case Seq(a1la, a1lo, a2la, a2lo, bla, blo) =>
+      geo.crossTrackDistance(geo.nvec(a1la, a1lo), geo.nvec(a2la, a2lo),
+        geo.nvec(bla, blo)) })
+  )
+
+  /** Register every function as a session temp function. */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, (arity, builder)) =>
+      GraftSqlBridge.registerFunction(spark, name, arity, builder)
+    }
+}

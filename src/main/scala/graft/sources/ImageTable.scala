@@ -18,6 +18,10 @@ import javax.imageio.ImageIO
   * every 8th row is JPEG-encoded, the rest stay RAW (w*h*3 RGB).
   */
 object ImageTable {
+  // ImageIO defaults to a disk-backed stream cache (a temp file per
+  // decode) which serializes concurrent decodes on I/O; use the heap.
+  ImageIO.setUseCache(false)
+
   val Formats = Seq("RAW", "JPG")
 
   /** Fixed 256-word caption vocabulary (deterministic). */

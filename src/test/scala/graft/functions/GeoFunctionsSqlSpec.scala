@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.geo.{Gade, Karney}
+import math.{toRadians => rad}
+
+class GeoFunctionsSqlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("registered SQL functions match kernels") {
+    GeoFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  geo_gc_distance(radians(59.9139), radians(10.7522),
+        |                  radians(40.7128), radians(-74.0060)) AS gc,
+        |  geo_geodesic_distance(radians(59.9139), radians(10.7522),
+        |                  radians(40.7128), radians(-74.0060)) AS geod,
+        |  geo_azimuth(radians(0.0), radians(0.0), radians(10.0), radians(0.0)) AS az,
+        |  geo_cell(radians(10.0), radians(20.0), 8) AS cell
+        |""".stripMargin).collect()(0)
+    val nA = Gade.latLonToNvec(rad(59.9139), rad(10.7522))
+    val nB = Gade.latLonToNvec(rad(40.7128), rad(-74.0060))
+    assert(math.abs(r.getDouble(0) - Gade.greatCircleDistance(nA, nB)) < 1e-6)
+    assert(math.abs(r.getDouble(1) -
+      Karney.WGS84.inverse(rad(59.9139), rad(10.7522), rad(40.7128), rad(-74.0060))._1) < 1e-6)
+    assert(math.abs(r.getDouble(2)) < 1e-9) // due north
+    val n = Gade.latLonToNvec(rad(10), rad(20))
+    assert(r.getLong(3) == graft.index.CellIndex.cellAt(n.x, n.y, n.z, 8))
+  }
+}

@@ -67,6 +67,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(store2.read("derived").count() == 80)
   }
 
+  test("lineage partition metrics and commitWithMetrics") {
+    val df = ImageTable.generate(spark, 100, 5)
+    val m = Lineage.partitionMetrics(df).collect()
+    assert(m.map(_.getAs[Long]("rows")).sum == 100)
+    assert(m.length == 5)
+    val root = Files.newTmp("lineage")
+    val store = new SnapshotStore(spark, root)
+    Lineage.commitWithMetrics(store, "imgs", df)
+    assert(store.read("imgs").count() == 100)
+    val metrics = store.read("imgs__metrics")
+    assert(metrics.columns.toSeq == Seq("partition_id", "rows", "task_attempt"))
+    assert(metrics.agg(org.apache.spark.sql.functions.sum("rows"))
+      .collect()(0).getLong(0) == 100)
+  }
+
   object Files {
     def newTmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString

@@ -74,6 +74,31 @@ object Similarity {
     }: _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    * self-join then exact cosine filter — the embedding analogue of
+    * MinHash text dedup (pairs are candidates only when they share a
+    * signature band, so candidate volume stays linear for
+    * non-degenerate data). Returns (id_a, id_b, cosine), id_a < id_b.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        bits: Int = 16, bandBits: Int = 8): DataFrame = {
+    val banded = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__band",
+        explode(lshBands(lshSignature(col("__vec"), dim, bits), bits, bandBits)))
+    val left = banded.select(col("__band"), col("__id").as("id_a"),
+      col("__vec").as("__vec_a"))
+    val right = banded.select(col("__band"), col("__id").as("id_b"),
+      col("__vec").as("__vec_b"))
+    left.join(right, "__band")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__vec_a", "__vec_b")
+      .distinct()
+      .withColumn("cosine", cosine(col("__vec_a"), col("__vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Approximate top-k by cosine via LSH bucketing, with exact
     * re-ranking inside candidate buckets and a brute-force fallback
     * for queries that did not reach k candidates. Recall rises with

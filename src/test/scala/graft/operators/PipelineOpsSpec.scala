@@ -69,6 +69,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1L).getLong(5) != r(3L).getLong(5))
   }
 
+  test("embedding near-dup pairs find planted duplicates") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant near-duplicates: copies of vecs 0..4 with tiny jitter
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001f).as("embedding"))
+    val all = emb.select("vec_id", "embedding").unionByName(planted)
+    val pairs = Similarity.embeddingNearDups(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 10000)), s"planted dup $i missing: $pairs")
+    }
+  }
+
   test("embedding similarity: brute force and LSH top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))

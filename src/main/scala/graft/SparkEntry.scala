@@ -267,12 +267,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     "q21_intersect" -> ((s, dir) => {
-      // path A: customer point -> Oslo; path B: fixed
+      // path A: customer point -> Oslo; path B: fixed.
+      // staged columns (see q12): avoids struct re-inlining blowup
       val b1 = geo.nvecDeg(lit(50.0), lit(-40.0))
       val b2 = geo.nvecDeg(lit(60.0), lit(20.0))
       custPts(s, dir)
-        .withColumn("ix", geo.intersect(col("n"),
-          geo.nvec(lit(OsloLat), lit(OsloLon)), b1, b2))
+        .withColumn("ca", geo.vcross(col("n"), geo.nvec(lit(OsloLat), lit(OsloLon))))
+        .withColumn("t", geo.vcross(col("ca"), geo.vcross(b1, b2)))
+        .withColumn("ix", geo.vscale(col("t"), signum(geo.vdot(col("t"), col("n")))))
         .select(col("c_custkey"),
           round(geo.latDeg(col("ix")), 6).as("ilat"),
           round(geo.lonDeg(col("ix")), 6).as("ilon"))

@@ -32,6 +32,15 @@ object GeoKernels {
     new GenericInternalRow(Array[Any](lat2, lon2, az2))
   }
 
+  /** Ellipsoid-exact initial bearing between two n-vectors (single
+    * static call — use from plans where the composed Column form would
+    * bloat the expression tree).
+    */
+  def azimuth(fx: Double, fy: Double, fz: Double,
+              tx: Double, ty: Double, tz: Double,
+              a: Double, f: Double): Double =
+    graft.geo.Gade.azimuth(graft.geo.Vec3(fx, fy, fz), graft.geo.Vec3(tx, ty, tz), a, f)
+
   /** Gade eq (23) exact ECEF -> (nvec, depth) with the Newton-polished
     * cube root (matches the scalar kernel bit-for-bit).
     */

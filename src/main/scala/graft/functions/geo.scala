@@ -209,6 +209,15 @@ object geo {
     StructField("_2", DoubleType, nullable = false),
     StructField("_3", DoubleType, nullable = false)))
 
+  /** Same bearing as [[azimuth]] through one static-call node —
+    * prefer inside window/track plans where the composed form would
+    * re-inline struct subtrees.
+    */
+  def azimuthFast(nA: Column, nB: Column,
+                  a: Double = WGS84.a, f: Double = WGS84.f): Column =
+    invoke("azimuth", DoubleType,
+      Seq(vx(nA), vy(nA), vz(nA), vx(nB), vy(nB), vz(nB), lit(a), lit(f)))
+
   /** Ellipsoidal (Karney) surface distance [m] between lat/lon pairs
     * [rad].
     */

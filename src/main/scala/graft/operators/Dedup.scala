@@ -11,6 +11,15 @@ import org.apache.spark.sql.expressions.Window
   * (LSH banding), never quadratic.
   */
 object Dedup {
+  /** Small inputs (fewer partitions than cores, e.g. one parquet
+    * file) would compute the expensive per-row signatures on a single
+    * task; spread them first. Large inputs pass through untouched.
+    */
+  private[operators] def spreadSmallInput(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Exact dedup: keep the lowest-id row per identical text.
     * One hash-shuffle on the 128-bit digest, not on the text itself.
     */
@@ -64,7 +73,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"),
+    val sigs = spreadSmallInput(df).select(col(idCol).as("__id"),
       shingles(col(textCol), k).as("__sh"))
       .select(col("__id"),
         minHashSignatureFromShingles(col("__sh"), numHashes).as("__sig"))

@@ -83,7 +83,8 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         bits: Int = 16, bandBits: Int = 8): DataFrame = {
-    val banded = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+    val banded = Dedup.spreadSmallInput(df)
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
       .withColumn("__band",
         explode(lshBands(lshSignature(col("__vec"), dim, bits), bits, bandBits)))
     val left = banded.select(col("__band"), col("__id").as("id_a"),
@@ -109,7 +110,7 @@ object Similarity {
               k: Int, dim: Int, bits: Int = 16, bandBits: Int = 4,
               simCol: String = "cosine"): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
-    val dBanded = data.withColumn("__band",
+    val dBanded = Dedup.spreadSmallInput(data).withColumn("__band",
       explode(lshBands(lshSignature(col(dVec), dim, bits), bits, bandBits)))
     val qBanded = queries.withColumn("__band",
       explode(lshBands(lshSignature(col(qVec), dim, bits), bits, bandBits)))

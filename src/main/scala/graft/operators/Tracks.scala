@@ -156,17 +156,21 @@ object Tracks {
                        a: Double = graft.geo.Ellipsoids.WGS84.a,
                        f: Double = graft.geo.Ellipsoids.WGS84.f): DataFrame = {
     val w = Window.partitionBy(trackCol).orderBy(tCol)
-    val prev = lag(col(nvecCol), 1).over(w)
-    val next = lead(col(nvecCol), 1).over(w)
     val mid = (u: Column, v: Column) => geo.vunit(geo.vadd(u, v))
-    val from = when(prev.isNull, col(nvecCol)).otherwise(mid(prev, col(nvecCol)))
-    val to = when(next.isNull, col(nvecCol)).otherwise(mid(col(nvecCol), next))
+    // the bearing goes through one static-call expression node:
+    // composed Column math here would re-inline the midpoint structs
+    // into an exponentially wide tree (minutes of analyzer/codegen
+    // time), while a single static call keeps the plan flat
     fixes
-      .withColumn("__from", from).withColumn("__to", to)
+      .withColumn("__prev", lag(col(nvecCol), 1).over(w))
+      .withColumn("__next", lead(col(nvecCol), 1).over(w))
+      .withColumn("__from", when(col("__prev").isNull, col(nvecCol))
+        .otherwise(mid(col("__prev"), col(nvecCol))))
+      .withColumn("__to", when(col("__next").isNull, col(nvecCol))
+        .otherwise(mid(col(nvecCol), col("__next"))))
       .withColumn("cog",
-        when(lag(col(nvecCol), 1).over(w).isNull && lead(col(nvecCol), 1).over(w).isNull,
-          lit(Double.NaN))
-          .otherwise(geo.azimuth(col("__from"), col("__to"), a, f)))
-      .drop("__from", "__to")
+        when(col("__prev").isNull && col("__next").isNull, lit(Double.NaN))
+          .otherwise(geo.azimuthFast(col("__from"), col("__to"), a, f)))
+      .drop("__prev", "__next", "__from", "__to")
   }
 }

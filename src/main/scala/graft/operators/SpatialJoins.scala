@@ -100,23 +100,31 @@ object SpatialJoins {
               k: Int, level: Int = -1,
               sphereRadius: Double = MeanEarthRadius,
               rings: Seq[Int] = Seq(1, 4, 16),
-              distCol: String = "dist_m"): DataFrame = {
-    val lvl =
-      if (level > 0) level
-      else {
-        val n = math.max(1L, data.count())
-        // ~2k points per cell: 6 * 4^L cells; N / (6*4^L) = 2k
-        val cellsWanted = math.max(1.0, n.toDouble / math.max(1, 2 * k))
-        val l = (math.log(cellsWanted / 6.0) / math.log(4.0)).ceil.toInt
-        math.max(1, math.min(CellIndex.MaxLevel, l))
-      }
-    val d = data.withColumn("__cell", cells.cellAt(col(dNvec), lvl))
+              distCol: String = "dist_m",
+              bruteForceThreshold: Long = 10000L): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(distCol), col(dId))
 
     def rank(cand: DataFrame): DataFrame =
       cand.withColumn(distCol, geo.gcDistance(col(qNvec), col(dNvec), sphereRadius))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
+
+    val dataCount = data.count()
+    if (dataCount <= bruteForceThreshold) {
+      // small build side: one broadcast nested-loop pass beats the
+      // iterative ring machinery (and is exact by construction)
+      return rank(queries.crossJoin(broadcast(data)))
+    }
+    val lvl =
+      if (level > 0) level
+      else {
+        val n = math.max(1L, dataCount)
+        // ~2k points per cell: 6 * 4^L cells; N / (6*4^L) = 2k
+        val cellsWanted = math.max(1.0, n.toDouble / math.max(1, 2 * k))
+        val l = (math.log(cellsWanted / 6.0) / math.log(4.0)).ceil.toInt
+        math.max(1, math.min(CellIndex.MaxLevel, l))
+      }
+    val d = data.withColumn("__cell", cells.cellAt(col(dNvec), lvl))
 
     var remaining = queries
     var done: List[DataFrame] = Nil

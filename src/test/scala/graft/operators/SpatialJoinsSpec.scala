@@ -49,7 +49,9 @@ class SpatialJoinsSpec extends AnyFunSuite {
     val q = pointsDf(120, "q", 3)
     val d = pointsDf(500, "d", 4)
     val k = 5
-    val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", k)
+    // bruteForceThreshold=0 forces the iterative ring path under test
+    val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", k,
+        bruteForceThreshold = 0)
       .select("q_id", "d_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // brute force via window
@@ -69,7 +71,8 @@ class SpatialJoinsSpec extends AnyFunSuite {
     val q = pointsDf(20, "q", 5)
     val d = pointsDf(8, "d", 6) // fewer points than make cells dense
     val k = 3
-    val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", k, level = 8)
+    val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", k, level = 8,
+        bruteForceThreshold = 0)
       .select("q_id", "d_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     import org.apache.spark.sql.expressions.Window
@@ -101,6 +104,17 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "expected some points in AOIs")
     assert(got == brute,
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("knn small-build shortcut equals ring path") {
+    val q = pointsDf(60, "q", 21)
+    val d = pointsDf(300, "d", 22)
+    val viaShortcut = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", 4)
+      .select("q_id", "d_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaRings = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", 4,
+        bruteForceThreshold = 0)
+      .select("q_id", "d_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaShortcut == viaRings)
   }
 
   test("salted distance join handles hot cells and stays exact") {

@@ -101,7 +101,7 @@ object SpatialJoins {
               sphereRadius: Double = MeanEarthRadius,
               rings: Seq[Int] = Seq(1, 4, 16),
               distCol: String = "dist_m",
-              bruteForceThreshold: Long = 10000L): DataFrame = {
+              bruteForceThreshold: Long = 2000000L): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(distCol), col(dId))
 
     def rank(cand: DataFrame): DataFrame =
@@ -110,9 +110,10 @@ object SpatialJoins {
         .filter(col("rank") <= k)
 
     val dataCount = data.count()
-    if (dataCount <= bruteForceThreshold) {
-      // small build side: one broadcast nested-loop pass beats the
-      // iterative ring machinery (and is exact by construction)
+    // cost guard: a broadcast nested-loop pass materializes Q x D
+    // candidate rows — only cheaper than the ring machinery when that
+    // product is small (and the data side must fit a broadcast)
+    if (dataCount <= 100000 && dataCount * queries.count() <= bruteForceThreshold) {
       return rank(queries.crossJoin(broadcast(data)))
     }
     val lvl =

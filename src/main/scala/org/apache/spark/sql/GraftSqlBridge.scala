@@ -23,17 +23,21 @@ object GraftSqlBridge {
   /** Register a Column-builder as a session SQL function (same
     * expression tree as the DataFrame DSL — no UDF indirection).
     */
+  /** Eager Column -> catalyst conversion through the active session
+    * converter (ExpressionUtils.expression alone leaves a lazy wrapper
+    * the analyzer will not unwrap inside a function builder).
+    */
+  def expressionEager(c: Column): Expression =
+    SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
+
   def registerFunction(spark: SparkSession, name: String, arity: Int,
                        builder: Seq[Column] => Column): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(name, { exprs: Seq[Expression] =>
       require(exprs.length == arity,
         s"$name expects $arity arguments, got ${exprs.length}")
-      // eager Column -> catalyst conversion via the session converter
-      // (ExpressionUtils.expression alone leaves a lazy wrapper the
-      // analyzer will not unwrap inside a function builder)
-      classic.expression(builder(exprs.map(column)))
+      expressionEager(builder(exprs.map(column)))
     }, "internal")
   }
 }

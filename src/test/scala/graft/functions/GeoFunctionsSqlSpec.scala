@@ -8,6 +8,18 @@ import math.{toRadians => rad}
 class GeoFunctionsSqlSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("GraftExtensions injects the same functions") {
+    // fresh session with the extension class wired in
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", false)
+      .getOrCreate().newSession()
+    val v = s2.sql("SELECT geo_gc_distance(0.0, 0.0, 0.0, radians(90.0)) AS d")
+      .collect()(0).getDouble(0)
+    assert(math.abs(v - math.Pi / 2 * 6371009.0) < 1e-6)
+  }
+
   test("registered SQL functions match kernels") {
     GeoFunctions.register(spark)
     val r = spark.sql(

@@ -31,6 +31,13 @@ object GraftSqlBridge {
     SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .expression(c)
 
+  /** Apply a SparkSessionExtensions' injected functions to a live
+    * registry (what session bootstrap does; used by tests to exercise
+    * the extension path inside an existing session).
+    */
+  def applyExtensionFunctions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+
   def registerFunction(spark: SparkSession, name: String, arity: Int,
                        builder: Seq[Column] => Column): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -9,13 +9,15 @@ class GeoFunctionsSqlSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   test("GraftExtensions injects the same functions") {
-    // fresh session with the extension class wired in
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", false)
-      .getOrCreate().newSession()
-    val v = s2.sql("SELECT geo_gc_distance(0.0, 0.0, 0.0, radians(90.0)) AS d")
+    // a shared test JVM already holds a session, so getOrCreate would
+    // ignore spark.sql.extensions; drive the extension object through
+    // its registry hook directly (registerFunctions is what session
+    // bootstrap calls) and then query through SQL
+    val _ = spark // ensure an active session exists
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftSqlBridge.applyExtensionFunctions(ext, spark)
+    val v = spark.sql("SELECT geo_gc_distance(0.0, 0.0, 0.0, radians(90.0)) AS d")
       .collect()(0).getDouble(0)
     assert(math.abs(v - math.Pi / 2 * 6371009.0) < 1e-6)
   }

@@ -82,6 +82,43 @@ class SourcesSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 100)
   }
 
+  test("bucketed cell tables join without a shuffle") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.geo
+    import graft.index.cells
+    val warehouse = Files.newTmp("buckets")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS buckets_db LOCATION '$warehouse'")
+    spark.sql("USE buckets_db")
+    try {
+      def pts(n: Int, name: String) = ImageTable.generate(spark, n, 4)
+        .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
+        .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
+        .withColumn("lon", (((col("ord") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+        .withColumn("cell", cells.cellAt(geo.nvec(col("lat"), col("lon")), 3))
+        .select(col("image_id").as(s"${name}_id"), col("cell"))
+      CellBuckets.writeBucketed(pts(300, "a"), "bucket_a", "cell", 8)
+      CellBuckets.writeBucketed(pts(200, "b"), "bucket_b", "cell", 8)
+      // force the sort-merge path so bucket co-location (not a
+      // broadcast) is what avoids the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined =
+        try CellBuckets.bucketedJoin(spark, "bucket_a", "bucket_b", "cell")
+        finally {}
+      assert(CellBuckets.isShuffleFree(joined),
+        s"plan has a shuffle:\n${joined.queryExecution.executedPlan}")
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+      assert(joined.count() > 0)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // same result as a plain (shuffling) join
+      val plain = pts(300, "a").join(pts(200, "b"), "cell")
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS buckets_db CASCADE")
+      spark.sql("USE default")
+    }
+  }
+
   object Files {
     def newTmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString

@@ -379,6 +379,17 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), round(col("cog"), 6).as("cog_rad"))
         .orderBy("user_id", "event_id")
     }),
+    "q39_embedding_near_dups" -> ((s, dir) => {
+      // plant deterministic jittered duplicates, then recover them
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * 1.0005f).as("embedding"))
+      Similarity.embeddingNearDups(emb.unionByName(planted), "vec_id", "embedding",
+          dim = 64, threshold = 0.9995)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "q38_track_interpolation" -> ((s, dir) => {
       // interpolate each user's position track at fixed times
       val ev = t(s, dir, "events")

@@ -379,6 +379,11 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), round(col("cog"), 6).as("cog_rad"))
         .orderBy("user_id", "event_id")
     }),
+    "q24_rasterize" -> ((s, dir) => {
+      graft.operators.Raster.rasterize(custPts(s, dir), "n", 4,
+          Seq(count(lit(1)).as("cnt"), round(avg("c_acctbal"), 4).as("avg_bal")))
+        .orderBy("cell")
+    }),
     "q39_embedding_near_dups" -> ((s, dir) => {
       // plant deterministic jittered duplicates, then recover them
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -555,6 +560,25 @@ object SparkEntry {
             | ranked AS (SELECT k, sk2, d, row_number() OVER (PARTITION BY k ORDER BY d, sk2) AS rank FROM pairs)
             | SELECT k AS c_custkey, rank, sk2 AS s_suppkey, round(d / 1000.0, 6) AS dist_km
             | FROM ranked WHERE rank <= 3 ORDER BY c_custkey, rank""".stripMargin.replace("\n", " ")),
+      "q24_rasterize" ->
+        (ptsSql("customer", "c_custkey") +
+          s""", faced AS (SELECT k, nx, ny, nz,
+             |  CASE WHEN abs(nx) >= abs(ny) AND abs(nx) >= abs(nz) THEN (CASE WHEN nx >= 0 THEN 0 ELSE 1 END)
+             |       WHEN abs(ny) >= abs(nz) THEN (CASE WHEN ny >= 0 THEN 2 ELSE 3 END)
+             |       ELSE (CASE WHEN nz >= 0 THEN 4 ELSE 5 END) END AS face FROM pts),
+             | uv AS (SELECT k, face,
+             |  CASE face WHEN 0 THEN ny/nx WHEN 1 THEN nz/(-nx) WHEN 2 THEN nz/ny
+             |            WHEN 3 THEN nx/(-ny) WHEN 4 THEN nx/nz ELSE ny/(-nz) END AS u,
+             |  CASE face WHEN 0 THEN nz/nx WHEN 1 THEN ny/(-nx) WHEN 2 THEN nx/ny
+             |            WHEN 3 THEN nz/(-ny) WHEN 4 THEN ny/nz ELSE nx/(-nz) END AS v FROM faced),
+             | ij AS (SELECT k, face,
+             |  least(15, greatest(0, CAST(floor((u + 1.0) * 0.5 * 16) AS BIGINT))) AS i,
+             |  least(15, greatest(0, CAST(floor((v + 1.0) * 0.5 * 16) AS BIGINT))) AS j FROM uv),
+             | cellids AS (SELECT k, face * 144115188075855872 + 4 * 4503599627370496
+             |  + i * 67108864 + j AS cell FROM ij)
+             | SELECT cell, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+             | FROM cellids JOIN customer ON c_custkey = k
+             | GROUP BY cell ORDER BY cell""".stripMargin.replace("\n", " ")),
       "q21_intersect" -> {
         val b1 = graft.geo.Gade.latLonToNvec(math.toRadians(50.0), math.toRadians(-40.0))
         val b2 = graft.geo.Gade.latLonToNvec(math.toRadians(60.0), math.toRadians(20.0))

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.geo
+import graft.index.{CellIndex, CellKernels, cells}
+import graft.geo.{Vec3, VecMath}
+
+/** Raster <-> vector conversions over the cell grid (north_rule:
+  * "H3/S2 index, point-in-polygon, kNN, raster<->vector").
+  *
+  * A "raster" here is the discrete global grid at a cell level: a
+  * DataFrame of (cell: Long, <measures>). Rasterize aggregates vector
+  * points into that grid; downsample re-aggregates to a coarser
+  * level with pure integer parent arithmetic (no shuffle beyond one
+  * group-by); vectorize turns cells back into spherical polygons
+  * (corner rings) interoperable with the point-in-polygon operator.
+  */
+object Raster {
+  /** Aggregate point rows into the level-`level` cell grid.
+    * `measures` are aggregate expressions evaluated per cell
+    * (e.g. `count(lit(1)).as("n")`, `avg(col("v")).as("v")`).
+    */
+  def rasterize(points: DataFrame, nvecCol: String, level: Int,
+                measures: Seq[Column]): DataFrame =
+    points.withColumn("cell", cells.cellAt(col(nvecCol), level))
+      .groupBy("cell")
+      .agg(measures.head, measures.tail: _*)
+
+  /** Re-aggregate a raster to a coarser level; `measures` aggregate
+    * the existing measure columns (e.g. `sum(col("n")).as("n")`).
+    * Parent ids are pure bit arithmetic — a single hash aggregation.
+    */
+  def downsample(raster: DataFrame, toLevel: Int, measures: Seq[Column]): DataFrame = {
+    val level = CellIndex.levelOf(
+      raster.select("cell").head().getLong(0))
+    require(toLevel <= level, s"cannot downsample $level -> $toLevel")
+    raster.withColumn("cell", cells.parentCell(col("cell"), level - toLevel))
+      .groupBy("cell")
+      .agg(measures.head, measures.tail: _*)
+  }
+
+  /** Corner ring of a cell as flat [x0,y0,z0,...] n-vector array —
+    * directly consumable by `cells.pointInPolygon`.
+    */
+  def cellCornersFlat(id: Long): Array[Double] = {
+    val level = CellIndex.levelOf(id)
+    val scale = 1 << level
+    val step = 2.0 / scale
+    val u0 = CellIndex.iOf(id) * step - 1.0
+    val v0 = CellIndex.jOf(id) * step - 1.0
+    val face = CellIndex.faceOf(id)
+    // counter-clockwise corner order
+    val corners = Seq((u0, v0), (u0 + step, v0), (u0 + step, v0 + step), (u0, v0 + step))
+    corners.flatMap { case (u, v) =>
+      val c = VecMath.unit(CellIndex.dirOf(face, u, v))
+      Seq(c.x, c.y, c.z)
+    }.toArray
+  }
+
+  /** Vectorize: cells -> polygon rows (cell, corner lat/lon arrays in
+    * degrees + the flat n-vector ring). The inverse of rasterize at
+    * the geometry level.
+    */
+  def vectorize(raster: DataFrame): DataFrame = {
+    val spark = raster.sparkSession
+    import spark.implicits._
+    // per-row corner computation via typed map (pure integer/trig math)
+    val withGeom = raster.select(col("cell")).as[Long].map { id =>
+      val flat = cellCornersFlat(id)
+      val lats = Array.tabulate(4) { i =>
+        math.toDegrees(math.atan2(flat(3 * i + 2),
+          math.hypot(flat(3 * i), flat(3 * i + 1))))
+      }
+      val lons = Array.tabulate(4) { i =>
+        math.toDegrees(math.atan2(flat(3 * i + 1), flat(3 * i)))
+      }
+      (id, lats, lons, flat)
+    }.toDF("cell", "corner_lat_deg", "corner_lon_deg", "ring_nvec_flat")
+    raster.join(withGeom, "cell")
+  }
+}

@@ -395,6 +395,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q40_cog_smoothed" -> ((s, dir) => {
+      // Savitzky-Golay smoothing composed with course over ground —
+      // the reference's course_over_ground(window_length=...) path
+      val ev = t(s, dir, "events")
+        .withColumn("tsec", col("event_id").cast("double"))
+        .withColumn("lat", latRad(col("event_id")))
+        .withColumn("lon", lonRad(col("event_id")))
+        .withColumn("n", geo.nvec(col("lat"), col("lon")))
+        .select(col("user_id"), col("tsec"), col("n"))
+      val smoothed = graft.operators.Tracks.savgolSmooth(
+        ev, "user_id", "tsec", "n", windowLength = 7, polyorder = 2)
+      graft.operators.Tracks.courseOverGround(smoothed, "user_id", "tsec", "n")
+        .filter(!isnan(col("cog")))
+        .select(col("user_id"), col("tsec"), round(col("cog"), 6).as("cog_rad"))
+        .orderBy("user_id", "tsec")
+    }),
     "q38_track_interpolation" -> ((s, dir) => {
       // interpolate each user's position track at fixed times
       val ev = t(s, dir, "events")

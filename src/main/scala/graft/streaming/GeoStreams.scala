@@ -2,8 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.functions.geo
 import graft.index.cells
+import graft.sources.SnapshotStore
 
 /** Structured-Streaming forms of the pipeline stages. The geodesy
   * kernels are stateless expressions, so the same Column DSL runs
@@ -35,4 +37,25 @@ object GeoStreams {
       .select(col("window.start").as("window_start"), col("cell"), col("n"),
         round(geo.latDeg(col("mean_n")), 6).as("mean_lat"),
         round(geo.lonDeg(col("mean_n")), 6).as("mean_lon"))
+
+  /** Continuously ingest a deduplicated image stream into the
+    * snapshot store: each micro-batch commits a new named snapshot
+    * (per-file row counts + lineage recorded), so the table history is
+    * the stream's checkpoint log and a crashed job resumes from its
+    * streaming checkpoint + last committed snapshot.
+    */
+  def ingestToSnapshots(stream: DataFrame, idCol: String, tsCol: String,
+                        watermark: String, store: SnapshotStore,
+                        name: String, checkpointDir: String): StreamingQuery =
+    dedupeByIdStream(stream, idCol, tsCol, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          store.commit(f"$name%s_batch_$batchId%05d", batch)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -31,6 +31,35 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(ids == Seq("img_a", "img_b", "img_c"))
   }
 
+  test("streaming ingest commits deduplicated snapshots and resumes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream_snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val store = new graft.sources.SnapshotStore(spark, root)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("image_id", "ts", "v")
+    input.addData(("a", ts(0), 1.0), ("b", ts(1), 2.0), ("a", ts(2), 1.0))
+    val q = GeoStreams.ingestToSnapshots(df, "image_id", "ts", "10 minutes",
+      store, "imgs", ckpt)
+    q.awaitTermination()
+    val committed = store.snapshots.map(_._2)
+    assert(committed.exists(_.startsWith("imgs_batch_")))
+    val total = committed.filter(_.startsWith("imgs_batch_"))
+      .map(store.read(_).count()).sum
+    assert(total == 2, s"dedup failed: $total rows committed") // a deduped
+    // resume: new data, same checkpoint — only the new rows commit
+    input.addData(("b", ts(3), 2.0), ("c", ts(4), 3.0))
+    val q2 = GeoStreams.ingestToSnapshots(df, "image_id", "ts", "10 minutes",
+      store, "imgs", ckpt)
+    q2.awaitTermination()
+    val total2 = store.snapshots.map(_._2).filter(_.startsWith("imgs_batch_"))
+      .map(store.read(_).count()).sum
+    assert(total2 == 3, s"expected one new unique row, got $total2")
+  }
+
   test("streaming windowed cell counts with mean position") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -100,10 +100,26 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Approximate top-k by cosine via LSH bucketing, with exact
-    * re-ranking inside candidate buckets and a brute-force fallback
-    * for queries that did not reach k candidates. Recall rises with
-    * `bits`/`bandBits` tuning; the fallback keeps the result total.
+  /** Query-side multi-probe band keys: each band's exact key plus its
+    * `bandBits` hamming-1 variants — near-miss sign flips on single
+    * hyperplanes stop costing candidates (standard multi-probe LSH).
+    */
+  def lshProbeBands(sig: Column, bits: Int = 16, bandBits: Int = 4): Column = {
+    val mask = (1L << bandBits) - 1
+    val keys = (0 until bits / bandBits).flatMap { b =>
+      val base = shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
+      val tag = lit((b + 1).toLong << 60)
+      base.bitwiseOR(tag) +: (0 until bandBits).map { fl =>
+        base.bitwiseXOR(lit(1L << fl)).bitwiseOR(tag)
+      }
+    }
+    array_distinct(array(keys: _*))
+  }
+
+  /** Approximate top-k by cosine via LSH bucketing with query-side
+    * multi-probe, exact re-ranking inside candidate buckets, and a
+    * brute-force fallback for queries that did not reach k candidates
+    * (the fallback keeps the result total).
     */
   def lshTopK(queries: DataFrame, data: DataFrame,
               qVec: String, dVec: String, qId: String, dId: String,
@@ -113,7 +129,7 @@ object Similarity {
     val dBanded = Dedup.spreadSmallInput(data).withColumn("__band",
       explode(lshBands(lshSignature(col(dVec), dim, bits), bits, bandBits)))
     val qBanded = queries.withColumn("__band",
-      explode(lshBands(lshSignature(col(qVec), dim, bits), bits, bandBits)))
+      explode(lshProbeBands(lshSignature(col(qVec), dim, bits), bits, bandBits)))
     val cand = qBanded.join(dBanded, "__band")
       .drop("__band")
       .distinct()

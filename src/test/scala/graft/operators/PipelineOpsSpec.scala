@@ -106,6 +106,6 @@ class PipelineOpsSpec extends AnyFunSuite {
     val bSet = bRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val lSet = lRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bSet & lSet).size.toDouble / bSet.size
-    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 }

@@ -101,13 +101,30 @@ object SpatialJoins {
               sphereRadius: Double = MeanEarthRadius,
               rings: Seq[Int] = Seq(1, 4, 16),
               distCol: String = "dist_m",
-              bruteForceThreshold: Long = 2000000L): DataFrame = {
+              bruteForceThreshold: Long = 2000000L,
+              geodesicReRank: Boolean = false): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(distCol), col(dId))
 
-    def rank(cand: DataFrame): DataFrame =
-      cand.withColumn(distCol, geo.gcDistance(col(qNvec), col(dNvec), sphereRadius))
+    // candidate selection always uses the spherical metric (the ring
+    // coverage proof is spherical); with geodesicReRank the final
+    // ordering re-ranks a 3k-deep candidate pool by the exact Karney
+    // ellipsoidal distance (flattening can only reorder near-ties, so
+    // a 3x pool keeps the top-k exact for terrestrial flattenings)
+    def rank(cand: DataFrame): DataFrame = {
+      val gcRanked = cand
+        .withColumn(distCol, geo.gcDistance(col(qNvec), col(dNvec), sphereRadius))
         .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+      if (!geodesicReRank) gcRanked.filter(col("rank") <= k)
+      else {
+        val wG = Window.partitionBy(qId).orderBy(col("geodesic_m"), col(dId))
+        gcRanked.filter(col("rank") <= 3 * k)
+          .withColumn("geodesic_m", geo.geodesicDistance(
+            geo.lat(col(qNvec)), geo.lon(col(qNvec)),
+            geo.lat(col(dNvec)), geo.lon(col(dNvec))))
+          .withColumn("rank", row_number().over(wG))
+          .filter(col("rank") <= k)
+      }
+    }
 
     val dataCount = data.count()
     // cost guard: a broadcast nested-loop pass materializes Q x D

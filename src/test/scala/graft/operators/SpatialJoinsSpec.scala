@@ -106,6 +106,26 @@ class SpatialJoinsSpec extends AnyFunSuite {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("knn geodesic re-rank matches ellipsoidal brute force") {
+    val q = pointsDf(50, "q", 31)
+    val d = pointsDf(400, "d", 32)
+    val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", 3,
+        geodesicReRank = true)
+      .select("q_id", "d_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("g"), col("d_id"))
+    val brute = q.crossJoin(d)
+      .withColumn("g", geo.geodesicDistance(
+        geo.lat(col("q_n")), geo.lon(col("q_n")),
+        geo.lat(col("d_n")), geo.lon(col("d_n"))))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("q_id", "d_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("knn small-build shortcut equals ring path") {
     val q = pointsDf(60, "q", 21)
     val d = pointsDf(300, "d", 22)

@@ -79,6 +79,46 @@ object Tracks {
     }
   }
 
+  /** Edge evaluation rows for mode="interp": row j gives the weights
+    * over the first (or mirrored, last) `windowLength` samples that
+    * evaluate the least-squares polynomial fit at position j — exact
+    * for polynomials up to `polyorder` all the way to the ends
+    * (scipy's savgol_filter mode="interp").
+    */
+  def savgolEdgeCoefficients(windowLength: Int, polyorder: Int): Array[Array[Double]] = {
+    require(windowLength % 2 == 1 && polyorder < windowLength)
+    val p = polyorder + 1
+    val N = Array.ofDim[Double](p, p)
+    for (r <- 0 until p; c <- 0 until p; i <- 0 until windowLength)
+      N(r)(c) += math.pow(i, r + c)
+    val inv = invert(N)
+    Array.tabulate(windowLength) { j =>
+      // w_jk = sum_r j^r * [N^-1 A^T]_{r,k} = sum_r j^r sum_c inv(r)(c) k^c
+      Array.tabulate(windowLength) { k =>
+        (0 until p).map { r =>
+          math.pow(j, r) * (0 until p).map(c => inv(r)(c) * math.pow(k, c)).sum
+        }.sum
+      }
+    }
+  }
+
+  private def invert(n0: Array[Array[Double]]): Array[Array[Double]] = {
+    val p = n0.length
+    val a = Array.tabulate(p, 2 * p)((r, c) =>
+      if (c < p) n0(r)(c) else if (c - p == r) 1.0 else 0.0)
+    for (col0 <- 0 until p) {
+      val piv = (col0 until p).maxBy(r => math.abs(a(r)(col0)))
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      val d = a(col0)(col0)
+      for (c <- 0 until 2 * p) a(col0)(c) /= d
+      for (r <- 0 until p if r != col0) {
+        val factor = a(r)(col0)
+        for (c <- 0 until 2 * p) a(r)(c) -= factor * a(col0)(c)
+      }
+    }
+    Array.tabulate(p, p)((r, c) => a(r)(p + c))
+  }
+
   /** First row of the inverse of a small SPD matrix via Gaussian
     * elimination on [N | I].
     */
@@ -105,7 +145,9 @@ object Tracks {
     * typed groups.
     */
   def savgolSmooth(fixes: DataFrame, trackCol: String, tCol: String,
-                   nvecCol: String, windowLength: Int, polyorder: Int = 2): DataFrame = {
+                   nvecCol: String, windowLength: Int, polyorder: Int = 2,
+                   mode: String = "nearest"): DataFrame = {
+    require(mode == "nearest" || mode == "interp", s"unsupported mode $mode")
     val spark = fixes.sparkSession
     import spark.implicits._
     val rows = fixes.select(col(trackCol).cast("long"), col(tCol).cast("double"),
@@ -121,16 +163,30 @@ object Tracks {
         fs.iterator.map { case (_, t, x, y, z) => (track, t, x, y, z) }
       } else {
         val coeff = savgolCoefficients(wl, polyorder)
+        val edge = if (mode == "interp") savgolEdgeCoefficients(wl, polyorder) else null
         val m = wl / 2
         def smooth(get: Int => Double)(i: Int): Double = {
-          var acc = 0.0
-          var k = 0
-          while (k < wl) {
-            val idx = math.min(n - 1, math.max(0, i - m + k)) // 'nearest'
-            acc += coeff(k) * get(idx)
-            k += 1
+          if (edge != null && i < m) {
+            // head: evaluate the head-window polynomial fit at i
+            val row = edge(i)
+            var acc = 0.0; var k = 0
+            while (k < wl) { acc += row(k) * get(k); k += 1 }
+            acc
+          } else if (edge != null && i >= n - m) {
+            // tail: evaluate the tail-window fit at the local offset
+            val row = edge(wl - (n - i))
+            var acc = 0.0; var k = 0
+            while (k < wl) { acc += row(k) * get(n - wl + k); k += 1 }
+            acc
+          } else {
+            var acc = 0.0; var k = 0
+            while (k < wl) {
+              val idx = math.min(n - 1, math.max(0, i - m + k)) // 'nearest'
+              acc += coeff(k) * get(idx)
+              k += 1
+            }
+            acc
           }
-          acc
         }
         (0 until n).iterator.map { i =>
           val sx = smooth(j => fs(j)._3)(i)

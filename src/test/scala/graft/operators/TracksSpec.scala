@@ -60,6 +60,20 @@ class TracksSpec extends AnyFunSuite {
     }
   }
 
+  test("savgol interp mode reproduces polynomials exactly at the edges") {
+    // a quadratic latitude trend must be exactly reproduced everywhere
+    // under mode="interp" (nearest-mode edges are biased)
+    def quad(i: Int): Double = 20.0 + 0.3 * i - 0.004 * i * i
+    val fixes = trackDf((0 until 25).map(i => (4L, i.toDouble, quad(i), 5.0)))
+    val out = Tracks.savgolSmooth(fixes, "track", "t", "n", 9, 2, mode = "interp")
+      .withColumn("lat", geo.latDeg(col("n")))
+      .orderBy("t").collect()
+    (0 until 25).foreach { i =>
+      assert(math.abs(out(i).getAs[Double]("lat") - quad(i)) < 2e-5,
+        s"interp edge at $i: ${out(i).getAs[Double]("lat")} vs ${quad(i)}")
+    }
+  }
+
   test("course over ground matches the scalar kernel") {
     val pts = Seq((0.0, 59.381509, 10.496590), (1.0, 59.387647, 10.494713),
       (2.0, 59.390000, 10.490000), (3.0, 59.395000, 10.480000))

@@ -30,7 +30,12 @@ object Bench {
     val marker = new java.io.File(path + "/_SUCCESS")
     if (!marker.exists()) {
       ImageTable.generate(spark, rows, genPartitions)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite")
+        // uncompressed: the low-entropy synthetic pixels compress ~4x,
+        // and single-VM snappy inflation is the one pipeline stage that
+        // does not scale with cores (see BENCH/BASELINE.md)
+        .option("compression", "none")
+        .parquet(path)
     }
     spark.read.parquet(path)
   }
@@ -103,13 +108,14 @@ object Bench {
     // heavy noisy-neighbor CPU variance, so the minimum is the honest
     // capability number and the median is reported alongside
     val images = imageSource(spark, imgRows, math.max(cpus.toInt * 2, 8))
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     imagePipeline(images) // warm-up
-    val times = (1 to 5).map { _ =>
+    val times = (1 to iters).map { _ =>
       val t0 = System.nanoTime()
       imagePipeline(images)
       (System.nanoTime() - t0) / 1e9
     }.sorted
-    val median = times(2)
+    val median = times(times.length / 2)
     val best = times.head
     val imgsPerSec = imgRows / best
 

@@ -98,6 +98,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
+    // JVM/codegen warm-up so the first timed query doesn't carry JIT
+    // and session-bootstrap cost
+    spark.range(100000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.get("q07_gc_distance")
+      .foreach(fn => fn(spark, sfDir).count())
     val results = (if (skipQueries) Seq() else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -93,10 +93,8 @@ object SparkEntry {
       .select("aoi_id", "n_points", "mean_n", "mean_lat", "mean_lon")
     val nearest = SpatialJoins.knnJoin(
       perAoi, suppPts(spark, dir).select("s_suppkey", "s_n"),
-      "mean_n", "s_n", "aoi_id", "s_suppkey", k = 3)
-      .withColumn("geodesic_m", round(geo.geodesicDistance(
-        geo.lat(col("mean_n")), geo.lon(col("mean_n")),
-        geo.lat(col("s_n")), geo.lon(col("s_n"))), 3))
+      "mean_n", "s_n", "aoi_id", "s_suppkey", k = 3, geodesicReRank = true)
+      .withColumn("geodesic_m", round(col("geodesic_m"), 3))
     nearest.drop("mean_n", "s_n").orderBy(col("aoi_id"), col("rank"))
   }
 
@@ -181,11 +179,14 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
     "q11_midpoint" -> ((s, dir) => {
-      val mid = geo.interpolate(col("n"), geo.nvec(lit(OsloLat), lit(OsloLon)), lit(0.5))
+      // staged column (see q12): lat/lon both extract from `mid`, so
+      // leaving it inline would re-inline the lerp subtree twice
       custPts(s, dir)
+        .withColumn("mid",
+          geo.interpolate(col("n"), geo.nvec(lit(OsloLat), lit(OsloLon)), lit(0.5)))
         .select(col("c_custkey"),
-          round(geo.latDeg(mid), 6).as("mlat"),
-          round(geo.lonDeg(mid), 6).as("mlon"))
+          round(geo.latDeg(col("mid")), 6).as("mlat"),
+          round(geo.lonDeg(col("mid")), 6).as("mlon"))
         .orderBy("c_custkey")
     }),
     "q12_sphere_reckon" -> ((s, dir) => {
@@ -227,10 +228,12 @@ object SparkEntry {
         .orderBy("c_custkey", "aoi_id")
     }),
     "q16_distance_join" -> ((s, dir) => {
+      // 1000 km: inside provable block coverage, so this exercises the
+      // cell-ring candidate path (not the wide-radius cross join)
       SpatialJoins.distanceJoin(
         custPts(s, dir).select(col("c_custkey"), col("n")),
         suppPts(s, dir).select(col("s_suppkey"), col("s_n")),
-        "n", "s_n", 3000e3, R, broadcastRight = true)
+        "n", "s_n", 1000e3, R, broadcastRight = true)
         .groupBy("c_custkey").agg(count(lit(1)).as("n_close"))
         .orderBy("c_custkey")
     }),
@@ -563,7 +566,7 @@ object SparkEntry {
             | pairs AS (SELECT k, atan2(sqrt((ny*sz - nz*sy)*(ny*sz - nz*sy) + (nz*sx - nx*sz)*(nz*sx - nx*sz)
             |   + (nx*sy - ny*sx)*(nx*sy - ny*sx)), nx*sx + ny*sy + nz*sz) * ${fmt(R)} AS d
             |   FROM c CROSS JOIN sp)
-            | SELECT k AS c_custkey, count(*) AS n_close FROM pairs WHERE d <= 3000000.0
+            | SELECT k AS c_custkey, count(*) AS n_close FROM pairs WHERE d <= 1000000.0
             | GROUP BY k ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
       "q17_knn_suppliers" ->
         (s"""WITH ck AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),

@@ -23,20 +23,95 @@ object CellIndex {
   /** Worst-case (face corner) angular compression of the gnomonic
     * projection: 1 unit of u maps to at least this many radians.
     * d(theta)/du at a corner is sqrt(2)/3 ~= 0.4714.
+    *
+    * NOTE: this bound only holds ON the face (|u|,|v| <= 1). Ring
+    * blocks that overhang a face edge compress further, so join
+    * coverage proofs must use [[coverageLowerBound]] /
+    * [[ringCoverageRad]], which account for the extended block.
     */
   val MinAngularPerUnit: Double = math.sqrt(2.0) / 3.0
 
-  /** Minimum angular width [rad] of any cell at `level`. */
+  /** Minimum angular width [rad] of any on-face cell at `level`
+    * (legacy mid-face heuristic; see note on [[MinAngularPerUnit]]).
+    */
   def minCellAngle(level: Int): Double =
     (2.0 / (1L << level)) * MinAngularPerUnit
 
-  /** Largest level whose cells are at least `angleRad` wide everywhere
-    * (so a 1-ring around a point's cell covers a disc of that radius).
+  /** Largest level whose on-face cells are at least `angleRad` wide
+    * (legacy; join code uses [[levelForRadiusSafe]]).
     */
   def levelForRadius(angleRad: Double): Int = {
     var level = MaxLevel
     while (level > 0 && minCellAngle(level) < angleRad) level -= 1
     level
+  }
+
+  /** Safe lower bound [rad] on the coverage a k-ring block guarantees
+    * for ANY query position inside the center cell, including blocks
+    * overhanging face edges/corners where the gnomonic compresses
+    * below the on-face minimum.
+    *
+    * Derivation: the block is bounded by 4 planes u = const / v =
+    * const through the origin. For a query at extended coords
+    * (u0, v0) with |u0|,|v0| <= 1 and a plane at c with |c - u0| >=
+    * k*step, the angular distance point->plane is
+    * asin(|c - u0| / (sqrt(1+u0^2+v0^2) * sqrt(1+c^2)))
+    * >= asin(k*step / (sqrt(3) * sqrt(1+(1+k*step)^2))).
+    * Blocks that wrap the whole face (2k+1 >= scale) enumerate every
+    * cell, so they cover the full sphere.
+    */
+  def coverageLowerBound(level: Int, k: Int): Double = {
+    val scale = 1 << level
+    if (2 * k + 1 >= scale) return math.Pi
+    val step = 2.0 / scale
+    val m = 1.0 + k * step
+    math.asin(math.min(1.0, k * step / (math.sqrt(1.0 + m * m) * math.sqrt(3.0))))
+  }
+
+  /** Largest level (>= minLevel) at which a k-ring block provably
+    * covers `angleRad` for every query position, or -1 if no
+    * non-wrapping level does (the cube-face block bound saturates
+    * near ~0.26 rad; beyond that candidate sets are a constant
+    * fraction of the sphere and callers should cross-join).
+    */
+  def levelForRadiusSafe(angleRad: Double, k: Int = 1, minLevel: Int = 2): Int = {
+    var level = MaxLevel
+    while (level >= minLevel) {
+      val scale = 1 << level
+      if (2 * k + 1 < scale && coverageLowerBound(level, k) >= angleRad) return level
+      level -= 1
+    }
+    -1
+  }
+
+  /** Exact per-query coverage [rad] of the k-ring block around the
+    * cell containing unit vector (x, y, z) at `level`: the minimum
+    * angular distance from the point to the block's 4 bounding
+    * great-circle planes (and to the face hemisphere boundary). Any
+    * point within this angle of the query is guaranteed to fall in a
+    * cell enumerated by [[ring]](cellAt(x,y,z,level), k).
+    */
+  def ringCoverageRad(x: Double, y: Double, z: Double, level: Int, k: Int): Double = {
+    val scale = 1 << level
+    if (2 * k + 1 >= scale) return math.Pi
+    val step = 2.0 / scale
+    val face = faceOf(x, y, z)
+    val (u, v) = faceUV(face, x, y, z)
+    val i0 = ijOf(u, scale); val j0 = ijOf(v, scale)
+    val uLo = (i0 - k) * step - 1.0
+    val uHi = (i0 + k + 1) * step - 1.0
+    val vLo = (j0 - k) * step - 1.0
+    val vHi = (j0 + k + 1) * step - 1.0
+    val w = faceW(face); val ua = faceU(face); val va = faceV(face)
+    // plane {p . (axis - c*w) = 0}; |axis - c*w| = sqrt(1 + c^2)
+    def planeDist(ax: Vec3, c: Double): Double = {
+      val d = (x * ax.x + y * ax.y + z * ax.z) - c * (x * w.x + y * w.y + z * w.z)
+      math.asin(math.min(1.0, math.abs(d) / math.sqrt(1.0 + c * c)))
+    }
+    val hemi = math.asin(math.min(1.0, math.max(0.0, x * w.x + y * w.y + z * w.z)))
+    math.min(hemi,
+      math.min(math.min(planeDist(ua, uLo), planeDist(ua, uHi)),
+        math.min(planeDist(va, vLo), planeDist(va, vHi))))
   }
 
   /** Face index 0..5: +x -x +y -y +z -z by largest |component|. */
@@ -118,20 +193,54 @@ object CellIndex {
     case _ => Vec3(v, u, -1)
   }
 
+  /** Face frame axes: dirOf(face, u, v) = faceW + u*faceU + v*faceV. */
+  private[index] val faceW = Array(Vec3(1, 0, 0), Vec3(-1, 0, 0), Vec3(0, 1, 0),
+    Vec3(0, -1, 0), Vec3(0, 0, 1), Vec3(0, 0, -1))
+  private[index] val faceU = Array(Vec3(0, 1, 0), Vec3(0, 0, 1), Vec3(0, 0, 1),
+    Vec3(1, 0, 0), Vec3(1, 0, 0), Vec3(0, 1, 0))
+  private[index] val faceV = Array(Vec3(0, 0, 1), Vec3(0, 1, 0), Vec3(1, 0, 0),
+    Vec3(0, 0, 1), Vec3(0, 1, 0), Vec3(1, 0, 0))
+
+  /** Every cell id at `level` (used when a ring block wraps its face;
+    * callers keep levels small there — 6 * 4^level ids).
+    */
+  def allCells(level: Int): Array[Long] = {
+    val scale = 1 << level
+    val out = new Array[Long](6 * scale * scale)
+    var idx = 0
+    var f = 0
+    while (f < 6) {
+      var i = 0
+      while (i < scale) {
+        var j = 0
+        while (j < scale) { out(idx) = pack(f, level, i, j); idx += 1; j += 1 }
+        i += 1
+      }
+      f += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** Distinct cells of the (2k+1)^2 block centered on `id`'s cell.
-    * In-face neighbors are exact integer steps; blocks hanging over a
-    * face edge are resolved by reprojecting jittered sample directions
-    * (4 samples per overhanging cell) onto the neighbor face. Sorted
-    * ascending for determinism, so downstream `explode` output is
-    * reproducible.
+    * In-face neighbors are exact integer steps. Blocks hanging over a
+    * face edge are resolved EXACTLY: each overhanging cell's 4 corner
+    * directions are projected onto the neighbor face(s) they land on,
+    * and every cell of the corner-projection bounding box is included.
+    * The extended-uv -> neighbor-face map is a per-axis-monotone
+    * rational function, so corner extremes bound the image exactly and
+    * the box can only over-include (never miss) covered cells — the
+    * property the join coverage proofs rely on. Blocks that wrap the
+    * whole face (2k+1 >= scale) return [[allCells]]. Sorted ascending
+    * for determinism, so downstream `explode` output is reproducible.
     */
   def ring(id: Long, k: Int): Array[Long] = {
     val level = levelOf(id); val face = faceOf(id)
     val scale = 1 << level
+    if (2 * k + 1 >= scale) return allCells(level)
     val step = 2.0 / scale
     val i0 = iOf(id); val j0 = jOf(id)
     val out = new java.util.TreeSet[java.lang.Long]()
-    val jit = Array(0.27, 0.73) // quarter-ish offsets inside the cell
     var di = -k
     while (di <= k) {
       var dj = -k
@@ -140,19 +249,7 @@ object CellIndex {
         if (ii >= 0 && ii < scale && jj >= 0 && jj < scale) {
           out.add(pack(face, level, ii, jj))
         } else {
-          // overhanging cell: sample 4 interior points, reproject
-          var a = 0
-          while (a < 2) {
-            var b = 0
-            while (b < 2) {
-              val u = (ii + jit(a)) * step - 1.0
-              val v = (jj + jit(b)) * step - 1.0
-              val d = dirOf(face, u, v)
-              out.add(cellAt(d.x, d.y, d.z, level))
-              b += 1
-            }
-            a += 1
-          }
+          addOverhang(face, level, scale, step, ii, jj, out)
         }
         dj += 1
       }
@@ -163,5 +260,58 @@ object CellIndex {
     val it = out.iterator()
     while (it.hasNext) { arr(idx) = it.next(); idx += 1 }
     arr
+  }
+
+  /** Add every cell possibly covered by the off-face cell (ii, jj) of
+    * `face` (extended indices). Requires the overhang to stay within
+    * one face width (guaranteed by the 2k+1 < scale wrap guard), so
+    * all corner directions have positive components toward every face
+    * any corner lands on.
+    */
+  private def addOverhang(face: Int, level: Int, scale: Int, step: Double,
+                          ii: Int, jj: Int,
+                          out: java.util.TreeSet[java.lang.Long]): Unit = {
+    val u0 = ii * step - 1.0; val u1 = (ii + 1) * step - 1.0
+    val v0 = jj * step - 1.0; val v1 = (jj + 1) * step - 1.0
+    val corners = Array(dirOf(face, u0, v0), dirOf(face, u0, v1),
+      dirOf(face, u1, v0), dirOf(face, u1, v1))
+    var seen = 0 // bitmask of target faces already handled
+    var ci = 0
+    while (ci < 4) {
+      val g = faceOf(corners(ci).x, corners(ci).y, corners(ci).z)
+      if ((seen & (1 << g)) == 0) {
+        seen |= 1 << g
+        var uLo = Double.MaxValue; var uHi = -Double.MaxValue
+        var vLo = Double.MaxValue; var vHi = -Double.MaxValue
+        var cj = 0
+        while (cj < 4) {
+          val c = corners(cj)
+          val (u, v) = faceUV(g, c.x, c.y, c.z)
+          if (u < uLo) uLo = u
+          if (u > uHi) uHi = u
+          if (v < vLo) vLo = v
+          if (v > vHi) vHi = v
+          cj += 1
+        }
+        val eps = 1e-12
+        def lo(c: Double): Int = {
+          val raw = math.floor((c + 1.0) / step - eps).toInt
+          if (raw < 0) 0 else if (raw >= scale) scale - 1 else raw
+        }
+        def hi(c: Double): Int = {
+          val raw = math.floor((c + 1.0) / step + eps).toInt
+          if (raw < 0) 0 else if (raw >= scale) scale - 1 else raw
+        }
+        var i = lo(uLo)
+        val iMax = hi(uHi)
+        while (i <= iMax) {
+          var j = lo(vLo)
+          val jMax = hi(vHi)
+          while (j <= jMax) { out.add(pack(g, level, i, j)); j += 1 }
+          i += 1
+        }
+      }
+      ci += 1
+    }
   }
 }

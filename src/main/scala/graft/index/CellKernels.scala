@@ -17,6 +17,9 @@ object CellKernels {
   def ring(id: Long, k: Int): ArrayData =
     new GenericArrayData(CellIndex.ring(id, k))
 
+  def ringCoverageRad(x: Double, y: Double, z: Double, level: Int, k: Int): Double =
+    CellIndex.ringCoverageRad(x, y, z, level, k)
+
   def center(id: Long): InternalRow = {
     val c = VecMath.unit(CellIndex.centerXYZ(id))
     new GenericInternalRow(Array[Any](c.x, c.y, c.z))

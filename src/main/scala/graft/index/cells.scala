@@ -31,6 +31,14 @@ object cells {
       ArrayType(LongType, containsNull = false), "ring",
       Seq(cell, lit(k)), Seq(LongType, IntegerType))
 
+  /** Exact per-row coverage [rad] guaranteed by the k-ring block of
+    * the n-vector's cell at `level` (see CellIndex.ringCoverageRad).
+    */
+  def ringCoverage(n: Column, level: Int, k: Int): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, DoubleType, "ringCoverageRad",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), lit(level), lit(k)),
+      Seq(DoubleType, DoubleType, DoubleType, IntegerType, IntegerType))
+
   /** Unit n-vector struct of the cell center. */
   def cellCenter(cell: Column): Column = {
     val ret = StructType(Seq(StructField("x", DoubleType, nullable = false),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.functions.geo
 import graft.index.{CellIndex, cells}
 import graft.geo.{Ellipsoids, Gade, Vec3, VecMath}
@@ -33,9 +34,15 @@ object SpatialJoins {
 
   /** Distance join: all (left, right) pairs with great-circle distance
     * <= radiusMeters. Columns of both inputs are preserved (names must
-    * be disjoint) plus `distCol`. Level is chosen so one ring of
-    * neighbor cells covers the radius; each right row keeps exactly
-    * one cell while left probes its ring, so no pair dedup is needed.
+    * be disjoint) plus `distCol`. (level, ring k) are chosen so the
+    * k-ring block PROVABLY covers the radius for every query position,
+    * including blocks overhanging cube-face edges where the gnomonic
+    * projection compresses (CellIndex.coverageLowerBound); each right
+    * row keeps exactly one cell while left probes its ring, so no pair
+    * dedup is needed. Radii beyond what any block can cover (~0.26 rad
+    * ~ 1660 km) fall back to the exact-filtered cross join: at such
+    * radii the matching pairs are a constant fraction of |L|x|R|, so
+    * the output itself is quadratic and candidate pruning cannot help.
     */
   def distanceJoin(left: DataFrame, right: DataFrame,
                    leftNvec: String, rightNvec: String,
@@ -45,9 +52,21 @@ object SpatialJoins {
                    broadcastRight: Boolean = false,
                    skewSalt: Int = 0,
                    hotCellThreshold: Long = 1000000L): DataFrame = {
-    val level = CellIndex.levelForRadius(radiusMeters / sphereRadius)
+    val angle = radiusMeters / sphereRadius
+    require(radiusMeters >= 0 && angle <= math.Pi,
+      s"radiusMeters=$radiusMeters out of range for sphereRadius=$sphereRadius")
+    val plan = Seq(1, 2).iterator
+      .map(k => (CellIndex.levelForRadiusSafe(angle, k), k))
+      .find(_._1 >= 0)
+    if (plan.isEmpty) {
+      val b = if (broadcastRight) broadcast(right) else right
+      return left.crossJoin(b)
+        .withColumn(distCol, geo.gcDistance(col(leftNvec), col(rightNvec), sphereRadius))
+        .filter(col(distCol) <= radiusMeters)
+    }
+    val (level, ringK) = plan.get
     val probes0 = left.withColumn("__cell",
-      explode(cells.ringCells(cells.cellAt(col(leftNvec), level), 1)))
+      explode(cells.ringCells(cells.cellAt(col(leftNvec), level), ringK)))
     val build0 = right.withColumn("__cell", cells.cellAt(col(rightNvec), level))
     val (probes, build1) =
       if (skewSalt <= 1) (probes0.withColumn("__salt", lit(0)),
@@ -84,13 +103,22 @@ object SpatialJoins {
   /** k-nearest-neighbor join with iterative cell-ring expansion and
     * exact re-ranking.
     *
-    * Per query row: candidates from successively wider rings around
+    * Per query row: candidates from successively wider blocks around
     * the query's cell; a query is complete once it has k candidates
-    * whose k-th distance lies inside the ring's guaranteed coverage
-    * radius (so nothing closer can hide in an unprobed cell). The rare
-    * remainder (isolated queries in sparse regions) falls back to a
-    * brute-force pass. Output: query columns + data columns + distCol
-    * + `rank` (1..k, ties broken by data id for determinism).
+    * whose k-th distance lies inside the block's EXACT per-query
+    * coverage radius (CellIndex.ringCoverageRad — accounts for
+    * gnomonic compression at cube-face edges, so nothing closer can
+    * hide in an unprobed cell). Queries left unsatisfied (sparse
+    * regions) escalate to COARSER levels via parent-cell arithmetic —
+    * never a cross join against the data side — ending in a
+    * full-sphere wrap block whose coverage is pi, which closes the
+    * proof for every query. Output: query columns + data columns +
+    * distCol + `rank` (1..k, ties broken by data id for determinism).
+    *
+    * Each round's candidate set and the straggler chain are persisted
+    * MEMORY_AND_DISK (recomputable on executor loss, unlike
+    * localCheckpoint) and explicitly unpersisted once the final result
+    * is materialized.
     *
     * @param level cell level; pass <= 0 to auto-size from data count
     *              so a cell holds ~2k points on average.
@@ -99,13 +127,12 @@ object SpatialJoins {
               qNvec: String, dNvec: String, qId: String, dId: String,
               k: Int, level: Int = -1,
               sphereRadius: Double = MeanEarthRadius,
-              rings: Seq[Int] = Seq(1, 4, 16),
               distCol: String = "dist_m",
               bruteForceThreshold: Long = 2000000L,
               geodesicReRank: Boolean = false): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(distCol), col(dId))
 
-    // candidate selection always uses the spherical metric (the ring
+    // candidate selection always uses the spherical metric (the block
     // coverage proof is spherical); with geodesicReRank the final
     // ordering re-ranks a 3k-deep candidate pool by the exact Karney
     // ellipsoidal distance (flattening can only reorder near-ties, so
@@ -140,33 +167,55 @@ object SpatialJoins {
         // ~2k points per cell: 6 * 4^L cells; N / (6*4^L) = 2k
         val cellsWanted = math.max(1.0, n.toDouble / math.max(1, 2 * k))
         val l = (math.log(cellsWanted / 6.0) / math.log(4.0)).ceil.toInt
-        math.max(1, math.min(CellIndex.MaxLevel, l))
+        math.max(2, math.min(CellIndex.MaxLevel, l))
       }
-    val d = data.withColumn("__cell", cells.cellAt(col(dNvec), lvl))
+    // escalation schedule: widen at the base level, then coarsen the
+    // level (data cells derived by exact parent arithmetic — no
+    // re-encode), ending in a wrap block (coverage = pi). Stragglers
+    // shrink each round, so the later joins broadcast the tiny probe
+    // side and scan data once instead of shuffling it.
+    val steps: Seq[(Int, Int)] =
+      (Seq((lvl, 1), (lvl, 4)) ++
+        Iterator.iterate(lvl - 2)(_ - 2).takeWhile(_ > 2).map(l => (l, 4)).toSeq ++
+        Seq((2, 2))).distinct
+    val dBase = data.withColumn("__cell", cells.cellAt(col(dNvec), lvl))
 
-    var remaining = queries
+    var remaining: DataFrame = queries
     var done: List[DataFrame] = Nil
-    for (r <- rings if !remaining.isEmpty) {
-      val cand = rank(
-        remaining.withColumn("__cell",
-          explode(cells.ringCells(cells.cellAt(col(qNvec), lvl), r)))
-          .join(d, "__cell").drop("__cell"))
-        .localCheckpoint(true)
-      // guaranteed coverage: r rings of cells at least minCellAngle wide
-      val coverage = r * CellIndex.minCellAngle(lvl) * sphereRadius
-      val satisfied = cand.groupBy(qId)
-        .agg(count(lit(1)).as("__n"), max(col(distCol)).as("__kth"))
-        .filter(col("__n") >= k && col("__kth") <= coverage)
-        .select(qId)
-      done ::= cand.join(satisfied, Seq(qId), "left_semi")
-      remaining = remaining.join(satisfied, Seq(qId), "left_anti")
-        .localCheckpoint(true)
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val stepIt = steps.iterator
+    while (remaining != null && stepIt.hasNext) {
+      val (l, r) = stepIt.next()
+      val dCells =
+        if (l == lvl) dBase
+        else dBase.withColumn("__cell", cells.parentCell(col("__cell"), lvl - l))
+      val probes = remaining
+        .withColumn("__cov", cells.ringCoverage(col(qNvec), l, r))
+        .withColumn("__cell", explode(cells.ringCells(cells.cellAt(col(qNvec), l), r)))
+      val cand = rank(probes.join(dCells, "__cell").drop("__cell"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += cand
+      if (CellIndex.coverageLowerBound(l, r) == math.Pi) {
+        // wrap block: every cell probed, nothing can hide anywhere
+        done ::= cand.drop("__cov")
+        remaining = null
+      } else {
+        val satisfied = cand.groupBy(qId)
+          .agg(count(lit(1)).as("__n"), max(col(distCol)).as("__kth"),
+            first(col("__cov")).as("__c"))
+          .filter(col("__n") >= k && col("__kth") <= col("__c") * sphereRadius)
+          .select(qId)
+        done ::= cand.join(satisfied, Seq(qId), "left_semi").drop("__cov")
+        val next = remaining.join(satisfied, Seq(qId), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += next
+        remaining = if (next.isEmpty) null else next
+      }
     }
-    if (!remaining.isEmpty) {
-      // brute-force fallback for sparse stragglers
-      done ::= rank(remaining.crossJoin(d.drop("__cell")))
-    }
-    done.reduce(_ unionByName _)
+    val result = done.reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize before releasing the intermediates
+    persisted.foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** Assign points to AOI polygons: cell prefilter (broadcast cover
@@ -178,12 +227,23 @@ object SpatialJoins {
     val spark = points.sparkSession
     import spark.implicits._
     require(aois.nonEmpty)
-    // coarsest level at which every AOI's circumdisc fits a 1-ring
-    val level = aois.map(a => CellIndex.levelForRadius(
-      math.max(a.circumAngle, 1e-6))).min
+    // coarsest level at which every AOI's circumdisc provably fits a
+    // 1-ring block (safe bound; huge AOIs bottom out at level 2)
+    val level = aois.map { a =>
+      val l = CellIndex.levelForRadiusSafe(math.max(a.circumAngle, 1e-6), 1)
+      if (l < 0) 2 else l
+    }.min
     val cover: Seq[(Long, String)] = aois.flatMap { a =>
       val cCell = CellIndex.cellAt(a.centroid.x, a.centroid.y, a.centroid.z, level)
-      val kk = math.ceil(a.circumAngle / CellIndex.minCellAngle(level)).toInt + 1
+      // a cell intersecting the circumdisc lies entirely within
+      // circumAngle + its own diagonal (<= sqrt(2)*step) of the
+      // centroid; widen the block until its exact coverage holds that
+      // (the wrap block covers the sphere, so the loop terminates)
+      val slack = math.sqrt(2.0) * 2.0 / (1 << level)
+      var kk = 1
+      while (2 * kk + 1 < (1 << level) &&
+        CellIndex.ringCoverageRad(a.centroid.x, a.centroid.y, a.centroid.z,
+          level, kk) < a.circumAngle + slack) kk += 1
       CellIndex.ring(cCell, kk).map(c => (c, a.id))
     }
     val coverDf = broadcast(cover.toDF("__cell", "aoi_id"))

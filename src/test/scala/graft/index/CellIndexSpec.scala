@@ -63,20 +63,49 @@ class CellIndexSpec extends AnyFunSuite {
     assert(r.sorted.sameElements(r), "ring must be sorted")
   }
 
-  test("1-ring coverage: any point within minCellAngle is joinable") {
+  test("k-ring coverage: any point within ringCoverageRad is joinable") {
+    // random points plus points forced hard against face edges and
+    // corners (where the gnomonic compresses below the on-face
+    // minimum and the old jitter-sampled enumeration had holes)
+    def edgyPoint(i: Long): Vec3 = {
+      val face = (rnd(i * 5) * 6).toInt.min(5)
+      val eps = math.pow(10.0, -1 - 8 * rnd(i * 7 + 1))
+      val u = 1.0 - eps
+      val v = 2 * rnd(i * 11 + 2) - 1
+      val d = CellIndex.dirOf(face, if (rnd(i * 13 + 3) < 0.5) u else -u,
+        if (rnd(i * 17 + 4) < 0.5) v else if (v >= 0) 1.0 - eps else -1.0 + eps)
+      VecMath.unit(d)
+    }
     var checked = 0
-    for (i <- 1L to 3000L; level <- Seq(4, 9, 14)) {
-      val p = randomPoint(i)
-      val angle = minCellAngle(level) * rnd(i * 31 + level)
-      val az = 2 * math.Pi * rnd(i * 37 + level)
+    for (i <- 1L to 2000L; level <- Seq(3, 6, 10); k <- Seq(1, 2, 4)) {
+      val p = if (i % 2 == 0) randomPoint(i) else edgyPoint(i)
+      val cov = ringCoverageRad(p.x, p.y, p.z, level, k)
+      val angle = cov * rnd(i * 31 + level * 7 + k)
+      val az = 2 * math.Pi * rnd(i * 37 + level * 11 + k)
       val q = Gade.sphereReckon(p, angle, az)
-      val ringP = ring(cellAt(p.x, p.y, p.z, level), 1)
+      val ringP = ring(cellAt(p.x, p.y, p.z, level), k)
       val cellQ = cellAt(q.x, q.y, q.z, level)
       assert(java.util.Arrays.binarySearch(ringP, cellQ) >= 0,
-        s"point $i level $level not covered (angle=$angle)")
+        s"point $i level $level k $k not covered (angle=$angle cov=$cov p=$p)")
       checked += 1
     }
-    assert(checked == 9000)
+    assert(checked == 18000)
+  }
+
+  test("coverageLowerBound is a lower bound on per-point coverage") {
+    for (i <- 1L to 500L; level <- Seq(3, 6, 10); k <- Seq(1, 2, 4)) {
+      val p = randomPoint(i)
+      assert(coverageLowerBound(level, k) <=
+        ringCoverageRad(p.x, p.y, p.z, level, k) + 1e-12)
+    }
+  }
+
+  test("wrap-around blocks enumerate every cell (full-sphere coverage)") {
+    assert(allCells(2).length == 96)
+    val p = randomPoint(42)
+    val id = cellAt(p.x, p.y, p.z, 2)
+    assert(ring(id, 2).sameElements(allCells(2)))
+    assert(ringCoverageRad(p.x, p.y, p.z, 2, 2) == math.Pi)
   }
 
   test("levelForRadius picks a covering level") {
@@ -86,6 +115,17 @@ class CellIndexSpec extends AnyFunSuite {
       assert(minCellAngle(l) >= angle || l == 0)
       if (l < MaxLevel) assert(minCellAngle(l + 1) < angle || l == MaxLevel)
     }
+  }
+
+  test("levelForRadiusSafe guarantees block coverage at the level it picks") {
+    for (meters <- Seq(10.0, 1000.0, 50000.0, 1e6); k <- Seq(1, 2)) {
+      val angle = meters / 6371009.0
+      val l = levelForRadiusSafe(angle, k)
+      assert(l >= 2)
+      assert(coverageLowerBound(l, k) >= angle)
+    }
+    // beyond the cube-face block saturation no level works
+    assert(levelForRadiusSafe(0.5, 1) == -1)
   }
 
   test("point in polygon: winding test") {

@@ -162,6 +162,70 @@ class SpatialJoinsSpec extends AnyFunSuite {
       s"missing=${(brute -- salted).take(5)} extra=${(salted -- brute).take(5)}")
   }
 
+  test("distance join beyond block coverage falls back to exact cross join") {
+    val a = pointsDf(200, "a", 41)
+    val b = pointsDf(150, "b", 42)
+    val radius = 5000e3 // ~0.78 rad: beyond any provable block coverage
+    val got = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", radius)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.crossJoin(b)
+      .withColumn("d", geo.gcDistance(col("a_n"), col("b_n")))
+      .filter(col("d") <= radius)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && got == brute)
+  }
+
+  test("knn ring path never executes a cross join against the data side") {
+    // dedicated session => QueryExecutionListener sees only this test's
+    // actions; sparse data at a fine level forces the full escalation
+    // chain (base rings -> coarser levels -> wrap block), which in
+    // round 1 ended in remaining.crossJoin(data)
+    val s2 = spark.newSession()
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    s2.listenerManager.register(listener)
+    try {
+      import s2.implicits._
+      val q = (0 until 40).map { i =>
+        val la = math.toDegrees(math.asin(2 * rnd(900001L + i * 2) - 1))
+        val lo = 360 * rnd(900001L + i * 2 + 1) - 180
+        (i.toLong, la, lo)
+      }.toDF("q_id", "q_lat", "q_lon")
+        .withColumn("q_n", geo.nvecDeg(col("q_lat"), col("q_lon")))
+      val d = (0 until 12).map { i =>
+        val la = math.toDegrees(math.asin(2 * rnd(910001L + i * 2) - 1))
+        val lo = 360 * rnd(910001L + i * 2 + 1) - 180
+        (i.toLong, la, lo)
+      }.toDF("d_id", "d_lat", "d_lon")
+        .withColumn("d_n", geo.nvecDeg(col("d_lat"), col("d_lon")))
+      val res = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", 3,
+        level = 10, bruteForceThreshold = 0)
+      assert(res.count() == 40 * 3)
+      // drain the async listener bus: wait until no new plans arrive
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 4 && waited < 100) {
+        Thread.sleep(100)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+        waited += 1
+      }
+      assert(plans.size > 0, "listener captured no plans")
+      val offending = plans.toArray(Array.empty[String]).filter(p =>
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+      if (offending.nonEmpty)
+        fail(s"knnJoin executed a cross-join plan:\n${offending.head.take(2000)}")
+    } finally s2.listenerManager.unregister(listener)
+  }
+
   test("cells DSL round trips against scalar kernels") {
     import graft.index.{cells, CellIndex}
     val p = pointsDf(200, "c", 8)

@@ -303,6 +303,33 @@ object SparkEntry {
           round(TextAnalysis.stopwordRatio(col("text")), 6).as("sw_ratio"))
         .orderBy("doc_id")
     }),
+    // similarity family, oracle-checked --------------------------------
+    "q25_cosine_topk" -> ((s, dir) => {
+      // exact cosine top-k (the brute-force baseline the LSH path is
+      // verified against), DuckDB-mirrored via list arithmetic
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      Similarity.bruteForceTopK(queries, data, "q_vec", "d_vec", "q_id", "d_id", k = 5)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+    "q26_hamming_fingerprint" -> ((s, dir) => {
+      // 60-bit content fingerprint (md5 low bits) + hamming distance to
+      // the previous doc of the same language — drives the xor/bit_count
+      // machinery the simhash family is built on through the oracle
+      val sig = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("sig", sig)
+        .withColumn("prev_sig", lag("sig", 1).over(w))
+        .filter(col("prev_sig").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          Dedup.hamming(col("sig"), col("prev_sig")).cast("int").as("hd"))
+        .orderBy("doc_id")
+    }),
     // rows-only (not SQL-expressible): Karney, LSH, images -----------
     "q30_geodesic_inverse" -> ((s, dir) => {
       custPts(s, dir)
@@ -653,7 +680,26 @@ object SparkEntry {
       "q20_embed_norm" ->
         """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
           | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))::DOUBLE, 4) AS l2, label
-          | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", " ")
+          | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", " "),
+      "q25_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          | d AS (SELECT vec_id AS d_id, embedding AS dv FROM embeddings),
+          | pairs AS (SELECT q_id, d_id,
+          |   list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))
+          |   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |    * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))))) AS cos
+          |   FROM q CROSS JOIN d),
+          | ranked AS (SELECT q_id, d_id, cos,
+          |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, d_id) AS rank FROM pairs)
+          | SELECT q_id, rank, d_id, round(cos, 6) AS cosine FROM ranked
+          | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+      "q26_hamming_fingerprint" ->
+        """WITH sigs AS (SELECT doc_id, lang,
+          |   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig FROM documents),
+          | lagged AS (SELECT doc_id, lang, sig,
+          |   lag(sig, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_sig FROM sigs)
+          | SELECT doc_id, lang, CAST(bit_count(xor(sig, prev_sig)) AS INTEGER) AS hd
+          | FROM lagged WHERE prev_sig IS NOT NULL ORDER BY doc_id""".stripMargin.replace("\n", " ")
     )
   }
 }

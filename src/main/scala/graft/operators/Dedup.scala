@@ -65,33 +65,51 @@ object Dedup {
 
   /** MinHash/LSH near-duplicate candidate pairs with estimated jaccard
     * >= threshold. Returns (id_a, id_b, jaccard_est) with id_a < id_b.
-    * Pipeline: signature -> band explode -> bucket self-join ->
-    * signature-agreement estimate. Only 32-entry signatures shuffle,
-    * never the text, and candidates are linear in corpus size for
-    * non-pathological data (equal-band buckets).
+    *
+    * Pipeline: signature -> identical-signature star-encoding -> band
+    * explode (representatives only) -> capped bucket self-join on IDS
+    * -> signatures joined back once -> agreement estimate. Only
+    * 32-entry signatures ever shuffle, never the text; candidate
+    * volume stays linear even on duplicate floods:
+    *
+    *  - rows sharing an identical signature (exact and near-exact
+    *    duplicates) are emitted as (representative, member) star
+    *    pairs with jaccard_est = 1.0 instead of the quadratic clique
+    *    — duplicate CLUSTERS are unchanged (connected components are
+    *    identical), and only the min-id representative enters the LSH
+    *    banding;
+    *  - remaining pathological buckets are capped at `maxBucket`
+    *    members (deterministic by id; capped members still pair
+    *    through their other bands);
+    *  - pair dedup runs on (id_a, id_b) BEFORE signatures attach, so
+    *    multi-band collisions never re-shuffle payloads.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
     val sigs = spreadSmallInput(df).select(col(idCol).as("__id"),
       shingles(col(textCol), k).as("__sh"))
       .select(col("__id"),
         minHashSignatureFromShingles(col("__sh"), numHashes).as("__sig"))
-    val banded = sigs.withColumn("__band",
+    val wSig = Window.partitionBy(col("__sig"))
+    val tagged = sigs.withColumn("__rep", min(col("__id")).over(wSig))
+    val starPairs = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        lit(1.0).as("jaccard_est"))
+    val reps = tagged.filter(col("__id") === col("__rep"))
+      .select("__id", "__sig")
+    val banded = reps.withColumn("__band",
       explode(minHashBands(col("__sig"), numHashes, rowsPerBand)))
-    val left = banded.select(col("__band"), col("__id").as("id_a"),
-      col("__sig").as("__sig_a"))
-    val right = banded.select(col("__band"), col("__id").as("id_b"),
-      col("__sig").as("__sig_b"))
-    left.join(right, "__band")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sig_a", "__sig_b")
-      .distinct() // same pair can collide in several bands
+      .select("__band", "__id")
+    val estimated = Similarity.bandPairs(banded, "__id", maxBucket)
+      .join(reps.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), "id_a")
+      .join(reps.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), "id_b")
       .withColumn("jaccard_est",
         size(filter(zip_with(col("__sig_a"), col("__sig_b"),
           (x, y) => x === y), b => b)).cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
       .select("id_a", "id_b", "jaccard_est")
+    estimated.unionByName(starPairs)
   }
 
   /** SimHash: 64-bit signature whose hamming distance tracks cosine

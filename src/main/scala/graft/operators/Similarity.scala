@@ -74,73 +74,138 @@ object Similarity {
     }: _*)
   }
 
+  /** Deterministically cap band-bucket size (order by id): buckets
+    * beyond `maxBucket` rows would make the bucket self-join
+    * quadratic on pathological corpora (boilerplate floods); capped
+    * members still pair through their other bands. The window sorts
+    * within the same shuffle the bucket join needs anyway.
+    */
+  private[operators] def capBuckets(banded: DataFrame, idCol: String,
+                                    maxBucket: Int): DataFrame = {
+    val wB = Window.partitionBy("__band").orderBy(col(idCol))
+    banded.withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+  }
+
+  /** Candidate (id_a, id_b) pairs (id_a < id_b) from a (band, id)
+    * frame: bucket self-join carrying IDS ONLY — payloads (vectors /
+    * signatures) are attached after the distinct, so a pair colliding
+    * in several bands never shuffles its payload more than once.
+    */
+  private[operators] def bandPairs(banded: DataFrame, idCol: String,
+                                   maxBucket: Int): DataFrame = {
+    val capped = capBuckets(banded, idCol, maxBucket)
+    capped.select(col("__band"), col(idCol).as("id_a"))
+      .join(capped.select(col("__band"), col(idCol).as("id_b")), "__band")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
     * self-join then exact cosine filter — the embedding analogue of
     * MinHash text dedup (pairs are candidates only when they share a
     * signature band, so candidate volume stays linear for
-    * non-degenerate data). Returns (id_a, id_b, cosine), id_a < id_b.
+    * non-degenerate data). Pair candidates travel as ids only;
+    * vectors join back once after dedup. Returns (id_a, id_b,
+    * cosine), id_a < id_b.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        bits: Int = 16, bandBits: Int = 8): DataFrame = {
-    val banded = Dedup.spreadSmallInput(df)
+                        bits: Int = 16, bandBits: Int = 8,
+                        maxBucket: Int = 4096): DataFrame = {
+    val vecs = Dedup.spreadSmallInput(df)
       .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .withColumn("__band",
-        explode(lshBands(lshSignature(col("__vec"), dim, bits), bits, bandBits)))
-    val left = banded.select(col("__band"), col("__id").as("id_a"),
-      col("__vec").as("__vec_a"))
-    val right = banded.select(col("__band"), col("__id").as("id_b"),
-      col("__vec").as("__vec_b"))
-    left.join(right, "__band")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__vec_a", "__vec_b")
-      .distinct()
+    val banded = vecs.withColumn("__band",
+      explode(lshBands(lshSignature(col("__vec"), dim, bits), bits, bandBits)))
+      .select("__band", "__id")
+    bandPairs(banded, "__id", maxBucket)
+      .join(vecs.select(col("__id").as("id_a"), col("__vec").as("__vec_a")), "id_a")
+      .join(vecs.select(col("__id").as("id_b"), col("__vec").as("__vec_b")), "id_b")
       .withColumn("cosine", cosine(col("__vec_a"), col("__vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
 
   /** Query-side multi-probe band keys: each band's exact key plus its
-    * `bandBits` hamming-1 variants — near-miss sign flips on single
-    * hyperplanes stop costing candidates (standard multi-probe LSH).
+    * hamming-1 (and, for radius 2, hamming-2) variants — near-miss
+    * sign flips on single hyperplanes stop costing candidates
+    * (standard multi-probe LSH).
     */
-  def lshProbeBands(sig: Column, bits: Int = 16, bandBits: Int = 4): Column = {
+  def lshProbeBands(sig: Column, bits: Int = 16, bandBits: Int = 4,
+                    radius: Int = 1): Column = {
     val mask = (1L << bandBits) - 1
+    val flips: Seq[Long] = {
+      val h1 = (0 until bandBits).map(1L << _)
+      val h2 =
+        if (radius >= 2)
+          for { a <- 0 until bandBits; b <- a + 1 until bandBits }
+            yield (1L << a) | (1L << b)
+        else Seq.empty
+      0L +: (h1 ++ h2)
+    }
     val keys = (0 until bits / bandBits).flatMap { b =>
       val base = shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
       val tag = lit((b + 1).toLong << 60)
-      base.bitwiseOR(tag) +: (0 until bandBits).map { fl =>
-        base.bitwiseXOR(lit(1L << fl)).bitwiseOR(tag)
-      }
+      flips.map(f => base.bitwiseXOR(lit(f)).bitwiseOR(tag))
     }
     array_distinct(array(keys: _*))
   }
 
   /** Approximate top-k by cosine via LSH bucketing with query-side
-    * multi-probe, exact re-ranking inside candidate buckets, and a
-    * brute-force fallback for queries that did not reach k candidates
-    * (the fallback keeps the result total).
+    * multi-probe and exact re-ranking inside candidate buckets.
+    *
+    * Queries that do not reach k candidates ESCALATE instead of
+    * falling straight to brute force: first hamming-2 multi-probe,
+    * then re-bucketing both sides at half the band width (higher
+    * collision probability); only queries still starved after both —
+    * vanishingly rare, logged — take all data ids, which is one
+    * column-pruned linear pass over the data for a residual query
+    * set, never a quadratic join. Candidate pairs travel as ids only;
+    * vectors are joined back once for the final exact re-rank.
     */
   def lshTopK(queries: DataFrame, data: DataFrame,
               qVec: String, dVec: String, qId: String, dId: String,
               k: Int, dim: Int, bits: Int = 16, bandBits: Int = 4,
               simCol: String = "cosine"): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
-    val dBanded = Dedup.spreadSmallInput(data).withColumn("__band",
-      explode(lshBands(lshSignature(col(dVec), dim, bits), bits, bandBits)))
-    val qBanded = queries.withColumn("__band",
-      explode(lshProbeBands(lshSignature(col(qVec), dim, bits), bits, bandBits)))
-    val cand = qBanded.join(dBanded, "__band")
-      .drop("__band")
-      .distinct()
+    val dS = Dedup.spreadSmallInput(data)
+      .select(col(dId).as("__did"), col(dVec).as("__dvec"))
+    val qS = queries.select(col(qId).as("__qid"), col(qVec).as("__qvec"))
+
+    def dBands(bb: Int): DataFrame = dS.select(col("__did"),
+      explode(lshBands(lshSignature(col("__dvec"), dim, bits), bits, bb)).as("__band"))
+    def qBands(qs: DataFrame, bb: Int, radius: Int): DataFrame = qs.select(col("__qid"),
+      explode(lshProbeBands(lshSignature(col("__qvec"), dim, bits), bits, bb, radius))
+        .as("__band"))
+    def pairsOf(qs: DataFrame, bb: Int, radius: Int): DataFrame =
+      qBands(qs, bb, radius).join(dBands(bb), "__band")
+        .select("__qid", "__did").distinct()
+    def starvedAfter(pairs: DataFrame): DataFrame =
+      qS.join(pairs.groupBy("__qid").count().filter(col("count") >= k)
+        .select("__qid"), Seq("__qid"), "left_anti")
+
+    var pairs = pairsOf(qS, bandBits, 1)
+    // escalation ladder: (band width, probe radius)
+    val ladder = Seq((bandBits, 2), (math.max(2, bandBits / 2), 1))
+    var starved = starvedAfter(pairs)
+    for ((bb, radius) <- ladder if !starved.isEmpty) {
+      pairs = pairs.unionByName(pairsOf(starved, bb, radius)).distinct()
+      starved = starvedAfter(pairs)
+    }
+    if (!starved.isEmpty) {
+      val n = starved.count()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshTopK: $n queries starved after escalation; scanning data ids for them")
+      pairs = pairs.unionByName(
+        starved.select("__qid").crossJoin(dS.select("__did"))).distinct()
+    }
+    pairs
+      .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
+      .join(data.withColumnRenamed(dId, "__did"), "__did")
+      .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
       .withColumn(simCol, cosine(col(qVec), col(dVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    val counts = cand.groupBy(qId).count()
-    val starved = queries.join(counts.filter(col("count") >= k).select(qId),
-      Seq(qId), "left_anti")
-    if (starved.isEmpty) cand
-    else cand.join(starved.select(qId), Seq(qId), "left_anti")
-      .unionByName(bruteForceTopK(starved, data, qVec, dVec, qId, dId, k, simCol))
   }
 }

@@ -85,6 +85,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological corpus: 10k identical docs stay linear (star-encoded)") {
+    val flood = spark.range(10000)
+      .select(col("id").as("doc_id"),
+        lit("exactly the same boilerplate text repeated across the corpus").as("text"))
+    val pairs = Dedup.minHashPairs(flood, "doc_id", "text", threshold = 0.5)
+    val rows = pairs.collect()
+    // star encoding: one (rep=0, member) pair per duplicate, not the
+    // ~5e7-pair clique; clusters (connected components) are identical
+    assert(rows.length == 9999)
+    assert(rows.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+  }
+
+  test("near-identical flood: capped buckets keep the pair join bounded") {
+    // 2000 distinct-but-similar docs share most bands; with a 64-row
+    // bucket cap the self-join stays bounded and still completes
+    val docsBig = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        concat(lit("shared boilerplate header that dominates every document in this set variant "),
+          col("id").cast("string")).as("text"))
+    val pairs = Dedup.minHashPairs(docsBig, "doc_id", "text",
+      threshold = 0.35, maxBucket = 64)
+    val n = pairs.count()
+    // every emitted pair from a capped bucket is <= C(64,2) per band x 8 bands
+    assert(n > 0 && n <= 8L * 64 * 63 / 2)
+  }
+
+  test("lshTopK fills starved queries via escalation (exact k per query)") {
+    import spark.implicits._
+    // orthogonal-ish sparse data: queries far from everything starve at
+    // the first banding and must escalate
+    def basis(i: Int, s: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i % 64) = s; a(63 - (i % 32)) = -s; a
+    }
+    val data = (0 until 40).map(i => (i.toLong, basis(i, 1.0f))).toDF("d_id", "d_vec")
+    val queries = (0 until 6).map(i => (i.toLong, basis(i * 11 + 3, -2.0f)))
+      .toDF("q_id", "q_vec")
+    val out = Similarity.lshTopK(queries, data, "q_vec", "d_vec", "q_id", "d_id",
+      k = 4, dim = 64)
+    val perQuery = out.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(perQuery.length == 6 && perQuery.forall(_ == 4L))
+  }
+
   test("embedding similarity: brute force and LSH top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))

@@ -441,6 +441,27 @@ object SparkEntry {
         .select(col("user_id"), col("tsec"), round(col("cog"), 6).as("cog_rad"))
         .orderBy("user_id", "tsec")
     }),
+    "q41_track_interp_cubic" -> ((s, dir) => {
+      // cubic (not-a-knot spline) track interpolation with depth carry
+      // — the reference interp_nvectors(kind='cubic') headline path
+      val ev = t(s, dir, "events")
+        .withColumn("tsec", col("event_id").cast("double"))
+        .withColumn("lat", latRad(col("event_id")))
+        .withColumn("lon", lonRad(col("event_id")))
+        .withColumn("n", geo.nvec(col("lat"), col("lon")))
+        .withColumn("depth", (col("event_id") % 97).cast("double"))
+        .select(col("user_id"), col("tsec"), col("n"), col("depth"))
+      val qs = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)
+      graft.operators.Tracks.interpolateSpline(ev, qs, "user_id", "tsec", "n",
+          zCol = Some("depth"), kind = "cubic")
+        .filter(!isnan(geo.vx(col("n"))))
+        .select(col("user_id"), col("tsec"),
+          round(geo.latDeg(col("n")), 6).as("ilat"),
+          round(geo.lonDeg(col("n")), 6).as("ilon"),
+          round(col("depth"), 6).as("idepth"))
+        .orderBy("user_id")
+    }),
     "q38_track_interpolation" -> ((s, dir) => {
       // interpolate each user's position track at fixed times
       val ev = t(s, dir, "events")

@@ -42,6 +42,13 @@ object Ellipsoids {
     16 -> Ellipsoid(6378135.0, 1.0 / 298.26, "WGS 72"),
     17 -> Ellipsoid(6378206.4, 1.0 / 294.9786982138, "Clarke 1866 / NAD27"),
     18 -> Ellipsoid(6378137.0, 1.0 / 298.257223563, "GRS80 / WGS84 / NAD83"),
+    // DELIBERATE PARITY BUG: entry 19 stores the INVERSE flattening
+    // un-inverted (298.257... instead of 1/298.257...), faithfully
+    // reproducing the reference's own registry defect (util.py:59).
+    // Selecting "ETRS89" there yields b = a(1-f) < 0 and nonsense
+    // geodesics — same here, by fidelity. Do NOT "fix" this into
+    // disagreement with the reference; use entry 18 (GRS80) for a
+    // correct ETRS89-compatible ellipsoid.
     19 -> Ellipsoid(6378137.0, 298.257222101, "ETRS89 / EUREF89"),
     20 -> Ellipsoid(6377492.0176, 1 / 299.15281285, "NGO1948")
   )

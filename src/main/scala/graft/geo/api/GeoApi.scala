@@ -137,6 +137,30 @@ object Nvector {
     Nvector(Gade.meanHorizontalPosition(ns.map(_.n)),
       ns.map(_.z).sum / ns.size, ns.head.frame)
   }
+
+  /** Interpolate a time-series of positions at times `tI` — the OO
+    * mapping of reference Nvector.interpolate (objects.py:874-948):
+    * depth z rides along as a 4th interpolated row (NOT renormalized),
+    * the normal is renormalized to unit after interpolation, and
+    * out-of-span times yield NaN. kind: "linear" or "cubic"
+    * (not-a-knot, = scipy interp1d); optional Savitzky-Golay
+    * pre-smoothing via windowLength > 0.
+    */
+  def interpolate(tI: Array[Double], t: Array[Double], ns: Seq[Nvector],
+                  kind: String = "linear", windowLength: Int = 0,
+                  polyorder: Int = 2, mode: String = "interp"): Seq[Nvector] = {
+    require(ns.nonEmpty && ns.length == t.length)
+    ns.tail.foreach(o => Frames.check(ns.head.frame, o.frame))
+    val rows = Array(ns.map(_.n.x).toArray, ns.map(_.n.y).toArray,
+      ns.map(_.n.z).toArray, ns.map(_.z).toArray)
+    val itp = graft.operators.Tracks.interpVectors(tI, t, rows, kind,
+      windowLength, polyorder, mode)
+    tI.indices.map { i =>
+      val u = VecMath.unit(Vec3(itp(0)(i), itp(1)(i), itp(2)(i)),
+        zeroFill = Double.NaN)
+      Nvector(u, itp(3)(i), ns.head.frame)
+    }
+  }
 }
 
 /** Cartesian ECEF position [m]. */
@@ -176,9 +200,25 @@ final case class GeoPath(a: GeoPoint, b: GeoPoint) {
     GeoPoint(lat, lon, (a.z + b.z + other.a.z + other.b.z) / 4, a.frame)
   }
 
-  def onPath(point: GeoPoint, atol: Double = 1e-8): Boolean =
-    Gade.onGreatCirclePath(nA, nB, Gade.latLonToNvec(point.lat, point.lon),
-      meanRadius, atol)
+  /** Is `point` on this path? method "greatcircle" (default): segment
+    * test on the great circle; "ellipsoid": the reference's
+    * `_on_ellipsoid_path` (objects.py:1772-1802) — same mean depth,
+    * dist_AC <= dist_AB, and the A->C azimuth matching A->B (or C
+    * coincident with A), under symmetric rtol/atol closeness.
+    */
+  def onPath(point: GeoPoint, method: String = "greatcircle",
+             rtol: Double = 1e-6, atol: Double = 1e-8): Boolean =
+    if (method.startsWith("e")) {
+      val z = (a.z + b.z) * 0.5
+      val (distAb, azAb, _) = a.distanceAndAzimuth(b)
+      val (distAc, azAc, _) = a.distanceAndAzimuth(point)
+      def close(x: Double, y: Double): Boolean =
+        math.abs(x - y) <= atol + rtol * math.max(math.abs(x), math.abs(y))
+      close(z, point.z) &&
+        (close(distAc, 0.0) || (distAb >= distAc && close(azAc, azAb)))
+    } else
+      Gade.onGreatCirclePath(nA, nB, Gade.latLonToNvec(point.lat, point.lon),
+        meanRadius, atol)
 
   def interpolate(ti: Double): GeoPoint = {
     val n = Gade.interpolate(nA, nB, ti)

@@ -139,6 +139,193 @@ object Tracks {
     Array.tabulate(p)(j => a(0)(p + j)) // row 0 of the inverse
   }
 
+  /** Second derivatives M_i of the NOT-A-KNOT cubic spline through
+    * (t_i, y_i) — the boundary condition scipy's
+    * `interp1d(kind='cubic')` uses (reference core.py:643 passes
+    * `kind` straight to interp1d), solved by corner-eliminating the
+    * two not-a-knot rows into the tridiagonal interior system
+    * (Thomas algorithm, O(n)). Requires n >= 4.
+    */
+  def notAKnotSplineM(t: Array[Double], y: Array[Double]): Array[Double] = {
+    val n = t.length
+    require(n >= 4, "not-a-knot cubic spline needs >= 4 points")
+    val h = Array.tabulate(n - 1)(i => t(i + 1) - t(i))
+    val d = Array.tabulate(n - 2)(j => {
+      val i = j + 1
+      6.0 * ((y(i + 1) - y(i)) / h(i) - (y(i) - y(i - 1)) / h(i - 1))
+    })
+    val m = n - 2 // unknowns M_1..M_{n-2}
+    val a = new Array[Double](m); val b = new Array[Double](m); val c = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val i = j + 1
+      a(j) = h(i - 1); b(j) = 2.0 * (h(i - 1) + h(i)); c(j) = h(i)
+      j += 1
+    }
+    // not-a-knot at both ends folded into the first/last interior rows:
+    // M_0 = ((h0+h1) M_1 - h0 M_2) / h1 and symmetric at the far end
+    b(0) = h(0) * (h(0) + h(1)) / h(1) + 2.0 * (h(0) + h(1))
+    c(0) = h(1) - h(0) * h(0) / h(1)
+    a(0) = 0.0
+    val hl = h(n - 2); val hp = h(n - 3)
+    a(m - 1) = hp - hl * hl / hp
+    b(m - 1) = 2.0 * (hp + hl) + hl * (hp + hl) / hp
+    c(m - 1) = 0.0
+    // Thomas
+    val cp = new Array[Double](m); val dp = new Array[Double](m)
+    cp(0) = c(0) / b(0); dp(0) = d(0) / b(0)
+    j = 1
+    while (j < m) {
+      val den = b(j) - a(j) * cp(j - 1)
+      cp(j) = c(j) / den
+      dp(j) = (d(j) - a(j) * dp(j - 1)) / den
+      j += 1
+    }
+    val x = new Array[Double](m)
+    x(m - 1) = dp(m - 1)
+    j = m - 2
+    while (j >= 0) { x(j) = dp(j) - cp(j) * x(j + 1); j -= 1 }
+    val out = new Array[Double](n)
+    System.arraycopy(x, 0, out, 1, m)
+    out(0) = ((h(0) + h(1)) * out(1) - h(0) * out(2)) / h(1)
+    out(n - 1) = ((hp + hl) * out(n - 2) - hl * out(n - 3)) / hp
+    out
+  }
+
+  /** Evaluate the spline (knots t, values y, second derivatives m) at
+    * x; NaN outside [t.head, t.last] (scipy bounds_error=False).
+    */
+  def splineEval(t: Array[Double], y: Array[Double], m: Array[Double], x: Double): Double = {
+    val n = t.length
+    if (x < t(0) || x > t(n - 1) || x.isNaN) return Double.NaN
+    var i = java.util.Arrays.binarySearch(t, x)
+    if (i >= 0) { if (i == n - 1) i = n - 2 } else i = math.max(0, -i - 2)
+    val h = t(i + 1) - t(i)
+    val u = t(i + 1) - x; val v = x - t(i)
+    (m(i) * u * u * u + m(i + 1) * v * v * v) / (6.0 * h) +
+      (y(i) / h - m(i) * h / 6.0) * u + (y(i + 1) / h - m(i + 1) * h / 6.0) * v
+  }
+
+  /** Linear interpolation with NaN outside the span (scipy interp1d
+    * kind='linear', bounds_error=False).
+    */
+  def linearEval(t: Array[Double], y: Array[Double], x: Double): Double = {
+    val n = t.length
+    if (x < t(0) || x > t(n - 1) || x.isNaN) return Double.NaN
+    var i = java.util.Arrays.binarySearch(t, x)
+    if (i >= 0) return y(if (i == n - 1) n - 1 else i)
+    i = -i - 2
+    val f = (x - t(i)) / (t(i + 1) - t(i))
+    y(i) + f * (y(i + 1) - y(i))
+  }
+
+  /** Pure-Scala port of the reference `_interp_vectors` +
+    * `interp_nvectors` tail (core.py:586-744): optional Savitzky-Golay
+    * pre-filter along time (mode 'interp'/'nearest', NO
+    * renormalization — exactly scipy's call order), then per-component
+    * interpolation of each row at the query times. Rows beyond the
+    * first three (e.g. depth z, objects.py:945-948) are interpolated
+    * identically; the CALLER renormalizes rows 0-2 to unit.
+    *
+    * kind: "linear" or "cubic" (not-a-knot, = scipy interp1d); tracks
+    * shorter than 4 fixes degrade cubic to linear (scipy raises there;
+    * a distributed operator must not kill the job for a 3-fix track).
+    */
+  def interpVectors(tI: Array[Double], t: Array[Double], rows: Array[Array[Double]],
+                    kind: String = "linear", windowLength: Int = 0,
+                    polyorder: Int = 2, mode: String = "interp"): Array[Array[Double]] = {
+    require(kind == "linear" || kind == "cubic", s"unsupported kind $kind")
+    val n = t.length
+    val smoothed =
+      if (windowLength <= 0) rows
+      else {
+        var wl = windowLength + (windowLength + 1) % 2
+        if (wl >= n) wl = math.max(n - 1 - n % 2, 1)
+        if (wl <= polyorder) rows
+        else {
+          val coeff = savgolCoefficients(wl, polyorder)
+          val edge = if (mode == "interp") savgolEdgeCoefficients(wl, polyorder) else null
+          val half = wl / 2
+          rows.map { row =>
+            Array.tabulate(n) { i =>
+              if (edge != null && i < half) {
+                var acc = 0.0; var kk = 0
+                while (kk < wl) { acc += edge(i)(kk) * row(kk); kk += 1 }
+                acc
+              } else if (edge != null && i >= n - half) {
+                val er = edge(wl - (n - i))
+                var acc = 0.0; var kk = 0
+                while (kk < wl) { acc += er(kk) * row(n - wl + kk); kk += 1 }
+                acc
+              } else {
+                var acc = 0.0; var kk = 0
+                while (kk < wl) {
+                  val idx = math.min(n - 1, math.max(0, i - half + kk))
+                  acc += coeff(kk) * row(idx)
+                  kk += 1
+                }
+                acc
+              }
+            }
+          }
+        }
+      }
+    if (kind == "cubic" && n >= 4) {
+      smoothed.map { row =>
+        val m = notAKnotSplineM(t, row)
+        tI.map(x => splineEval(t, row, m, x))
+      }
+    } else {
+      smoothed.map(row => tI.map(x => linearEval(t, row, x)))
+    }
+  }
+
+  /** Spline (or linear) n-vector interpolation of query times into
+    * tracks of fixes, distributing per track via cogroup — the Spark
+    * mapping of the reference `interp_nvectors(kind='cubic')` /
+    * `Nvector.interpolate` (z carried as a 4th interpolated row when
+    * `zCol` is given, objects.py:945-948). Output: (trackCol, tCol,
+    * nvecCol[, zCol]); queries outside a track's span get NaN
+    * components (reference bounds_error=False semantics).
+    */
+  def interpolateSpline(fixes: DataFrame, queries: DataFrame,
+                        trackCol: String, tCol: String, nvecCol: String,
+                        zCol: Option[String] = None, kind: String = "cubic",
+                        windowLength: Int = 0, polyorder: Int = 2): DataFrame = {
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    val zc = zCol.map(col).getOrElse(lit(0.0)).cast("double")
+    val f = fixes.select(col(trackCol).cast("long"), col(tCol).cast("double"),
+        col(nvecCol).getField("x"), col(nvecCol).getField("y"),
+        col(nvecCol).getField("z"), zc)
+      .as[(Long, Double, Double, Double, Double, Double)]
+    val q = queries.select(col(trackCol).cast("long"), col(tCol).cast("double"))
+      .as[(Long, Double)]
+    val out = f.groupByKey(_._1).cogroup(q.groupByKey(_._1)) { (track, fit, qit) =>
+      val fs = fit.toArray.sortBy(_._2)
+      val ts = qit.map(_._2).toArray.sorted
+      if (fs.isEmpty || ts.isEmpty) Iterator.empty
+      else {
+        val t = fs.map(_._2)
+        val rows = Array(fs.map(_._3), fs.map(_._4), fs.map(_._5), fs.map(_._6))
+        val itp = interpVectors(ts, t, rows, kind, windowLength, polyorder)
+        ts.indices.iterator.map { i =>
+          // unit(..., NaN) = reference norm_zero_vector=np.nan; NaN
+          // components (out-of-span queries) propagate through unit()
+          val u = graft.geo.VecMath.unit(
+            graft.geo.Vec3(itp(0)(i), itp(1)(i), itp(2)(i)), zeroFill = Double.NaN)
+          (track, ts(i), u.x, u.y, u.z, itp(3)(i))
+        }
+      }
+    }.toDF(trackCol, tCol, "__x", "__y", "__z", "__depth")
+    val withN = out.withColumn(nvecCol, geo.vec(col("__x"), col("__y"), col("__z")))
+      .drop("__x", "__y", "__z")
+    zCol match {
+      case Some(zc0) => withN.withColumnRenamed("__depth", zc0)
+      case None => withN.drop("__depth")
+    }
+  }
+
   /** Smoothed track positions: per-track Savitzky-Golay over each
     * n-vector component ('nearest' edge padding, the reference
     * default), renormalized to unit length. Distributes per track via

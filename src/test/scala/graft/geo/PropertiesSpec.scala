@@ -18,6 +18,18 @@ class PropertiesSpec extends AnyFunSuite {
   def in(seed: Long, lo: Double, hi: Double): Double = lo + (hi - lo) * rnd(seed)
   val N = 300
 
+  test("ellipsoid registry: ETRS89 reproduces the reference's un-inverted flattening") {
+    // upstream parity bug, kept deliberately (reference util.py:59):
+    // entry 19 stores the inverse flattening as the flattening. This
+    // test exists so nobody "fixes" it into disagreement with the
+    // reference — and documents that b < 0 for that entry.
+    val e = Ellipsoids("ETRS89")
+    assert(e.f == 298.257222101)
+    assert(e.b < 0, "expected the (faithful) nonsense polar radius")
+    // the adjacent GRS80 entry is the correct ETRS89-compatible choice
+    assert(math.abs(Ellipsoids("GRS80").f - 1.0 / 298.257222101) < 1e-9)
+  }
+
   test("deg(rad(x)) == x") {
     for (i <- 1 to N) {
       val x = in(i, -1e6, 1e6)

@@ -108,6 +108,42 @@ class GeoApiSpec extends AnyFunSuite {
     close(ix.lonDeg, 55.90186788)
   }
 
+  test("ellipsoidal onPath (objects.py:1772-1802 semantics)") {
+    val a = wgs84.GeoPointDeg(5, 10)
+    val b = wgs84.GeoPointDeg(10, 10)
+    val path = GeoPath(a, b)
+    // a point displaced along the exact geodesic azimuth, short of B
+    val (distAb, azAb, _) = a.distanceAndAzimuth(b)
+    val (onSeg, _) = a.displace(distAb * 0.4, azAb)
+    assert(path.onPath(onSeg, method = "ellipsoid"))
+    // the start point itself (distance 0 branch)
+    assert(path.onPath(a, method = "ellipsoid"))
+    // beyond B on the same azimuth: dist_AC > dist_AB -> off
+    val (past, _) = a.displace(distAb * 1.3, azAb)
+    assert(!path.onPath(past, method = "ellipsoid"))
+    // right distance, wrong azimuth -> off
+    assert(!path.onPath(wgs84.GeoPointDeg(7.5, 10.4), method = "ellipsoid"))
+    // depth mismatch -> off (z closeness is part of the test)
+    val deep = wgs84.GeoPointRad(onSeg.lat, onSeg.lon, z = 500.0)
+    assert(!path.onPath(deep, method = "ellipsoid"))
+  }
+
+  test("Nvector.interpolate carries z as a 4th interpolated row") {
+    val t = Array(0.0, 1.0, 2.0, 3.0, 4.0)
+    val ns = t.map { ti =>
+      wgs84.GeoPointDeg(10 + ti, 5 + 2 * ti, z = 7.0 * ti).toNvector
+    }.toSeq
+    val out = Nvector.interpolate(Array(1.5, 2.5, 5.0), t, ns, kind = "cubic")
+    // z linear in t -> reproduced exactly; normals unit
+    close(out(0).z, 7.0 * 1.5, atol = 1e-9)
+    close(out(1).z, 7.0 * 2.5, atol = 1e-9)
+    close(out(0).n.norm, 1.0, atol = 1e-12)
+    // out-of-span -> NaN position and z
+    assert(out(2).z.isNaN && out(2).n.hasNaN)
+    val gp = out(0).toGeoPoint
+    assert(gp.latDeg > 11.0 && gp.latDeg < 12.0)
+  }
+
   test("frame checks reject mixed ellipsoids") {
     val wgs72 = FrameE("WGS72")
     val pa = wgs84.GeoPointDeg(1, 2)

@@ -8,6 +8,87 @@ import graft.geo.{Gade, Vec3}
 import math.{toRadians => rad, toDegrees => deg}
 
 class TracksSpec extends AnyFunSuite {
+
+  test("not-a-knot cubic spline matches the independent numpy solve") {
+    // golden: direct 4n-unknown per-segment linear system in numpy
+    // (independent construction; scipy interp1d(kind='cubic') uses the
+    // same not-a-knot boundary)
+    val t = Array(0.0, 1.0, 2.5, 3.0, 5.0, 6.2)
+    val y = Array(1.0, -0.5, 2.0, 1.5, 0.0, 3.3)
+    val xs = Array(0.3, 0.9, 1.7, 2.6, 3.14159, 4.5, 6.0)
+    val want = Array(-0.16796103843008994, -0.6048709730171706,
+      0.8886469882801852, 1.9650512401199238, 1.2901477450986414,
+      -0.15357567201553557, 2.3939620809484867)
+    val m = Tracks.notAKnotSplineM(t, y)
+    xs.indices.foreach { i =>
+      assert(math.abs(Tracks.splineEval(t, y, m, xs(i)) - want(i)) < 1e-12,
+        s"x=${xs(i)}")
+    }
+  }
+
+  test("cubic spline reproduces cubic polynomials exactly (not-a-knot property)") {
+    // a NATURAL spline would fail this — it forces zero curvature at
+    // the ends; not-a-knot (scipy's choice) is exact on cubics
+    val t = Array(0.0, 0.7, 1.1, 2.0, 3.3, 4.0, 5.5)
+    def p(x: Double) = ((x - 2.0) * x + 3.0) * x - 1.0 + 0.5 * x * x * x
+    val y = t.map(p)
+    val m = Tracks.notAKnotSplineM(t, y)
+    Seq(0.1, 0.95, 1.5, 2.71828, 3.9, 5.49).foreach { x =>
+      assert(math.abs(Tracks.splineEval(t, y, m, x) - p(x)) < 1e-9, s"x=$x")
+    }
+  }
+
+  test("interpVectors cubic on the reference doctest shape (numpy golden)") {
+    // lat = rad(0..9), lon = sin(rad(linspace(-90, 70, 10))) — the
+    // interp_nvectors doctest input (core.py:712); goldens from the
+    // independent numpy spline + unit + n_E2lat_lon chain
+    val lat = (0 until 10).map(i => math.toRadians(i.toDouble)).toArray
+    val lon = (0 until 10).map(i =>
+      math.sin(math.toRadians(-90.0 + 160.0 * i / 9.0))).toArray
+    val nx = lat.indices.map(i => math.cos(lat(i)) * math.cos(lon(i))).toArray
+    val ny = lat.indices.map(i => math.cos(lat(i)) * math.sin(lon(i))).toArray
+    val nz = lat.map(math.sin)
+    val t = (0 until 10).map(_.toDouble).toArray
+    val tI = Array(0.45, 3.3, 7.77, 9.0)
+    val itp = Tracks.interpVectors(tI, t, Array(nx, ny, nz), kind = "cubic")
+    val wantLat = Array(0.4502490093003985, 3.3001937255849714,
+      7.769997951221048, 9.000000000000002)
+    val wantLon = Array(-56.76221714311895, -29.791669135205932,
+      42.65575801638416, 53.84042121061987)
+    tI.indices.foreach { i =>
+      val u = graft.geo.VecMath.unit(
+        graft.geo.Vec3(itp(0)(i), itp(1)(i), itp(2)(i)))
+      val (la, lo) = graft.geo.Gade.nvecToLatLon(u)
+      assert(math.abs(math.toDegrees(la) - wantLat(i)) < 1e-9, s"lat i=$i")
+      assert(math.abs(math.toDegrees(lo) - wantLon(i)) < 1e-9, s"lon i=$i")
+    }
+  }
+
+  test("interpolateSpline carries depth z and NaNs outside the span") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val fixes = (0 until 8).map { i =>
+      val lat = math.toRadians(10.0 + i); val lon = math.toRadians(5.0 + 2 * i)
+      (1L, i.toDouble, lat, lon, 100.0 + 10.0 * i * i) // quadratic depth
+    }.toDF("track", "t", "lat", "lon", "depth")
+      .withColumn("n", geo.nvec(col("lat"), col("lon")))
+      .select("track", "t", "n", "depth")
+    val queries = Seq((1L, 2.5), (1L, 6.25), (1L, -1.0), (1L, 9.5))
+      .toDF("track", "t")
+    val out = Tracks.interpolateSpline(fixes, queries, "track", "t", "n",
+        zCol = Some("depth"), kind = "cubic")
+      .select("t", "n.x", "depth").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == 4)
+    // out-of-span -> NaN
+    assert(out.head._2.isNaN && out.head._3.isNaN)
+    assert(out.last._2.isNaN && out.last._3.isNaN)
+    // depth is quadratic in t: the cubic spline reproduces it exactly
+    assert(math.abs(out(1)._3 - (100.0 + 10.0 * 2.5 * 2.5)) < 1e-9)
+    assert(math.abs(out(2)._3 - (100.0 + 10.0 * 6.25 * 6.25)) < 1e-9)
+    // interpolated normals are unit
+    assert(math.abs(out(1)._2) <= 1.0)
+  }
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

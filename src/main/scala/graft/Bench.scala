@@ -103,11 +103,20 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q07_gc_distance")
       .foreach(fn => fn(spark, sfDir).count())
-    val results = (if (skipQueries) Seq() else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // a crashed query must be distinguishable from a fast one in the
+    // JSON: record null instead of a normal-looking elapsed time
+    val results: Seq[(String, Option[Double])] =
+      (if (skipQueries) Seq() else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH QUERY FAILED: $name: $e")
+            name -> None
+        }
+      }
 
     // flagship image pipeline: 1 warm-up + 5 timed; the host VM has
     // heavy noisy-neighbor CPU variance, so the minimum is the honest
@@ -124,10 +133,12 @@ object Bench {
     val best = times.head
     val imgsPerSec = imgRows / best
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + median
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round}}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.count(_._2.isEmpty)
+    val total = results.flatMap(_._2).sum + median
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round}}""")
     spark.stop()
   }
 }

@@ -94,10 +94,32 @@ object PipelineMain {
       Lineage.commitWithMetrics(store, statsName, stats)
     }
     val stats = store.read(statsName)
+
+    // stage 5: nearest landmarks per populated tile — the kNN join
+    // with ellipsoidal re-rank, completing the north_star chain
+    // (cell index -> PIP -> aggregation -> kNN re-rank) under the
+    // same resumable snapshot protocol
+    val nearest = store.getOrCompute("nearest") {
+      val landmarks = spark.range(512)
+        .withColumn("lm_lat", asin(((col("id") * 2654435761L + 7L) % 180001L) / 90000.5 - 1.0))
+        .withColumn("lm_lon", (((col("id") * 40503L + 11L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+        .select(col("id").as("lm_id"),
+          geo.nvec(col("lm_lat"), col("lm_lon")).as("lm_n"))
+      val tileCenters = stats
+        .withColumn("mean_n",
+          geo.nvecDeg(col("mean_lat"), col("mean_lon")))
+        .withColumn("tile_key", concat_ws(":", col("aoi_id"), col("tile")))
+        .select("tile_key", "mean_n")
+      SpatialJoins.knnJoin(tileCenters, landmarks, "mean_n", "lm_n",
+          "tile_key", "lm_id", k = 3, geodesicReRank = true)
+        .select(col("tile_key"), col("rank"), col("lm_id"),
+          round(col("geodesic_m"), 3).as("geodesic_m"))
+    }
     val summary = stats.agg(count(lit(1)).as("tiles"),
       sum("n_imgs").as("assigned"), sum("n_bad").as("bad_payloads")).collect()(0)
     println(s"""{"tiles":${summary.getLong(0)},"assigned":${summary.getLong(1)},""" +
-      s""""bad_payloads":${summary.getLong(2)},"snapshots":${store.snapshots.size}}""")
+      s""""bad_payloads":${summary.getLong(2)},"nearest_rows":${nearest.count()},""" +
+      s""""snapshots":${store.snapshots.size}}""")
     spark.stop()
   }
 }

@@ -30,13 +30,18 @@ object Lineage {
     counts.orderBy("partition_id")
   }
 
-  /** Commit `df` as a snapshot together with its partition metrics
-    * (written as a sibling `<name>__metrics` snapshot in the same
-    * store version history).
+  /** Commit `df` as a snapshot together with its per-partition
+    * metrics (a sibling `<name>__metrics` snapshot in the same store
+    * version history). The metrics come from the commit's own
+    * manifest — parquet footers + committer file names — so the data
+    * is computed and scanned exactly ONCE; `df` is never re-executed.
     */
   def commitWithMetrics(store: SnapshotStore, name: String, df: DataFrame): Int = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = store.commit(name, df)
-    store.commit(s"${name}__metrics", partitionMetrics(df))
+    val metrics = store.fileMetrics(v).toDF("partition_id", "rows", "file")
+    store.commit(s"${name}__metrics", metrics)
     v
   }
 }

@@ -68,21 +68,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.parquet(dataPath(v, name))
   }
 
-  /** Write `df` as a new snapshot called `name`: data files, then
-    * per-partition row counts + input-file lineage in the snapshot
-    * JSON, then the atomic `current` pointer flip.
+  /** Write `df` as a new snapshot called `name`: ONE job writes the
+    * data files; the manifest (per-file row counts + the write
+    * partition each file came from) is then assembled from parquet
+    * FOOTERS — a metadata-only read, never a second pass over the
+    * data — followed by the atomic `current` pointer flip. The
+    * partition index is the one the parquet committer encodes in the
+    * part file name, so per-partition lineage costs nothing extra.
     */
   def commit(name: String, df: DataFrame): Int = {
     val v = currentVersion.getOrElse(0) + 1
     val out = dataPath(v, name)
-    df.write.mode("overwrite").parquet(out)
-    val written = spark.read.parquet(out)
-    // lineage metrics: rows per output partition (file) of this snapshot
-    val partCounts = written
-      .groupBy(input_file_name().as("file")).count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    val rowCount = partCounts.map(_._2).sum
+    df.write.mode("overwrite").parquet(out) // the only pass over the data
+    val partCounts = fileMetricsOf(out)
+    val rowCount = partCounts.map(_._3).sum
     val inputs = df.inputFiles.sorted
     val json = new StringBuilder
     json.append("{\n")
@@ -92,8 +91,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     json.append(s"""  "rowCount": $rowCount,\n""")
     json.append(s"""  "schema": "${esc(df.schema.json)}",\n""")
     json.append("  \"files\": [\n")
-    json.append(partCounts.map { case (f, c) =>
-      s"""    {"path": "${esc(f)}", "rows": $c}"""
+    json.append(partCounts.map { case (f, p, c) =>
+      s"""    {"path": "${esc(f)}", "partition": $p, "rows": $c}"""
     }.mkString(",\n"))
     json.append("\n  ],\n")
     json.append("  \"lineage\": [")
@@ -106,6 +105,39 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** (path, write-partition, rows) per data file of a written
+    * directory, from the parquet footers (metadata-only) and the
+    * partition index the committer encodes in part file names.
+    * Hadoop FS API, so the store works on any cluster filesystem.
+    */
+  def fileMetricsOf(dir: String): Seq[(String, Int, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val fname = s.getPath.getName
+        val part =
+          if (fname.startsWith("part-")) fname.slice(5, 10).toInt else -1
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf))
+        val rows = try reader.getRecordCount finally reader.close()
+        (s.getPath.toString, part, rows)
+      }
+  }
+
+  /** Per-partition metrics of a committed snapshot, parsed back from
+    * its manifest (no data access): (partition_id, rows, file).
+    */
+  def fileMetrics(v: Int): Seq[(Int, Long, String)] = {
+    val s = Files.readString(snapshotJson(v))
+    """\{"path": "([^"]*)", "partition": (-?\d+), "rows": (\d+)\}""".r
+      .findAllMatchIn(s)
+      .map(m => (m.group(2).toInt, m.group(3).toLong, m.group(1))).toSeq
   }
 
   /** Resumable checkpoint: if a committed snapshot named `name`

@@ -77,9 +77,52 @@ class SourcesSpec extends AnyFunSuite {
     Lineage.commitWithMetrics(store, "imgs", df)
     assert(store.read("imgs").count() == 100)
     val metrics = store.read("imgs__metrics")
-    assert(metrics.columns.toSeq == Seq("partition_id", "rows", "task_attempt"))
+    assert(metrics.columns.toSeq == Seq("partition_id", "rows", "file"))
     assert(metrics.agg(org.apache.spark.sql.functions.sum("rows"))
       .collect()(0).getLong(0) == 100)
+    // one metrics row per write partition, indices from the committer
+    assert(metrics.count() == 5)
+    assert(metrics.select("partition_id").collect().map(_.getInt(0)).sorted
+      .sameElements(0 until 5))
+  }
+
+  test("commit runs exactly one job and the manifest matches the data") {
+    val df = ImageTable.generate(spark, 120, 6)
+    val root = Files.newTmp("onejob")
+    val store = new SnapshotStore(spark, root)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.commit("imgs", df)
+      // drain the async listener bus
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 4 && waited < 100) {
+        Thread.sleep(100)
+        if (jobs.get == last) stable += 1 else { stable = 0; last = jobs.get }
+        waited += 1
+      }
+      assert(jobs.get == 1,
+        s"commit must scan the data exactly once, ran ${jobs.get} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // manifest content equals a fresh count over the committed files
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_snapshots", "v1.json"))
+    assert(json.contains("\"rowCount\": 120"))
+    val fm = store.fileMetrics(1)
+    assert(fm.map(_._2).sum == 120)
+    assert(fm.map(_._1).sorted.sameElements(0 until fm.length), "committer partition ids")
+    // per-file rows in the manifest match an actual read-back count
+    val readBack = spark.read.parquet(store.dataPath(1, "imgs"))
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    fm.foreach { case (_, rows, file) =>
+      val key = readBack.keys.find(_.endsWith(new java.io.File(file).getName)).get
+      assert(readBack(key) == rows, s"manifest rows mismatch for $file")
+    }
   }
 
   test("bucketed cell tables join without a shuffle") {

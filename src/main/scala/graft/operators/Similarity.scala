@@ -42,7 +42,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component (splitmix64 ->
     * [-1, 1)).
     */
-  private def hyperplane(seed: Int, dim: Int): Array[Double] =
+  private[operators] def hyperplane(seed: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
       val m = graft.sources.ImageTable.mix(seed.toLong * 131071 + i)
       (m >>> 11).toDouble / (1L << 52).toDouble - 1.0
@@ -50,17 +50,21 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products
     * with fixed deterministic hyperplanes, packed into a Long.
+    * Compiles to ONE static call (SimilarityKernels.lshSignature) —
+    * the equivalent builtin-composed form (bits x aggregate/zip_with
+    * over dim-element literal arrays) codegens to an enormous class
+    * that dominates job compile time; the kernel computes the same
+    * left-fold double arithmetic bit-for-bit. Expects array<float>.
     */
-  def lshSignature(vec: Column, dim: Int, bits: Int = 16): Column = {
-    val bitCols = (0 until bits).map { s =>
-      val h = hyperplane(s, dim)
-      val planeDot = aggregate(
-        zip_with(vec, array(h.map(lit): _*), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
-      when(planeDot >= 0, shiftleft(lit(1L), s)).otherwise(lit(0L))
-    }
-    bitCols.reduce[Column]((a, b) => a.bitwiseOR(b))
-  }
+  def lshSignature(vec: Column, dim: Int, bits: Int = 16): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.SimilarityKernels"),
+      org.apache.spark.sql.types.LongType, "lshSignature",
+      Seq(vec, lit(dim), lit(bits)),
+      Seq(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType),
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType))
 
   /** Band keys over the LSH signature (bandBits-sized chunks). Equal
     * band key => candidate pair.
@@ -185,27 +189,40 @@ object Similarity {
       qS.join(pairs.groupBy("__qid").count().filter(col("count") >= k)
         .select("__qid"), Seq("__qid"), "left_anti")
 
-    var pairs = pairsOf(qS, bandBits, 1)
+    // id-pair frames are tiny relative to the data; persist each stage
+    // so the starvation checks and the final vector join evaluate the
+    // banding (and the data-side signatures) exactly once
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += p
+      p
+    }
+    var pairs = hold(pairsOf(qS, bandBits, 1))
     // escalation ladder: (band width, probe radius)
     val ladder = Seq((bandBits, 2), (math.max(2, bandBits / 2), 1))
-    var starved = starvedAfter(pairs)
+    var starved = hold(starvedAfter(pairs))
     for ((bb, radius) <- ladder if !starved.isEmpty) {
-      pairs = pairs.unionByName(pairsOf(starved, bb, radius)).distinct()
-      starved = starvedAfter(pairs)
+      pairs = hold(pairs.unionByName(pairsOf(starved, bb, radius)).distinct())
+      starved = hold(starvedAfter(pairs))
     }
     if (!starved.isEmpty) {
       val n = starved.count()
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"lshTopK: $n queries starved after escalation; scanning data ids for them")
-      pairs = pairs.unionByName(
-        starved.select("__qid").crossJoin(dS.select("__did"))).distinct()
+      pairs = hold(pairs.unionByName(
+        starved.select("__qid").crossJoin(dS.select("__did"))).distinct())
     }
-    pairs
+    val result = pairs
       .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
       .join(data.withColumnRenamed(dId, "__did"), "__did")
       .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
       .withColumn(simCol, cosine(col(qVec), col(dVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize before releasing the id-pair stages
+    persisted.foreach(_.unpersist(blocking = false))
+    result
   }
 }

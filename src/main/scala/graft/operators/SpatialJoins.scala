@@ -171,13 +171,17 @@ object SpatialJoins {
       }
     // escalation schedule: widen at the base level, then coarsen the
     // level (data cells derived by exact parent arithmetic — no
-    // re-encode), ending in a wrap block (coverage = pi). Stragglers
-    // shrink each round, so the later joins broadcast the tiny probe
-    // side and scan data once instead of shuffling it.
+    // re-encode), ending in the CHEAPEST wrap block (level 2, 96
+    // cells; coverage = pi). Wrap-sized intermediate steps are
+    // filtered out — they'd explode 4^lvl cells per straggler for the
+    // same guarantee the level-2 terminal gives. Stragglers shrink
+    // each round, so the later joins broadcast the tiny probe side
+    // and scan data once instead of shuffling it.
     val steps: Seq[(Int, Int)] =
-      (Seq((lvl, 1), (lvl, 4)) ++
-        Iterator.iterate(lvl - 2)(_ - 2).takeWhile(_ > 2).map(l => (l, 4)).toSeq ++
-        Seq((2, 2))).distinct
+      ((Seq((lvl, 1), (lvl, 3)) ++
+        Iterator.iterate(lvl - 2)(_ - 2).takeWhile(_ > 2).map(l => (l, 3)).toSeq)
+        .filter { case (l, r) => CellIndex.coverageLowerBound(l, r) < math.Pi }
+        :+ ((2, 2))).distinct
     val dBase = data.withColumn("__cell", cells.cellAt(col(dNvec), lvl))
 
     var remaining: DataFrame = queries

@@ -441,6 +441,27 @@ object SparkEntry {
         .select(col("user_id"), col("tsec"), round(col("cog"), 6).as("cog_rad"))
         .orderBy("user_id", "tsec")
     }),
+    "q42_media_features" -> ((s, dir) => {
+      // real pure-JVM media codecs over synthesized payloads: PCM WAV
+      // parse + feature extraction, raw-MJPEG demux + per-frame decode
+      import s.implicits._
+      import graft.operators.{MediaCodecs, Multimodal}
+      val media = s.range(48).as[Long].map(MediaCodecs.syntheticMedia)
+        .toDF("media_id", "bytes", "kind")
+      val audio = Multimodal.audioFeatures(media.filter(col("kind") === "wav"),
+          "media_id", "bytes")
+        .groupBy(lit("wav").as("kind"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("rms"), 4).as("metric_a"),
+          sum("zero_crossings").cast("double").as("metric_b"))
+      val video = Multimodal.videoFrameSample(media.filter(col("kind") === "mjpeg"),
+          "media_id", "bytes", everyNth = 2)
+        .groupBy(lit("mjpeg").as("kind"))
+        .agg(count(lit(1)).as("n"),
+          avg("frame_w").as("metric_a"),
+          sum("frame_h").cast("double").as("metric_b"))
+      audio.unionByName(video).orderBy("kind")
+    }),
     "q41_track_interp_cubic" -> ((s, dir) => {
       // cubic (not-a-knot spline) track interpolation with depth carry
       // — the reference interp_nvectors(kind='cubic') headline path

@@ -11,11 +11,13 @@ import graft.sources.ImageTable
   * libraries initialized once per task).
   *
   * Image decode/resize/feature-extract are REAL (pure-JVM
-  * javax.imageio + raw buffers). Audio/video decoding libraries do
-  * not exist in this environment, so [[audioFeatures]] and
-  * [[videoFrameSample]] STUB the codec step with a deterministic
-  * byte-derived fake while keeping the Spark-side contract (schema,
-  * batching, partitioning) production-shaped.
+  * javax.imageio + raw buffers). Audio and video are decoded by the
+  * pure-JVM codecs in [[MediaCodecs]]: integer-PCM RIFF/WAVE parsing
+  * for [[audioFeatures]] and raw-MJPEG demux + javax.imageio frame
+  * decode for [[videoFrameSample]]. Payloads outside those formats
+  * (compressed audio, inter-frame video) are DROPPED with skip
+  * semantics — no library in this container can decode them, and
+  * faking features would be worse than omitting rows.
   */
 object Multimodal {
   final case class MediaRow(media_id: String, bytes: Array[Byte], w: Int, h: Int,
@@ -23,9 +25,11 @@ object Multimodal {
   final case class ImageFeatures(media_id: String, w: Int, h: Int,
                                  mean_luma: Double, luma_grid: Array[Double])
   final case class Thumbnail(media_id: String, w: Int, h: Int, bytes: Array[Byte])
-  final case class AudioFeatures(media_id: String, n_samples: Int, rms: Double,
+  final case class AudioFeatures(media_id: String, sample_rate: Int, channels: Int,
+                                 n_frames: Int, duration_s: Double, rms: Double,
                                  zero_crossings: Int)
   final case class VideoFrames(media_id: String, frame_index: Int,
+                               frame_w: Int, frame_h: Int,
                                frame_bytes: Array[Byte])
 
   /** Decode + 8x8 luma feature grid per image (REAL decode path). */
@@ -89,10 +93,10 @@ object Multimodal {
       }
   }
 
-  /** STUB codec: no audio libraries exist in this container, so the
-    * "decode" treats the payload bytes as 16-bit PCM samples
-    * deterministically — the schema, batching and downstream math are
-    * the real pipeline shape.
+  /** REAL audio decode: parse the RIFF/WAVE container (integer PCM,
+    * [[MediaCodecs.parseWav]]), mix interleaved channels to mono, and
+    * compute rms (in sample units) + zero crossings. Non-WAV /
+    * non-PCM payloads are dropped (skip semantics — see object doc).
     */
   def audioFeatures(media: DataFrame, idCol: String, bytesCol: String): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
@@ -100,42 +104,54 @@ object Multimodal {
     media.select(col(idCol), col(bytesCol))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // ??? real codec goes here; deterministic PCM reinterpretation:
-          val n = bytes.length / 2
-          var sumSq = 0.0
-          var crossings = 0
-          var prev = 0
-          var i = 0
-          while (i < n) {
-            val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
-            sumSq += s.toDouble * s
-            if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
-            prev = s
-            i += 1
+        it.flatMap { case (id, bytes) =>
+          MediaCodecs.parseWav(bytes).map { wav =>
+            val ch = wav.channels
+            val n = wav.framesPerChannel
+            var sumSq = 0.0
+            var crossings = 0
+            var prev = 0.0
+            var i = 0
+            while (i < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) { acc += wav.samples(i * ch + c); c += 1 }
+              val s = acc / ch // mono mixdown
+              sumSq += s * s
+              if (i > 0 && (s >= 0) != (prev >= 0)) crossings += 1
+              prev = s
+              i += 1
+            }
+            AudioFeatures(id, wav.sampleRate, ch, n, wav.durationSeconds,
+              math.sqrt(sumSq / math.max(1, n)), crossings)
           }
-          AudioFeatures(id, n, math.sqrt(sumSq / math.max(1, n)), crossings)
         }
       }
   }
 
-  /** STUB codec: "samples" `everyNth` frame from a video payload by
-    * slicing the byte stream deterministically (a real build would
-    * hand the bytes to a demuxer here); schema and explode shape match
-    * the real frame-sampling operator.
+  /** REAL video frame sampling: demux the raw MJPEG stream by JPEG
+    * SOI/EOI marker scan ([[MediaCodecs.mjpegFrameOffsets]]), keep
+    * every `everyNth` frame, and decode each kept frame with
+    * javax.imageio for its dimensions. Streams with no parseable
+    * frames are dropped (skip semantics — see object doc).
     */
   def videoFrameSample(media: DataFrame, idCol: String, bytesCol: String,
-                       frameBytes: Int, everyNth: Int): Dataset[VideoFrames] = {
+                       everyNth: Int): Dataset[VideoFrames] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol), col(bytesCol))
       .as[(String, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val nFrames = math.max(1, bytes.length / math.max(1, frameBytes))
-        (0 until nFrames by everyNth).map { f =>
-          val start = f * frameBytes
-          val end = math.min(bytes.length, start + frameBytes)
-          VideoFrames(id, f, java.util.Arrays.copyOfRange(bytes, start, end))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val offsets = MediaCodecs.mjpegFrameOffsets(bytes)
+          offsets.indices.by(math.max(1, everyNth)).iterator.flatMap { f =>
+            val (start, len) = offsets(f)
+            val frame = java.util.Arrays.copyOfRange(bytes, start, start + len)
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+            if (img == null) None
+            else Some(VideoFrames(id, f, img.getWidth, img.getHeight, frame))
+          }
         }
       }
   }

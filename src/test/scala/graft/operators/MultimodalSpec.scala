@@ -35,14 +35,55 @@ class MultimodalSpec extends AnyFunSuite {
     thumbs.foreach(t => assert(again(t.media_id) == t.bytes.toSeq))
   }
 
-  test("audio/video stubs keep schema and determinism") {
-    val af = Multimodal.audioFeatures(images, "image_id", "bytes").collect()
-    assert(af.length == 64)
-    assert(af.forall(a => a.n_samples > 0 && a.rms >= 0))
-    val vf = Multimodal.videoFrameSample(images, "image_id", "bytes", 256, 2).collect()
-    assert(vf.nonEmpty)
-    assert(vf.forall(_.frame_bytes.length <= 256))
-    val byId = vf.groupBy(_.media_id)
-    assert(byId.values.forall(fs => fs.map(_.frame_index).distinct.length == fs.length))
+  test("wav codec: encode/parse round trip and sine-wave features") {
+    import spark.implicits._
+    // 440 Hz sine at 8 kHz, 1 s, amplitude 10000, stereo (equal chans)
+    val rate = 8000; val n = 8000; val amp = 10000.0; val freq = 440.0
+    val mono = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate)).toShort)
+    val stereo = Array.tabulate(2 * n)(i => mono(i / 2))
+    val wav = MediaCodecs.encodeWavPcm16(rate, 2, stereo)
+    val parsed = MediaCodecs.parseWav(wav).get
+    assert(parsed.sampleRate == rate && parsed.channels == 2 &&
+      parsed.bitsPerSample == 16 && parsed.framesPerChannel == n)
+    val df = Seq(("a1", wav), ("bad", Array[Byte](1, 2, 3, 4, 5)))
+      .toDF("media_id", "bytes")
+    val af = Multimodal.audioFeatures(df, "media_id", "bytes").collect()
+    // the undecodable payload is dropped, not faked
+    assert(af.length == 1 && af.head.media_id == "a1")
+    val a = af.head
+    assert(a.sample_rate == rate && a.channels == 2 && a.n_frames == n)
+    assert(math.abs(a.duration_s - 1.0) < 1e-9)
+    // sine rms = amp/sqrt(2); quantization keeps it within 1%
+    assert(math.abs(a.rms - amp / math.sqrt(2)) < amp * 0.01, s"rms=${a.rms}")
+    // a 440 Hz sine crosses zero ~2*440 times per second
+    assert(math.abs(a.zero_crossings - 880) <= 2, s"zc=${a.zero_crossings}")
+  }
+
+  test("mjpeg demux: real frame boundaries and imageio decode") {
+    import spark.implicits._
+    // build a real MJPEG stream from JPEG-encoded synthetic frames
+    def jpegFrame(seed: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (seed * 2654435761L + y * w + x).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = (0 until 7).map(i => jpegFrame(i, 24, 16))
+    val stream = MediaCodecs.encodeMjpeg(frames)
+    val offsets = MediaCodecs.mjpegFrameOffsets(stream)
+    assert(offsets.length == 7, s"demuxed ${offsets.length} frames")
+    assert(offsets.map(_._2).sum == stream.length, "frames must tile the stream")
+    val df = Seq(("v1", stream), ("noise", Array.fill[Byte](64)(0x11))).toDF("media_id", "bytes")
+    val vf = Multimodal.videoFrameSample(df, "media_id", "bytes", everyNth = 2)
+      .collect().sortBy(_.frame_index)
+    assert(vf.map(_.media_id).distinct.sameElements(Array("v1")))
+    assert(vf.map(_.frame_index).sameElements(Array(0, 2, 4, 6)))
+    assert(vf.forall(f => f.frame_w == 24 && f.frame_h == 16))
+    // sampled frame bytes are the exact original JPEGs
+    vf.foreach(f => assert(f.frame_bytes.sameElements(frames(f.frame_index))))
   }
 }

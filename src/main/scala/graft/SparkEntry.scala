@@ -519,6 +519,14 @@ object SparkEntry {
     val a1 = graft.geo.Gade.latLonToNvec(math.toRadians(20.0), math.toRadians(-30.0))
     val a2 = graft.geo.Gade.latLonToNvec(math.toRadians(40.0), math.toRadians(10.0))
 
+    // WGS84 constants for the ellipsoidal azimuth chain (eq 22 +
+    // NED decompose), inlined at the same double values the Scala
+    // kernel computes
+    val wa = graft.geo.Ellipsoids.WGS84.a
+    val wf = graft.geo.Ellipsoids.WGS84.f
+    val omm = fmt((1.0 - wf) * (1.0 - wf))
+    val bPol = fmt(wa * (1.0 - wf))
+
     Map(
       "q01_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
@@ -741,7 +749,68 @@ object SparkEntry {
           | lagged AS (SELECT doc_id, lang, sig,
           |   lag(sig, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_sig FROM sigs)
           | SELECT doc_id, lang, CAST(bit_count(xor(sig, prev_sig)) AS INTEGER) AS hd
-          | FROM lagged WHERE prev_sig IS NOT NULL ORDER BY doc_id""".stripMargin.replace("\n", " ")
+          | FROM lagged WHERE prev_sig IS NOT NULL ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q37_course_over_ground" ->
+        (s"""WITH ev AS (SELECT user_id, event_id,
+            |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),
+            | n AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM ev),
+            | w AS (SELECT user_id, event_id, nx, ny, nz,
+            |   lag(nx) OVER win AS px, lag(ny) OVER win AS py, lag(nz) OVER win AS pz,
+            |   lead(nx) OVER win AS qx, lead(ny) OVER win AS qy, lead(nz) OVER win AS qz
+            |   FROM n WINDOW win AS (PARTITION BY user_id ORDER BY event_id)),
+            | mid AS (SELECT user_id, event_id,
+            |   CASE WHEN px IS NULL THEN nx ELSE px + nx END AS ax,
+            |   CASE WHEN py IS NULL THEN ny ELSE py + ny END AS ay,
+            |   CASE WHEN pz IS NULL THEN nz ELSE pz + nz END AS az,
+            |   CASE WHEN qx IS NULL THEN nx ELSE nx + qx END AS bx,
+            |   CASE WHEN qy IS NULL THEN ny ELSE ny + qy END AS by,
+            |   CASE WHEN qz IS NULL THEN nz ELSE nz + qz END AS bz
+            |   FROM w WHERE NOT (px IS NULL AND qx IS NULL)),
+            | un AS (SELECT user_id, event_id,
+            |   ax/sqrt(ax*ax+ay*ay+az*az) AS fx, ay/sqrt(ax*ax+ay*ay+az*az) AS fy, az/sqrt(ax*ax+ay*ay+az*az) AS fz,
+            |   bx/sqrt(bx*bx+by*by+bz*bz) AS tx, by/sqrt(bx*bx+by*by+bz*bz) AS ty, bz/sqrt(bx*bx+by*by+bz*bz) AS tz
+            |   FROM mid),
+            | pv AS (SELECT user_id, event_id, fx, fy, fz,
+            |   $bPol / sqrt(fz*fz + (fx*fx + fy*fy) / $omm) AS sf,
+            |   $bPol / sqrt(tz*tz + (tx*tx + ty*ty) / $omm) AS st,
+            |   tx, ty, tz FROM un),
+            | dl AS (SELECT user_id, event_id, fx, fy, fz,
+            |   (st*tx)/$omm - (sf*fx)/$omm AS dx,
+            |   (st*ty)/$omm - (sf*fy)/$omm AS dy,
+            |   st*tz - sf*fz AS dz FROM pv),
+            | frame AS (SELECT user_id, event_id, dx, dy, dz, fx, fy, fz,
+            |   CASE WHEN sqrt(fy*fy + fx*fx) = 0 THEN 0.0 ELSE -fy/sqrt(fy*fy + fx*fx) END AS ex,
+            |   CASE WHEN sqrt(fy*fy + fx*fx) = 0 THEN 1.0 ELSE fx/sqrt(fy*fy + fx*fx) END AS ey
+            |   FROM dl),
+            | ned AS (SELECT user_id, event_id,
+            |   (-ey*fz)*dx + (ex*fz)*dy + (ey*fx - ex*fy)*dz AS dn,
+            |   ex*dx + ey*dy AS de FROM frame)
+            | SELECT user_id, event_id, round(atan2(de, dn), 6) AS cog_rad
+            | FROM ned ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")),
+      "q38_track_interpolation" ->
+        s"""WITH fx AS (SELECT user_id, CAST(event_id AS DOUBLE) AS t,
+           |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),
+           | fixes AS (SELECT user_id, t, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM fx),
+           | queries AS (SELECT DISTINCT user_id, CAST(user_id AS DOUBLE) * 7.0 + 100.0 AS tq FROM events),
+           | br AS (SELECT q.user_id, q.tq,
+           |   max(f.t) FILTER (f.t <= q.tq) AS pt,
+           |   arg_max(f.nx, f.t) FILTER (f.t <= q.tq) AS pnx,
+           |   arg_max(f.ny, f.t) FILTER (f.t <= q.tq) AS pny,
+           |   arg_max(f.nz, f.t) FILTER (f.t <= q.tq) AS pnz,
+           |   min(f.t) FILTER (f.t >= q.tq) AS nt,
+           |   arg_min(f.nx, f.t) FILTER (f.t >= q.tq) AS nnx,
+           |   arg_min(f.ny, f.t) FILTER (f.t >= q.tq) AS nny,
+           |   arg_min(f.nz, f.t) FILTER (f.t >= q.tq) AS nnz
+           |   FROM queries q JOIN fixes f USING (user_id) GROUP BY q.user_id, q.tq),
+           | itp AS (SELECT user_id, tq,
+           |   CASE WHEN nt = pt THEN 0.0 ELSE (tq - pt) / (nt - pt) END AS fr,
+           |   pnx, pny, pnz, nnx, nny, nnz FROM br WHERE pt IS NOT NULL AND nt IS NOT NULL),
+           | pos AS (SELECT user_id, tq,
+           |   pnx + fr * (nnx - pnx) AS ix, pny + fr * (nny - pny) AS iy, pnz + fr * (nnz - pnz) AS iz FROM itp)
+           | SELECT user_id, tq AS tsec,
+           |   round(degrees(atan2(iz, sqrt(ix*ix + iy*iy))), 6) AS ilat,
+           |   round(degrees(atan2(iy, ix)), 6) AS ilon
+           | FROM pos ORDER BY user_id""".stripMargin.replace("\n", " ")
     )
   }
 }

@@ -527,6 +527,46 @@ object SparkEntry {
     val omm = fmt((1.0 - wf) * (1.0 - wf))
     val bPol = fmt(wa * (1.0 - wf))
 
+    /** Course-over-ground chain over a CTE `src`(user_id, <key>, nx,
+      * ny, nz): midpoint smoothing, eq-22 p-vectors, NED decompose,
+      * atan2(east, north) — the SQL mirror of Tracks.courseOverGround.
+      * Emits the CTE tail + final SELECT (user_id, <key>, cog_rad).
+      */
+    def cogChainSql(src: String, keyCol: String): String =
+      s"""w2 AS (SELECT user_id, $keyCol, nx, ny, nz,
+         |   lag(nx) OVER win AS px, lag(ny) OVER win AS py, lag(nz) OVER win AS pz,
+         |   lead(nx) OVER win AS qx, lead(ny) OVER win AS qy, lead(nz) OVER win AS qz
+         |   FROM $src WINDOW win AS (PARTITION BY user_id ORDER BY $keyCol)),
+         | mid AS (SELECT user_id, $keyCol,
+         |   CASE WHEN px IS NULL THEN nx ELSE px + nx END AS ax,
+         |   CASE WHEN py IS NULL THEN ny ELSE py + ny END AS ay,
+         |   CASE WHEN pz IS NULL THEN nz ELSE pz + nz END AS az,
+         |   CASE WHEN qx IS NULL THEN nx ELSE nx + qx END AS bx,
+         |   CASE WHEN qy IS NULL THEN ny ELSE ny + qy END AS by,
+         |   CASE WHEN qz IS NULL THEN nz ELSE nz + qz END AS bz
+         |   FROM w2 WHERE NOT (px IS NULL AND qx IS NULL)),
+         | un AS (SELECT user_id, $keyCol,
+         |   ax/sqrt(ax*ax+ay*ay+az*az) AS fx, ay/sqrt(ax*ax+ay*ay+az*az) AS fy, az/sqrt(ax*ax+ay*ay+az*az) AS fz,
+         |   bx/sqrt(bx*bx+by*by+bz*bz) AS tx, by/sqrt(bx*bx+by*by+bz*bz) AS ty, bz/sqrt(bx*bx+by*by+bz*bz) AS tz
+         |   FROM mid),
+         | pv AS (SELECT user_id, $keyCol, fx, fy, fz,
+         |   $bPol / sqrt(fz*fz + (fx*fx + fy*fy) / $omm) AS sf,
+         |   $bPol / sqrt(tz*tz + (tx*tx + ty*ty) / $omm) AS st,
+         |   tx, ty, tz FROM un),
+         | dl AS (SELECT user_id, $keyCol, fx, fy, fz,
+         |   (st*tx)/$omm - (sf*fx)/$omm AS dx,
+         |   (st*ty)/$omm - (sf*fy)/$omm AS dy,
+         |   st*tz - sf*fz AS dz FROM pv),
+         | frame AS (SELECT user_id, $keyCol, dx, dy, dz, fx, fy, fz,
+         |   CASE WHEN sqrt(fy*fy + fx*fx) = 0 THEN 0.0 ELSE -fy/sqrt(fy*fy + fx*fx) END AS ex,
+         |   CASE WHEN sqrt(fy*fy + fx*fx) = 0 THEN 1.0 ELSE fx/sqrt(fy*fy + fx*fx) END AS ey
+         |   FROM dl),
+         | ned AS (SELECT user_id, $keyCol,
+         |   (-ey*fz)*dx + (ex*fz)*dy + (ey*fx - ex*fy)*dz AS dn,
+         |   ex*dx + ey*dy AS de FROM frame)
+         | SELECT user_id, $keyCol, round(atan2(de, dn), 6) AS cog_rad
+         | FROM ned ORDER BY user_id, $keyCol""".stripMargin.replace("\n", " ")
+
     Map(
       "q01_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
@@ -754,39 +794,30 @@ object SparkEntry {
         (s"""WITH ev AS (SELECT user_id, event_id,
             |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),
             | n AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM ev),
-            | w AS (SELECT user_id, event_id, nx, ny, nz,
-            |   lag(nx) OVER win AS px, lag(ny) OVER win AS py, lag(nz) OVER win AS pz,
-            |   lead(nx) OVER win AS qx, lead(ny) OVER win AS qy, lead(nz) OVER win AS qz
-            |   FROM n WINDOW win AS (PARTITION BY user_id ORDER BY event_id)),
-            | mid AS (SELECT user_id, event_id,
-            |   CASE WHEN px IS NULL THEN nx ELSE px + nx END AS ax,
-            |   CASE WHEN py IS NULL THEN ny ELSE py + ny END AS ay,
-            |   CASE WHEN pz IS NULL THEN nz ELSE pz + nz END AS az,
-            |   CASE WHEN qx IS NULL THEN nx ELSE nx + qx END AS bx,
-            |   CASE WHEN qy IS NULL THEN ny ELSE ny + qy END AS by,
-            |   CASE WHEN qz IS NULL THEN nz ELSE nz + qz END AS bz
-            |   FROM w WHERE NOT (px IS NULL AND qx IS NULL)),
-            | un AS (SELECT user_id, event_id,
-            |   ax/sqrt(ax*ax+ay*ay+az*az) AS fx, ay/sqrt(ax*ax+ay*ay+az*az) AS fy, az/sqrt(ax*ax+ay*ay+az*az) AS fz,
-            |   bx/sqrt(bx*bx+by*by+bz*bz) AS tx, by/sqrt(bx*bx+by*by+bz*bz) AS ty, bz/sqrt(bx*bx+by*by+bz*bz) AS tz
-            |   FROM mid),
-            | pv AS (SELECT user_id, event_id, fx, fy, fz,
-            |   $bPol / sqrt(fz*fz + (fx*fx + fy*fy) / $omm) AS sf,
-            |   $bPol / sqrt(tz*tz + (tx*tx + ty*ty) / $omm) AS st,
-            |   tx, ty, tz FROM un),
-            | dl AS (SELECT user_id, event_id, fx, fy, fz,
-            |   (st*tx)/$omm - (sf*fx)/$omm AS dx,
-            |   (st*ty)/$omm - (sf*fy)/$omm AS dy,
-            |   st*tz - sf*fz AS dz FROM pv),
-            | frame AS (SELECT user_id, event_id, dx, dy, dz, fx, fy, fz,
-            |   CASE WHEN sqrt(fy*fy + fx*fx) = 0 THEN 0.0 ELSE -fy/sqrt(fy*fy + fx*fx) END AS ex,
-            |   CASE WHEN sqrt(fy*fy + fx*fx) = 0 THEN 1.0 ELSE fx/sqrt(fy*fy + fx*fx) END AS ey
-            |   FROM dl),
-            | ned AS (SELECT user_id, event_id,
-            |   (-ey*fz)*dx + (ex*fz)*dy + (ey*fx - ex*fy)*dz AS dn,
-            |   ex*dx + ey*dy AS de FROM frame)
-            | SELECT user_id, event_id, round(atan2(de, dn), 6) AS cog_rad
-            | FROM ned ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")),
+            |""".stripMargin.replace("\n", " ") + cogChainSql("n", "event_id")),
+      "q40_cog_smoothed" -> {
+        val coeff = graft.operators.Tracks.savgolCoefficients(7, 2)
+        def smoothTerm(lst: String): String =
+          coeff.zipWithIndex.map { case (c, kk) =>
+            s"${fmt(c)} * $lst[least(cnt, greatest(1, i + ${kk - 3}))]"
+          }.mkString(" + ")
+        s"""WITH ev AS (SELECT user_id, CAST(event_id AS DOUBLE) AS tsec,
+           |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),
+           | n AS (SELECT user_id, tsec, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM ev),
+           | ord AS (SELECT user_id, tsec, row_number() OVER (PARTITION BY user_id ORDER BY tsec) AS i,
+           |   count(*) OVER (PARTITION BY user_id) AS cnt FROM n),
+           | tr AS (SELECT user_id, list(nx ORDER BY tsec) AS lx, list(ny ORDER BY tsec) AS ly,
+           |   list(nz ORDER BY tsec) AS lz FROM n GROUP BY user_id),
+           | smooth AS (SELECT o.user_id, o.tsec,
+           |   ${smoothTerm("lx")} AS sx,
+           |   ${smoothTerm("ly")} AS sy,
+           |   ${smoothTerm("lz")} AS sz
+           |   FROM ord o JOIN tr USING (user_id)),
+           | sm AS (SELECT user_id, tsec,
+           |   sx/sqrt(sx*sx+sy*sy+sz*sz) AS nx, sy/sqrt(sx*sx+sy*sy+sz*sz) AS ny,
+           |   sz/sqrt(sx*sx+sy*sy+sz*sz) AS nz FROM smooth),
+           |""".stripMargin.replace("\n", " ") + cogChainSql("sm", "tsec")
+      },
       "q38_track_interpolation" ->
         s"""WITH fx AS (SELECT user_id, CAST(event_id AS DOUBLE) AS t,
            |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),

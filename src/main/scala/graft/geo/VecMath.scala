@@ -72,6 +72,21 @@ object VecMath {
     if (m <= -math.Pi) math.Pi else m
   }
 
+  /** Diagnostic mirror of the reference `_nvector_check_length`
+    * (util.py:415-450): warn when an n-vector deviates significantly
+    * from unit length (abs(norm - 1) > atol), returning the deviation
+    * so callers/tests can assert on it. Opt-in only — the kernels
+    * renormalize defensively, so this is a wrong-input tripwire, not
+    * a hot-path check.
+    */
+  def nvectorCheckLength(n: Vec3, atol: Double = 0.1): Double = {
+    val deviation = math.abs(n.norm - 1.0)
+    if (deviation > atol)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"n-vector should have unit length: norm(n_E)~=1 ! Error is: $deviation")
+    deviation
+  }
+
   /** Flush values tinier than the representable neighborhood of `small`
     * to zero (round-trip through `small` in floating point).
     */

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.functions.geo
 import graft.index.cells
 import graft.sources.SnapshotStore
@@ -37,6 +37,48 @@ object GeoStreams {
       .select(col("window.start").as("window_start"), col("cell"), col("n"),
         round(geo.latDeg(col("mean_n")), 6).as("mean_lat"),
         round(geo.lonDeg(col("mean_n")), 6).as("mean_lon"))
+
+  final case class Fix(track: Long, t: Double, x: Double, y: Double, z: Double)
+  final case class Cog(track: Long, t: Double, cog_rad: Double)
+
+  /** Streaming course over ground via custom state
+    * (flatMapGroupsWithState): per track, keep the last fix and emit
+    * the ellipsoid-exact bearing from it to each newly arrived fix.
+    * The streaming form of [[graft.operators.Tracks.courseOverGround]]
+    * for the common monotone-feed case (fixes per track arrive in
+    * time order; the batch operator remains the replay/backfill path
+    * where midpoint smoothing needs both neighbors).
+    *
+    * Input columns: (trackCol: long, tCol: double, nvecCol struct).
+    */
+  def courseOverGroundStream(stream: DataFrame, trackCol: String,
+                             tCol: String, nvecCol: String): Dataset[Cog] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(trackCol).cast("long").as("track"),
+        col(tCol).cast("double").as("t"),
+        col(nvecCol).getField("x").as("x"),
+        col(nvecCol).getField("y").as("y"),
+        col(nvecCol).getField("z").as("z"))
+      .as[Fix]
+      .groupByKey(_.track)
+      .flatMapGroupsWithState[Fix, Cog](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (track: Long, fixes: Iterator[Fix], state: GroupState[Fix]) =>
+          val sorted = fixes.toArray.sortBy(_.t)
+          var last = state.getOption
+          val out = sorted.iterator.flatMap { f =>
+            val bearing = last.map { p =>
+              Cog(track, f.t, graft.geo.Gade.azimuth(
+                graft.geo.Vec3(p.x, p.y, p.z), graft.geo.Vec3(f.x, f.y, f.z)))
+            }
+            last = Some(f)
+            bearing
+          }.toVector
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 
   /** Continuously ingest a deduplicated image stream into the
     * snapshot store: each micro-batch commits a new named snapshot

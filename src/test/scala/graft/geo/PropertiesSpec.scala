@@ -30,6 +30,13 @@ class PropertiesSpec extends AnyFunSuite {
     assert(math.abs(Ellipsoids("GRS80").f - 1.0 / 298.257222101) < 1e-9)
   }
 
+  test("nvectorCheckLength flags only significant deviations (util.py:415-450)") {
+    assert(VecMath.nvectorCheckLength(Vec3(0, 0, 1)) == 0.0)
+    assert(VecMath.nvectorCheckLength(Vec3(0, 0, 1.05)) < 0.1) // below atol
+    assert(VecMath.nvectorCheckLength(Vec3(0, 0, 2.0)) == 1.0) // warns
+    assert(VecMath.nvectorCheckLength(Vec3(0, 0, 1.2), atol = 0.1) > 0.1)
+  }
+
   test("deg(rad(x)) == x") {
     for (i <- 1 to N) {
       val x = in(i, -1e6, 1e6)

@@ -60,6 +60,40 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(total2 == 3, s"expected one new unique row, got $total2")
   }
 
+  test("streaming course over ground keeps per-track state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Double, Double)]
+    val df = input.toDF().toDF("track", "t", "latd", "lond")
+      .withColumn("n", geo.nvecDeg(col("latd"), col("lond")))
+    val cogs = GeoStreams.courseOverGroundStream(df, "track", "t", "n")
+    val q = cogs.writeStream.format("memory").queryName("cog_out")
+      .outputMode("append").start()
+    // batch 1: two fixes of track 1 (one bearing), one fix of track 2
+    input.addData((1L, 0.0, 10.0, 10.0), (1L, 1.0, 11.0, 10.0), (2L, 0.0, -5.0, 50.0))
+    q.processAllAvailable()
+    // batch 2: track 1 turns east; track 2 emits its first bearing —
+    // both rely on state carried from batch 1
+    input.addData((1L, 2.0, 11.0, 11.0), (2L, 1.0, -5.0, 51.0))
+    q.processAllAvailable()
+    val rows = spark.table("cog_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    q.stop()
+    assert(rows.length == 3)
+    // track 1 first leg: due north (~0 rad)
+    assert(math.abs(rows(0)._3) < 0.01, s"north leg: ${rows(0)._3}")
+    // track 1 second leg: due east at lat 11 (~pi/2), using state from batch 1
+    assert(math.abs(rows(1)._3 - math.Pi / 2) < 0.05, s"east leg: ${rows(1)._3}")
+    // track 2: due east near the equator
+    assert(math.abs(rows(2)._3 - math.Pi / 2) < 0.05, s"track2: ${rows(2)._3}")
+    // batch equivalence: the same fixes through the batch operator give
+    // the same bearings for interior legs computed from the same pairs
+    val batchAz = graft.geo.Gade.azimuth(
+      graft.geo.Gade.latLonToNvec(math.toRadians(10), math.toRadians(10)),
+      graft.geo.Gade.latLonToNvec(math.toRadians(11), math.toRadians(10)))
+    assert(math.abs(rows(0)._3 - batchAz) < 1e-12)
+  }
+
   test("streaming windowed cell counts with mean position") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -330,6 +330,20 @@ object SparkEntry {
           Dedup.hamming(col("sig"), col("prev_sig")).cast("int").as("hd"))
         .orderBy("doc_id")
     }),
+    "q43_ivf_topk" -> ((s, dir) => {
+      // IVF search path (assignment -> nProbe lists -> exact re-rank)
+      // over FIXED pseudo-random centroids so the DuckDB oracle can
+      // mirror it relationally; training is spec-verified separately
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      Similarity.ivfTopK(queries, data, "q_vec", "d_vec", "q_id", "d_id",
+          k = 5, dim = 64, Similarity.pseudoCentroids(16, 64), nProbe = 4)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
     // rows-only (not SQL-expressible): Karney, LSH, images -----------
     "q30_geodesic_inverse" -> ((s, dir) => {
       custPts(s, dir)
@@ -790,6 +804,37 @@ object SparkEntry {
           |   lag(sig, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_sig FROM sigs)
           | SELECT doc_id, lang, CAST(bit_count(xor(sig, prev_sig)) AS INTEGER) AS hd
           | FROM lagged WHERE prev_sig IS NOT NULL ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q43_ivf_topk" -> {
+        val cents = graft.operators.Similarity.pseudoCentroids(16, 64)
+        val values = (0 until 16).flatMap(c => (0 until 64).map(i =>
+          s"($c, $i, ${fmt(cents(c * 64 + i))})")).mkString(", ")
+        s"""WITH cent(c, ci, cv) AS (VALUES $values),
+           | cn AS (SELECT c, sqrt(sum(cv*cv)) AS cnorm FROM cent GROUP BY c),
+           | dv AS (SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+           |   FROM embeddings CROSS JOIN generate_series(0, 63) t(i)),
+           | dn AS (SELECT vec_id, sqrt(sum(v*v)) AS vnorm FROM dv GROUP BY vec_id),
+           | dots AS (SELECT dv.vec_id, cent.c, sum(dv.v * cent.cv) AS dot
+           |   FROM dv JOIN cent ON cent.ci = dv.i GROUP BY dv.vec_id, cent.c),
+           | sims AS (SELECT d.vec_id, d.c, d.dot / (dn.vnorm * cn.cnorm) AS sim
+           |   FROM dots d JOIN dn USING (vec_id) JOIN cn USING (c)),
+           | ranked_c AS (SELECT vec_id, c,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rc FROM sims),
+           | lists AS (SELECT vec_id AS d_id, c FROM ranked_c WHERE rc = 1),
+           | probes AS (SELECT vec_id AS q_id, c FROM ranked_c WHERE rc <= 4 AND vec_id < 10),
+           | cand AS (SELECT DISTINCT p.q_id, l.d_id FROM probes p JOIN lists l USING (c)),
+           | cdot AS (SELECT cd.q_id, cd.d_id, sum(a.v * b.v) AS dot
+           |   FROM cand cd JOIN dv a ON a.vec_id = cd.q_id
+           |   JOIN dv b ON b.vec_id = cd.d_id AND b.i = a.i
+           |   GROUP BY cd.q_id, cd.d_id),
+           | ccos AS (SELECT c0.q_id, c0.d_id,
+           |   c0.dot / (qa.vnorm * qb.vnorm) AS cos
+           |   FROM cdot c0 JOIN dn qa ON qa.vec_id = c0.q_id
+           |   JOIN dn qb ON qb.vec_id = c0.d_id),
+           | fin AS (SELECT q_id, d_id, cos,
+           |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, d_id) AS rank FROM ccos)
+           | SELECT q_id, rank, d_id, round(cos, 6) AS cosine FROM fin
+           | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
+      },
       "q37_course_over_ground" ->
         (s"""WITH ev AS (SELECT user_id, event_id,
             |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),

@@ -131,6 +131,125 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Deterministic pseudo-random centroids (for gates/benches that
+    * need the IVF SEARCH path without data-dependent training).
+    */
+  def pseudoCentroids(nCentroids: Int, dim: Int, seed: Int = 1000): Array[Double] =
+    Array.tabulate(nCentroids)(c => hyperplane(seed + c, dim)).flatten
+
+  /** Train IVF coarse centroids with Lloyd iterations executed as
+    * Spark aggregations (assignment via [[SimilarityKernels.ivfAssign]],
+    * per-cluster component means via groupBy — map-side partial
+    * aggregation, so each iteration is one pass over the data).
+    * Deterministic: initial centroids are the rows with the lowest
+    * xxhash64(id). Returns nCentroids x dim, row-major flat; empty
+    * clusters keep their previous centroid.
+    */
+  def ivfTrain(data: DataFrame, vecCol: String, idCol: String, dim: Int,
+               nCentroids: Int, iters: Int = 4): Array[Double] = {
+    val spark = data.sparkSession
+    var centroids: Array[Double] = data
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h").limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .flatMap(_.getSeq[Float](0).map(_.toDouble))
+    require(centroids.length == nCentroids * dim,
+      s"need >= $nCentroids rows of dim-$dim vectors to train IVF")
+    for (_ <- 1 to iters) {
+      val assigned = data.select(col(vecCol).as("__v"))
+        .withColumn("__c", ivfAssign(col("__v"), centroids, dim))
+        .withColumn("__d", transform(col("__v"), x => x.cast("double")))
+      val means = assigned.groupBy("__c")
+        .agg(array((0 until dim).map(i => avg(col("__d").getItem(i))): _*).as("__m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val next = centroids.clone()
+      means.foreach { case (c, m) => System.arraycopy(m, 0, next, c * dim, dim) }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id of a vector (centroids ride along as ONE
+    * array literal in the plan — cluster-correct, no driver-side
+    * statics).
+    */
+  def ivfAssign(vec: Column, centroidsFlat: Array[Double], dim: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.SimilarityKernels"),
+      org.apache.spark.sql.types.IntegerType, "ivfAssign",
+      Seq(vec, lit(centroidsFlat), lit(dim)),
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.IntegerType))
+
+  /** The `nProbe` nearest centroid ids of a vector (query side). */
+  def ivfProbes(vec: Column, centroidsFlat: Array[Double], dim: Int,
+                nProbe: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.SimilarityKernels"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false),
+      "ivfProbes",
+      Seq(vec, lit(centroidsFlat), lit(dim), lit(nProbe)),
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType))
+
+  /** IVF approximate top-k by cosine: data partitioned into coarse
+    * centroid lists (one equi-join key per row), queries probe their
+    * `nProbe` nearest lists, exact cosine re-rank inside the probed
+    * lists. The second ANN scale path next to [[lshTopK]] — better
+    * for clustered corpora, where hyperplane bands split dense
+    * clusters. Queries that still lack k candidates widen to all
+    * lists (one linear id scan for a residual query set, never a
+    * quadratic join).
+    */
+  def ivfTopK(queries: DataFrame, data: DataFrame,
+              qVec: String, dVec: String, qId: String, dId: String,
+              k: Int, dim: Int, centroidsFlat: Array[Double],
+              nProbe: Int = 4, simCol: String = "cosine"): DataFrame = {
+    val nCentroids = centroidsFlat.length / dim
+    val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
+    val dLists = data.select(col(dId).as("__did"), col(dVec).as("__dvec"))
+      .withColumn("__list", ivfAssign(col("__dvec"), centroidsFlat, dim))
+      .select("__list", "__did")
+    val qS = queries.select(col(qId).as("__qid"), col(qVec).as("__qvec"))
+    def pairsOf(qs: DataFrame, probes: Int): DataFrame =
+      qs.select(col("__qid"),
+          explode(ivfProbes(col("__qvec"), centroidsFlat, dim, probes)).as("__list"))
+        .join(dLists, "__list")
+        .select("__qid", "__did").distinct()
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += p
+      p
+    }
+    var pairs = hold(pairsOf(qS, nProbe))
+    def starvedAfter(p: DataFrame): DataFrame =
+      qS.join(p.groupBy("__qid").count().filter(col("count") >= k)
+        .select("__qid"), Seq("__qid"), "left_anti")
+    var starved = hold(starvedAfter(pairs))
+    for (probes <- Seq(math.min(nCentroids, nProbe * 4), nCentroids)
+         if !starved.isEmpty) {
+      pairs = hold(pairs.unionByName(pairsOf(starved, probes)).distinct())
+      starved = hold(starvedAfter(pairs))
+    }
+    val result = pairs
+      .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
+      .join(data.withColumnRenamed(dId, "__did"), "__did")
+      .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
+      .withColumn(simCol, cosine(col(qVec), col(dVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    persisted.foreach(_.unpersist(blocking = false))
+    result
+  }
+
   /** Query-side multi-probe band keys: each band's exact key plus its
     * hamming-1 (and, for radius 2, hamming-2) variants — near-miss
     * sign flips on single hyperplanes stop costing candidates

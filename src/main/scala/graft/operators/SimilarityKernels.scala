@@ -13,6 +13,62 @@ object SimilarityKernels {
     planeCache.computeIfAbsent((dim, bits),
       _ => Array.tabulate(bits)(s => Similarity.hyperplane(s, dim)))
 
+  /** Index of the nearest centroid by cosine (centroids L2-normalized
+    * on the fly; ties broken toward the lower index).
+    */
+  def ivfAssign(vec: ArrayData, centroidsFlat: ArrayData, dim: Int): Int = {
+    val n = math.min(dim, vec.numElements())
+    val k = centroidsFlat.numElements() / dim
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
+    val vd = math.sqrt(vn) + java.lang.Double.MIN_NORMAL
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var cn = 0.0
+      var j = 0
+      while (j < n) {
+        val cv = centroidsFlat.getDouble(c * dim + j)
+        dot += vec.getFloat(j).toDouble * cv
+        cn += cv * cv
+        j += 1
+      }
+      val sim = dot / (vd * (math.sqrt(cn) + java.lang.Double.MIN_NORMAL))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe nearest centroid indices by cosine, best first. */
+  def ivfProbes(vec: ArrayData, centroidsFlat: ArrayData, dim: Int,
+                nProbe: Int): ArrayData = {
+    val n = math.min(dim, vec.numElements())
+    val k = centroidsFlat.numElements() / dim
+    val sims = new Array[Double](k)
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
+    val vd = math.sqrt(vn) + java.lang.Double.MIN_NORMAL
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var cn = 0.0
+      var j = 0
+      while (j < n) {
+        val cv = centroidsFlat.getDouble(c * dim + j)
+        dot += vec.getFloat(j).toDouble * cv
+        cn += cv * cv
+        j += 1
+      }
+      sims(c) = dot / (vd * (math.sqrt(cn) + java.lang.Double.MIN_NORMAL))
+      c += 1
+    }
+    val idx = (0 until k).sortBy(c0 => (-sims(c0), c0)).take(math.min(nProbe, k))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx.toArray)
+  }
+
   /** Sign-bit signature of `vec` (array<float>) against `bits` fixed
     * deterministic hyperplanes. Identical arithmetic to the
     * builtin-composed form it replaces: per-plane left fold of

@@ -127,6 +127,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perQuery.length == 6 && perQuery.forall(_ == 4L))
   }
 
+  test("IVF top-k: trained lists, probe recall vs brute force, exact k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val centroids = Similarity.ivfTrain(data, "d_vec", "d_id", dim = 64,
+      nCentroids = 16, iters = 3)
+    assert(centroids.length == 16 * 64)
+    val ivf = Similarity.ivfTopK(queries, data, "q_vec", "d_vec", "q_id", "d_id",
+      k = 5, dim = 64, centroids, nProbe = 4)
+    val iRows = ivf.select("q_id", "d_id", "rank").collect()
+    assert(iRows.length == 50, "escalation must fill k for every query")
+    // rank 1 of each query is itself (it shares its own list)
+    iRows.filter(_.getInt(2) == 1).foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val brute = Similarity.bruteForceTopK(queries, data, "q_vec", "d_vec",
+      "q_id", "d_id", 5).select("q_id", "d_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iSet = iRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & iSet).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("embedding similarity: brute force and LSH top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))

@@ -441,14 +441,16 @@ object SparkEntry {
     }),
     "q40_cog_smoothed" -> ((s, dir) => {
       // Savitzky-Golay smoothing composed with course over ground —
-      // the reference's course_over_ground(window_length=...) path
+      // the reference's course_over_ground(window_length=...) path,
+      // via the pure-window-function smoother (the scale path: no
+      // per-track buffering)
       val ev = t(s, dir, "events")
         .withColumn("tsec", col("event_id").cast("double"))
         .withColumn("lat", latRad(col("event_id")))
         .withColumn("lon", lonRad(col("event_id")))
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .select(col("user_id"), col("tsec"), col("n"))
-      val smoothed = graft.operators.Tracks.savgolSmooth(
+      val smoothed = graft.operators.Tracks.savgolSmoothWindowed(
         ev, "user_id", "tsec", "n", windowLength = 7, polyorder = 2)
       graft.operators.Tracks.courseOverGround(smoothed, "user_id", "tsec", "n")
         .filter(!isnan(col("cog")))

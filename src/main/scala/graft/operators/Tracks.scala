@@ -326,10 +326,58 @@ object Tracks {
     }
   }
 
+  /** Savitzky-Golay smoothing as PURE WINDOW FUNCTIONS (no per-track
+    * buffering): each output is a fixed set of lag/lead taps with
+    * 'nearest' edge padding supplied by first/last over the partition.
+    * This is the scale path — memory per row is O(windowLength), so
+    * adversarial million-fix tracks stream through the window sort
+    * instead of materializing in one task (the [[savgolSmooth]]
+    * buffered variant remains for mode='interp', whose edge fits need
+    * the whole end windows).
+    *
+    * Exactly equivalent to savgolSmooth(mode="nearest") when the
+    * effective window (after the reference's odd/length truncation
+    * rules) equals `windowLength` — i.e. tracks longer than
+    * windowLength, the normal case at scale; shorter tracks should use
+    * the buffered variant, which applies the truncation rules.
+    */
+  def savgolSmoothWindowed(fixes: DataFrame, trackCol: String, tCol: String,
+                           nvecCol: String, windowLength: Int,
+                           polyorder: Int = 2): DataFrame = {
+    require(windowLength % 2 == 1 && polyorder < windowLength)
+    val coeff = savgolCoefficients(windowLength, polyorder)
+    val m = windowLength / 2
+    val w = Window.partitionBy(trackCol).orderBy(tCol)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def tap(c: Column, j: Int): Column =
+      if (j < 0) coalesce(lag(c, -j).over(w), first(c).over(wAll))
+      else if (j > 0) coalesce(lead(c, j).over(w), last(c).over(wAll))
+      else c
+    def smooth(field: String): Column =
+      (-m to m).map(j =>
+        tap(col(nvecCol).getField(field), j) * lit(coeff(j + m)))
+        .reduce(_ + _)
+    fixes
+      .withColumn("__sx", smooth("x"))
+      .withColumn("__sy", smooth("y"))
+      .withColumn("__sz", smooth("z"))
+      .withColumn(nvecCol,
+        geo.vunit(geo.vec(col("__sx"), col("__sy"), col("__sz"))))
+      .drop("__sx", "__sy", "__sz")
+  }
+
   /** Smoothed track positions: per-track Savitzky-Golay over each
     * n-vector component ('nearest' edge padding, the reference
     * default), renormalized to unit length. Distributes per track via
     * typed groups.
+    *
+    * NOTE (scale bound): this variant buffers one whole track per
+    * group — correct for vehicle-track cardinalities (10^3..10^5
+    * fixes); for unbounded tracks use [[savgolSmoothWindowed]], which
+    * needs only O(windowLength) state per row. This one remains the
+    * path for mode='interp' (edge polynomial fits need the full end
+    * windows) and for tracks shorter than the window (reference
+    * truncation rules).
     */
   def savgolSmooth(fixes: DataFrame, trackCol: String, tCol: String,
                    nvecCol: String, windowLength: Int, polyorder: Int = 2,

@@ -64,6 +64,32 @@ class TracksSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed savgol equals the buffered variant on long tracks") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val fixes = (0 until 3).flatMap { tr =>
+      (0 until 60).map { i =>
+        val lat = rad(5.0 + tr * 10 + 0.3 * i + 0.05 * math.sin(i * 1.7))
+        val lon = rad(2.0 * tr + 0.2 * i + 0.04 * math.cos(i * 2.3))
+        (tr.toLong, i.toDouble, lat, lon)
+      }
+    }.toDF("track", "t", "lat", "lon")
+      .withColumn("n", geo.nvec(col("lat"), col("lon")))
+      .select("track", "t", "n")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("track"), col("t"), col("n.x"), col("n.y"), col("n.z"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val buffered = key(Tracks.savgolSmooth(fixes, "track", "t", "n", 7, 2))
+    val windowed = key(Tracks.savgolSmoothWindowed(fixes, "track", "t", "n", 7, 2))
+    assert(buffered.keySet == windowed.keySet)
+    buffered.foreach { case (k, (bx, by, bz)) =>
+      val (wx, wy, wz) = windowed(k)
+      assert(math.abs(bx - wx) < 1e-12 && math.abs(by - wy) < 1e-12 &&
+        math.abs(bz - wz) < 1e-12, s"mismatch at $k")
+    }
+  }
+
   test("interpolateSpline carries depth z and NaNs outside the span") {
     val spark = SparkTestSession.spark
     import spark.implicits._

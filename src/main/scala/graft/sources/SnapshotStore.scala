@@ -68,6 +68,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.parquet(dataPath(v, name))
   }
 
+  /** Time travel: read `name` as of store version `asOf` — the latest
+    * snapshot of that name with version <= asOf (Iceberg
+    * snapshot-id-style read; superseded data directories are never
+    * deleted, so history stays readable).
+    */
+  def readAt(name: String, asOf: Int): DataFrame = {
+    val v = snapshots.filter(s => s._2 == name && s._1 <= asOf).map(_._1)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no snapshot named '$name' at or before version $asOf in $root"))
+    spark.read.parquet(dataPath(v, name))
+  }
+
   /** Write `df` as a new snapshot called `name`: ONE job writes the
     * data files; the manifest (per-file row counts + the write
     * partition each file came from) is then assembled from parquet

@@ -65,6 +65,10 @@ class SourcesSpec extends AnyFunSuite {
     val store2 = new SnapshotStore(spark, root)
     assert(store2.versionOf("derived").contains(3))
     assert(store2.read("derived").count() == 80)
+    // time travel: version 1 still reads the superseded 50-row table
+    assert(store2.readAt("images", 1).count() == 50)
+    assert(store2.readAt("images", 2).count() == 80)
+    intercept[IllegalArgumentException] { store2.readAt("derived", 2) }
   }
 
   test("lineage partition metrics and commitWithMetrics") {

@@ -207,7 +207,7 @@ object Tracks {
   }
 
   /** Linear interpolation with NaN outside the span (scipy interp1d
-    * kind='linear', bounds_error=False).
+    * kind='linear'/'slinear', bounds_error=False).
     */
   def linearEval(t: Array[Double], y: Array[Double], x: Double): Double = {
     val n = t.length
@@ -219,6 +219,27 @@ object Tracks {
     y(i) + f * (y(i + 1) - y(i))
   }
 
+  /** kind='zero': order-0 spline = previous-knot step function. */
+  def zeroEval(t: Array[Double], y: Array[Double], x: Double): Double = {
+    val n = t.length
+    if (x < t(0) || x > t(n - 1) || x.isNaN) return Double.NaN
+    val i = java.util.Arrays.binarySearch(t, x)
+    if (i >= 0) y(i) else y(-i - 2)
+  }
+
+  /** kind='nearest': value at the closest knot (scipy rounds exact
+    * midpoints DOWN via searchsorted on t - that convention).
+    */
+  def nearestEval(t: Array[Double], y: Array[Double], x: Double): Double = {
+    val n = t.length
+    if (x < t(0) || x > t(n - 1) || x.isNaN) return Double.NaN
+    var i = java.util.Arrays.binarySearch(t, x)
+    if (i >= 0) return y(i)
+    i = -i - 2
+    val midpoint = (t(i) + t(i + 1)) / 2.0
+    if (x <= midpoint) y(i) else y(i + 1)
+  }
+
   /** Pure-Scala port of the reference `_interp_vectors` +
     * `interp_nvectors` tail (core.py:586-744): optional Savitzky-Golay
     * pre-filter along time (mode 'interp'/'nearest', NO
@@ -227,14 +248,17 @@ object Tracks {
     * first three (e.g. depth z, objects.py:945-948) are interpolated
     * identically; the CALLER renormalizes rows 0-2 to unit.
     *
-    * kind: "linear" or "cubic" (not-a-knot, = scipy interp1d); tracks
-    * shorter than 4 fixes degrade cubic to linear (scipy raises there;
-    * a distributed operator must not kill the job for a 3-fix track).
+    * kind: "linear"/"slinear", "cubic" (not-a-knot, = scipy interp1d),
+    * "nearest", or "zero" (previous-knot step); tracks shorter than 4
+    * fixes degrade cubic to linear (scipy raises there; a distributed
+    * operator must not kill the job for a 3-fix track). kind
+    * "quadratic" is not implemented.
     */
   def interpVectors(tI: Array[Double], t: Array[Double], rows: Array[Array[Double]],
                     kind: String = "linear", windowLength: Int = 0,
                     polyorder: Int = 2, mode: String = "interp"): Array[Array[Double]] = {
-    require(kind == "linear" || kind == "cubic", s"unsupported kind $kind")
+    require(Set("linear", "slinear", "cubic", "nearest", "zero")(kind),
+      s"unsupported kind $kind")
     val n = t.length
     val smoothed =
       if (windowLength <= 0) rows
@@ -270,13 +294,15 @@ object Tracks {
           }
         }
       }
-    if (kind == "cubic" && n >= 4) {
-      smoothed.map { row =>
-        val m = notAKnotSplineM(t, row)
-        tI.map(x => splineEval(t, row, m, x))
-      }
-    } else {
-      smoothed.map(row => tI.map(x => linearEval(t, row, x)))
+    kind match {
+      case "cubic" if n >= 4 =>
+        smoothed.map { row =>
+          val m = notAKnotSplineM(t, row)
+          tI.map(x => splineEval(t, row, m, x))
+        }
+      case "nearest" => smoothed.map(row => tI.map(x => nearestEval(t, row, x)))
+      case "zero" => smoothed.map(row => tI.map(x => zeroEval(t, row, x)))
+      case _ => smoothed.map(row => tI.map(x => linearEval(t, row, x)))
     }
   }
 

@@ -64,6 +64,20 @@ class TracksSpec extends AnyFunSuite {
     }
   }
 
+  test("interp kinds nearest/zero/slinear (scipy interp1d conventions)") {
+    val t = Array(0.0, 1.0, 3.0, 4.0)
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val tI = Array(0.4, 0.5, 0.6, 2.0, 3.0, 4.0, 5.0)
+    val near = Tracks.interpVectors(tI, t, Array(y), kind = "nearest")(0)
+    // exact midpoint 0.5 rounds down (searchsorted convention)
+    assert(near.take(6).sameElements(Array(10.0, 10.0, 20.0, 20.0, 30.0, 40.0)))
+    assert(near(6).isNaN)
+    val zero = Tracks.interpVectors(tI, t, Array(y), kind = "zero")(0)
+    assert(zero.take(6).sameElements(Array(10.0, 10.0, 10.0, 20.0, 30.0, 40.0)))
+    val slin = Tracks.interpVectors(tI, t, Array(y), kind = "slinear")(0)
+    assert(math.abs(slin(3) - 25.0) < 1e-12) // halfway 1->3
+  }
+
   test("windowed savgol equals the buffered variant on long tracks") {
     val spark = SparkTestSession.spark
     import spark.implicits._

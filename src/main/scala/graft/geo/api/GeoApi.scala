@@ -214,8 +214,15 @@ final case class GeoPath(a: GeoPoint, b: GeoPoint) {
       val (distAc, azAc, _) = a.distanceAndAzimuth(point)
       def close(x: Double, y: Double): Boolean =
         math.abs(x - y) <= atol + rtol * math.max(math.abs(x), math.abs(y))
+      // azimuth agreement on the normalized DIFFERENCE — a deliberate
+      // robustness divergence from the reference, whose plain
+      // isclose(az_ac, az_ab) (objects.py:1802) rejects on-path points
+      // of due-south paths when atan2 jitters between +pi and -pi
+      val azClose =
+        math.abs(VecMath.normalizeAngle(azAc - azAb)) <=
+          atol + rtol * math.max(math.abs(azAc), math.abs(azAb))
       close(z, point.z) &&
-        (close(distAc, 0.0) || (distAb >= distAc && close(azAc, azAb)))
+        (close(distAc, 0.0) || (distAb >= distAc && azClose))
     } else
       Gade.onGreatCirclePath(nA, nB, Gade.latLonToNvec(point.lat, point.lon),
         meanRadius, atol)

@@ -45,17 +45,21 @@ object MediaCodecs {
     var data: Option[(Int, Int)] = None // (offset, size)
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(bytes, off)
-      val size = u32(bytes, off + 4).toInt
-      val body = off + 8
-      if (body + size > bytes.length) return None
+      // size stays a Long until bounds-checked: a corrupt 32-bit size
+      // must not overflow into a negative step (infinite loop /
+      // negative indexing) or bypass the bounds check
+      val size = u32(bytes, off + 4)
+      val body = off + 8L
+      if (size < 0 || body + size > bytes.length) return None
+      val sz = size.toInt
       id match {
-        case "fmt " if size >= 16 =>
-          fmt = Some((u16(bytes, body), u16(bytes, body + 2),
-            u32(bytes, body + 4).toInt, u16(bytes, body + 14)))
-        case "data" => data = Some((body, size))
+        case "fmt " if sz >= 16 =>
+          fmt = Some((u16(bytes, body.toInt), u16(bytes, body.toInt + 2),
+            u32(bytes, body.toInt + 4).toInt, u16(bytes, body.toInt + 14)))
+        case "data" => data = Some((body.toInt, sz))
         case _ => ()
       }
-      off = body + size + (size & 1) // chunks are word-aligned
+      off = body.toInt + sz + (sz & 1) // chunks are word-aligned
     }
     for {
       (audioFormat, channels, rate, bits) <- fmt
@@ -91,27 +95,61 @@ object MediaCodecs {
     out.array()
   }
 
-  /** (offset, length) of each JPEG frame in a raw MJPEG stream: scan
-    * for SOI (FFD8) to EOI (FFD9), skipping stuffed FF00 bytes and
-    * RSTn markers so entropy-coded data cannot fake a frame boundary.
+  /** (offset, length) of each JPEG frame in a raw MJPEG stream —
+    * SEGMENT-AWARE: length-delimited header segments (APPn, COM, DQT,
+    * DHT, SOF, DRI, ...) are skipped by their declared 2-byte
+    * lengths, so an FF D9 embedded inside e.g. an EXIF APP1 thumbnail
+    * cannot fake a frame boundary; after SOS the entropy-coded data
+    * is scanned with stuffed-FF00 and RSTn awareness until the true
+    * EOI. A structurally broken frame aborts the stream at its start
+    * (no guessing).
     */
   def mjpegFrameOffsets(bytes: Array[Byte]): Array[(Int, Int)] = {
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
     var i = 0
     while (i + 1 < bytes.length) {
-      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8) {
+      if (u8(i) == 0xff && u8(i + 1) == 0xd8) {
         val start = i
         var j = i + 2
         var end = -1
-        while (end < 0 && j + 1 < bytes.length) {
-          if ((bytes(j) & 0xff) == 0xff) {
-            val m = bytes(j + 1) & 0xff
-            if (m == 0xd9) end = j + 2
-            else j += 2
-          } else j += 1
+        var broken = false
+        // header segments until SOS or EOI
+        while (end < 0 && !broken) {
+          if (j + 1 >= bytes.length || u8(j) != 0xff) broken = true
+          else u8(j + 1) match {
+            case 0xd9 => end = j + 2 // EOI (frame without scan data)
+            case 0xd8 | 0x01 => j += 2 // SOI again / TEM: no length
+            case m if m >= 0xd0 && m <= 0xd7 => j += 2 // RSTn: no length
+            case 0xda => // SOS: skip its header, then entropy scan
+              if (j + 3 >= bytes.length) broken = true
+              else {
+                var k = j + 2 + ((u8(j + 2) << 8) | u8(j + 3))
+                var done = false
+                while (!done && !broken) {
+                  if (k + 1 >= bytes.length) broken = true
+                  else if (u8(k) == 0xff) {
+                    val m2 = u8(k + 1)
+                    if (m2 == 0xd9) { end = k + 2; done = true }
+                    else if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) k += 2
+                    else if (m2 == 0xff) k += 1 // fill byte
+                    else { j = k; done = true } // next segment marker
+                  } else k += 1
+                }
+                if (!done && !broken) () // unreachable
+                else if (end < 0 && !broken) () // continue header loop at j
+              }
+            case _ => // length-delimited segment (APPn, COM, DQT, ...)
+              if (j + 3 >= bytes.length) broken = true
+              else {
+                val len = (u8(j + 2) << 8) | u8(j + 3)
+                if (len < 2 || j + 2 + len > bytes.length) broken = true
+                else j = j + 2 + len
+              }
+          }
         }
         if (end > 0) { frames += ((start, end - start)); i = end }
-        else i = bytes.length
+        else i = bytes.length // broken frame: stop (no guessing)
       } else i += 1
     }
     frames.toArray

@@ -137,6 +137,63 @@ object Similarity {
   def pseudoCentroids(nCentroids: Int, dim: Int, seed: Int = 1000): Array[Double] =
     Array.tabulate(nCentroids)(c => hyperplane(seed + c, dim)).flatten
 
+  /** Shared starvation-escalation scaffold for the approximate top-k
+    * operators: run candidate `stages` in order (stage 0 over all
+    * queries, later stages only over still-starved ones) until every
+    * query has >= k candidate (id, id) pairs, falling back to one
+    * linear data-id scan for any residual queries; then join vectors
+    * back once and rank exactly. Id-pair stages persist MEMORY_AND_DISK
+    * and release after the result materializes. The returned result
+    * stays persisted so the caller's action reads the materialized
+    * rows; it is reclaimed by Spark's ContextCleaner once the caller
+    * drops the reference (or sooner via an explicit unpersist).
+    *
+    * Contract: `qS` has columns (__qid, __qvec); stages map a frame
+    * with those columns to (__qid, __did) pairs; `dIds` is the
+    * data-id projection (__did).
+    */
+  private def escalatedTopK(queries: DataFrame, data: DataFrame,
+                            qVec: String, dVec: String, qId: String, dId: String,
+                            k: Int, simCol: String,
+                            qS: DataFrame, dIds: DataFrame,
+                            stages: Seq[DataFrame => DataFrame],
+                            opName: String): DataFrame = {
+    val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += p
+      p
+    }
+    def starvedAfter(pairs: DataFrame): DataFrame =
+      qS.join(pairs.groupBy("__qid").count().filter(col("count") >= k)
+        .select("__qid"), Seq("__qid"), "left_anti")
+    var pairs = hold(stages.head(qS))
+    var starved = hold(starvedAfter(pairs))
+    for (stage <- stages.tail if !starved.isEmpty) {
+      pairs = hold(pairs.unionByName(stage(starved)).distinct())
+      starved = hold(starvedAfter(pairs))
+    }
+    if (!starved.isEmpty) {
+      val n = starved.count()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$opName: $n queries starved after escalation; scanning data ids for them")
+      pairs = hold(pairs.unionByName(
+        starved.select("__qid").crossJoin(dIds)).distinct())
+    }
+    val result = pairs
+      .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
+      .join(data.withColumnRenamed(dId, "__did"), "__did")
+      .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
+      .withColumn(simCol, cosine(col(qVec), col(dVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize before releasing the id-pair stages
+    persisted.foreach(_.unpersist(blocking = false))
+    result
+  }
+
   /** Train IVF coarse centroids with Lloyd iterations executed as
     * Spark aggregations (assignment via [[SimilarityKernels.ivfAssign]],
     * per-cluster component means via groupBy — map-side partial
@@ -211,43 +268,20 @@ object Similarity {
               k: Int, dim: Int, centroidsFlat: Array[Double],
               nProbe: Int = 4, simCol: String = "cosine"): DataFrame = {
     val nCentroids = centroidsFlat.length / dim
-    val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
     val dLists = data.select(col(dId).as("__did"), col(dVec).as("__dvec"))
       .withColumn("__list", ivfAssign(col("__dvec"), centroidsFlat, dim))
       .select("__list", "__did")
     val qS = queries.select(col(qId).as("__qid"), col(qVec).as("__qvec"))
-    def pairsOf(qs: DataFrame, probes: Int): DataFrame =
+    def pairsOf(probes: Int)(qs: DataFrame): DataFrame =
       qs.select(col("__qid"),
           explode(ivfProbes(col("__qvec"), centroidsFlat, dim, probes)).as("__list"))
         .join(dLists, "__list")
         .select("__qid", "__did").distinct()
-    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def hold(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += p
-      p
-    }
-    var pairs = hold(pairsOf(qS, nProbe))
-    def starvedAfter(p: DataFrame): DataFrame =
-      qS.join(p.groupBy("__qid").count().filter(col("count") >= k)
-        .select("__qid"), Seq("__qid"), "left_anti")
-    var starved = hold(starvedAfter(pairs))
-    for (probes <- Seq(math.min(nCentroids, nProbe * 4), nCentroids)
-         if !starved.isEmpty) {
-      pairs = hold(pairs.unionByName(pairsOf(starved, probes)).distinct())
-      starved = hold(starvedAfter(pairs))
-    }
-    val result = pairs
-      .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
-      .join(data.withColumnRenamed(dId, "__did"), "__did")
-      .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
-      .withColumn(simCol, cosine(col(qVec), col(dVec)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    persisted.foreach(_.unpersist(blocking = false))
-    result
+    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol,
+      qS, dLists.select("__did"),
+      Seq(pairsOf(nProbe) _, pairsOf(math.min(nCentroids, nProbe * 4)) _,
+        pairsOf(nCentroids) _),
+      "ivfTopK")
   }
 
   /** Query-side multi-probe band keys: each band's exact key plus its
@@ -291,57 +325,25 @@ object Similarity {
               qVec: String, dVec: String, qId: String, dId: String,
               k: Int, dim: Int, bits: Int = 16, bandBits: Int = 4,
               simCol: String = "cosine"): DataFrame = {
-    val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
     val dS = Dedup.spreadSmallInput(data)
       .select(col(dId).as("__did"), col(dVec).as("__dvec"))
     val qS = queries.select(col(qId).as("__qid"), col(qVec).as("__qvec"))
 
     def dBands(bb: Int): DataFrame = dS.select(col("__did"),
       explode(lshBands(lshSignature(col("__dvec"), dim, bits), bits, bb)).as("__band"))
-    def qBands(qs: DataFrame, bb: Int, radius: Int): DataFrame = qs.select(col("__qid"),
-      explode(lshProbeBands(lshSignature(col("__qvec"), dim, bits), bits, bb, radius))
-        .as("__band"))
-    def pairsOf(qs: DataFrame, bb: Int, radius: Int): DataFrame =
-      qBands(qs, bb, radius).join(dBands(bb), "__band")
+    def pairsOf(bb: Int, radius: Int)(qs: DataFrame): DataFrame =
+      qs.select(col("__qid"),
+          explode(lshProbeBands(lshSignature(col("__qvec"), dim, bits), bits, bb, radius))
+            .as("__band"))
+        .join(dBands(bb), "__band")
         .select("__qid", "__did").distinct()
-    def starvedAfter(pairs: DataFrame): DataFrame =
-      qS.join(pairs.groupBy("__qid").count().filter(col("count") >= k)
-        .select("__qid"), Seq("__qid"), "left_anti")
 
-    // id-pair frames are tiny relative to the data; persist each stage
-    // so the starvation checks and the final vector join evaluate the
-    // banding (and the data-side signatures) exactly once
-    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def hold(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += p
-      p
-    }
-    var pairs = hold(pairsOf(qS, bandBits, 1))
-    // escalation ladder: (band width, probe radius)
-    val ladder = Seq((bandBits, 2), (math.max(2, bandBits / 2), 1))
-    var starved = hold(starvedAfter(pairs))
-    for ((bb, radius) <- ladder if !starved.isEmpty) {
-      pairs = hold(pairs.unionByName(pairsOf(starved, bb, radius)).distinct())
-      starved = hold(starvedAfter(pairs))
-    }
-    if (!starved.isEmpty) {
-      val n = starved.count()
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"lshTopK: $n queries starved after escalation; scanning data ids for them")
-      pairs = hold(pairs.unionByName(
-        starved.select("__qid").crossJoin(dS.select("__did"))).distinct())
-    }
-    val result = pairs
-      .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
-      .join(data.withColumnRenamed(dId, "__did"), "__did")
-      .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
-      .withColumn(simCol, cosine(col(qVec), col(dVec)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize before releasing the id-pair stages
-    persisted.foreach(_.unpersist(blocking = false))
-    result
+    // escalation ladder: exact+hamming-1 probes, then hamming-2, then
+    // half-width re-banding (higher collision probability)
+    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol,
+      qS, dS.select("__did"),
+      Seq(pairsOf(bandBits, 1) _, pairsOf(bandBits, 2) _,
+        pairsOf(math.max(2, bandBits / 2), 1) _),
+      "lshTopK")
   }
 }

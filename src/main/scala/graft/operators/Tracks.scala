@@ -328,7 +328,20 @@ object Tracks {
     val q = queries.select(col(trackCol).cast("long"), col(tCol).cast("double"))
       .as[(Long, Double)]
     val out = f.groupByKey(_._1).cogroup(q.groupByKey(_._1)) { (track, fit, qit) =>
-      val fs = fit.toArray.sortBy(_._2)
+      // duplicate timestamps (same-second GPS fixes, retransmits)
+      // would put h=0 knots into the spline solve and NaN-poison the
+      // whole track — keep the first fix per timestamp (deterministic
+      // after the stable sort)
+      val fs0 = fit.toArray.sortBy(_._2)
+      val fs = if (fs0.length < 2) fs0 else {
+        val b = scala.collection.mutable.ArrayBuffer(fs0.head)
+        var i = 1
+        while (i < fs0.length) {
+          if (fs0(i)._2 != b.last._2) b += fs0(i)
+          i += 1
+        }
+        b.toArray
+      }
       val ts = qit.map(_._2).toArray.sorted
       if (fs.isEmpty || ts.isEmpty) Iterator.empty
       else {

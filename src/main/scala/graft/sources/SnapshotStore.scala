@@ -133,8 +133,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .sortBy(_.getPath.getName)
       .map { s =>
         val fname = s.getPath.getName
-        val part =
-          if (fname.startsWith("part-")) fname.slice(5, 10).toInt else -1
+        // committer naming is "part-NNNNN-uuid..."; anything else
+        // (foreign committers, >5-digit indices) degrades to -1
+        // rather than failing the commit after the data is written
+        val part = "part-(\\d+)".r.findPrefixMatchOf(fname)
+          .map(_.group(1).toInt).getOrElse(-1)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf))
         val rows = try reader.getRecordCount finally reader.close()

@@ -128,6 +128,25 @@ class GeoApiSpec extends AnyFunSuite {
     assert(!path.onPath(deep, method = "ellipsoid"))
   }
 
+  test("ellipsoidal onPath survives the +-pi azimuth of due-south paths") {
+    // azimuth A->B is ~pi (due south); an on-segment point whose
+    // azimuth jitters to ~-pi must still be on the path (the
+    // reference's plain isclose comparison fails here)
+    val a = wgs84.GeoPointDeg(10, 0)
+    val b = wgs84.GeoPointDeg(-10, 0)
+    val path = GeoPath(a, b)
+    val (distAb, azAb, _) = a.distanceAndAzimuth(b)
+    assert(math.abs(math.abs(azAb) - math.Pi) < 1e-9)
+    // nudge ~1e-8 deg west: azimuth flips to ~-pi while the
+    // normalized difference stays inside atol
+    val cWest = wgs84.GeoPointDeg(0.0, -1e-8)
+    val (_, azAc, _) = a.distanceAndAzimuth(cWest)
+    assert(azAb * azAc < 0, "test premise: azimuth signs differ")
+    assert(path.onPath(cWest, method = "ellipsoid"))
+    // still rejects genuinely wrong azimuths
+    assert(!path.onPath(wgs84.GeoPointDeg(0, 1), method = "ellipsoid"))
+  }
+
   test("Nvector.interpolate carries z as a 4th interpolated row") {
     val t = Array(0.0, 1.0, 2.0, 3.0, 4.0)
     val ns = t.map { ti =>

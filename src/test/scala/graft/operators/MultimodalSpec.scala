@@ -60,6 +60,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(a.zero_crossings - 880) <= 2, s"zc=${a.zero_crossings}")
   }
 
+  test("wav parser rejects malformed chunk sizes without hanging") {
+    def riff(chunkSize: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(56); b.put("WAVE".getBytes)
+      b.put("junk".getBytes); b.putInt(chunkSize.toInt)
+      b.array()
+    }
+    // size 0xFFFFFFF8 used to step the cursor backwards (infinite loop)
+    assert(MediaCodecs.parseWav(riff(0xFFFFFFF8L)).isEmpty)
+    // large positive size must not bypass the bounds check
+    assert(MediaCodecs.parseWav(riff(0x7FFFFFF0L)).isEmpty)
+    // truncated header
+    assert(MediaCodecs.parseWav("RIFF1234WAV".getBytes).isEmpty)
+  }
+
+  test("mjpeg demux skips APPn segments containing embedded FF D9") {
+    // craft a frame: SOI + APP1 whose payload embeds FF D8 ... FF D9
+    // (an EXIF-thumbnail stand-in) + a real JPEG body after it
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val real = bos.toByteArray // FF D8 <segments> ... FF D9
+    val thumb = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x11, 0x22,
+      0xFF.toByte, 0xD9.toByte)
+    val app1Len = 2 + thumb.length
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte) ++ thumb
+    // splice APP1 right after the real frame's SOI
+    val spliced = real.take(2) ++ app1 ++ real.drop(2)
+    val stream = MediaCodecs.encodeMjpeg(Seq(spliced, real))
+    val offsets = MediaCodecs.mjpegFrameOffsets(stream)
+    assert(offsets.length == 2, s"expected 2 frames, got ${offsets.length}")
+    assert(offsets(0) == ((0, spliced.length)),
+      s"embedded FF D9 must not end the frame: ${offsets(0)}")
+    assert(offsets(1) == ((spliced.length, real.length)))
+  }
+
   test("mjpeg demux: real frame boundaries and imageio decode") {
     import spark.implicits._
     // build a real MJPEG stream from JPEG-encoded synthetic frames

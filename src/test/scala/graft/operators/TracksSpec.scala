@@ -78,6 +78,24 @@ class TracksSpec extends AnyFunSuite {
     assert(math.abs(slin(3) - 25.0) < 1e-12) // halfway 1->3
   }
 
+  test("interpolateSpline tolerates duplicate fix timestamps") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val fixes = (Seq((1L, 2.0, 11.0, 7.0)) ++ (0 until 8).map { i =>
+      (1L, i.toDouble, 10.0 + i, 5.0 + 2.0 * i) // includes a second t=2.0
+    }).toDF("track", "t", "latd", "lond")
+      .withColumn("n", geo.nvecDeg(col("latd"), col("lond")))
+      .select("track", "t", "n")
+    val queries = Seq((1L, 3.5)).toDF("track", "t")
+    val out = Tracks.interpolateSpline(fixes, queries, "track", "t", "n")
+      .select(geo.latDeg(col("n"))).collect()
+    assert(out.length == 1 && !out(0).getDouble(0).isNaN,
+      "duplicate knot must not NaN-poison the track")
+    // the deduped track kinks at the duplicate, so allow a wide band —
+    // the point of the test is a finite, plausible value
+    assert(math.abs(out(0).getDouble(0) - 13.5) < 0.5)
+  }
+
   test("windowed savgol equals the buffered variant on long tracks") {
     val spark = SparkTestSession.spark
     import spark.implicits._

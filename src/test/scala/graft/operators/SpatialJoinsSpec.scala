@@ -226,6 +226,16 @@ class SpatialJoinsSpec extends AnyFunSuite {
     } finally s2.listenerManager.unregister(listener)
   }
 
+  test("distance join broadcasts the build side when asked") {
+    val a = pointsDf(300, "a", 51)
+    val b = pointsDf(100, "b", 52)
+    val joined = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", 500e3,
+      broadcastRight = true)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(joined.count() >= 0)
+  }
+
   test("cells DSL round trips against scalar kernels") {
     import graft.index.{cells, CellIndex}
     val p = pointsDf(200, "c", 8)

@@ -49,12 +49,24 @@ object GeoStreams {
     * time order; the batch operator remains the replay/backfill path
     * where midpoint smoothing needs both neighbors).
     *
+    * State is ONE fix per track. In production pass
+    * `idleTimeout = Some("1 hour")` so dead tracks' state expires
+    * (an unbounded track universe must not accumulate state forever);
+    * note that a processing-time timeout makes the engine schedule
+    * continuous no-data micro-batches to fire expirations, so
+    * test-style `processAllAvailable()` never settles with it — hence
+    * opt-in rather than default.
+    *
     * Input columns: (trackCol: long, tCol: double, nvecCol struct).
     */
   def courseOverGroundStream(stream: DataFrame, trackCol: String,
-                             tCol: String, nvecCol: String): Dataset[Cog] = {
+                             tCol: String, nvecCol: String,
+                             idleTimeout: Option[String] = None): Dataset[Cog] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     stream.select(col(trackCol).cast("long").as("track"),
         col(tCol).cast("double").as("t"),
         col(nvecCol).getField("x").as("x"),
@@ -62,21 +74,26 @@ object GeoStreams {
         col(nvecCol).getField("z").as("z"))
       .as[Fix]
       .groupByKey(_.track)
-      .flatMapGroupsWithState[Fix, Cog](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Fix, Cog](OutputMode.Append(), timeoutConf) {
         (track: Long, fixes: Iterator[Fix], state: GroupState[Fix]) =>
-          val sorted = fixes.toArray.sortBy(_.t)
-          var last = state.getOption
-          val out = sorted.iterator.flatMap { f =>
-            val bearing = last.map { p =>
-              Cog(track, f.t, graft.geo.Gade.azimuth(
-                graft.geo.Vec3(p.x, p.y, p.z), graft.geo.Vec3(f.x, f.y, f.z)))
-            }
-            last = Some(f)
-            bearing
-          }.toVector
-          last.foreach(state.update)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = fixes.toArray.sortBy(_.t)
+            var last = state.getOption
+            val out = sorted.iterator.flatMap { f =>
+              val bearing = last.map { p =>
+                Cog(track, f.t, graft.geo.Gade.azimuth(
+                  graft.geo.Vec3(p.x, p.y, p.z), graft.geo.Vec3(f.x, f.y, f.z)))
+              }
+              last = Some(f)
+              bearing
+            }.toVector
+            last.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
       }
   }
 

@@ -424,8 +424,15 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
     "q24_rasterize" -> ((s, dir) => {
+      // money average in EXACT integer arithmetic: double sums are
+      // order-dependent, and even identical quotient doubles round
+      // differently across engines on exact .xxxx5 boundaries
+      // (observed at sf0.1) — floor(cents * 1e4 / n) in BIGINT is
+      // associative and engine-independent. Unit: 1e-6 dollars.
+      val avgBalE6 = (sum(round(col("c_acctbal") * 100).cast("long")) * 10000L /
+        count(lit(1))).as("avg_bal_e6")
       graft.operators.Raster.rasterize(custPts(s, dir), "n", 4,
-          Seq(count(lit(1)).as("cnt"), round(avg("c_acctbal"), 4).as("avg_bal")))
+          Seq(count(lit(1)).as("cnt"), avgBalE6))
         .orderBy("cell")
     }),
     "q39_embedding_near_dups" -> ((s, dir) => {
@@ -728,7 +735,8 @@ object SparkEntry {
              |  least(15, greatest(0, CAST(floor((v + 1.0) * 0.5 * 16) AS BIGINT))) AS j FROM uv),
              | cellids AS (SELECT k, face * 144115188075855872 + 4 * 4503599627370496
              |  + i * 67108864 + j AS cell FROM ij)
-             | SELECT cell, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+             | SELECT cell, count(*) AS cnt,
+             |  (sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 10000) // count(*) AS avg_bal_e6
              | FROM cellids JOIN customer ON c_custkey = k
              | GROUP BY cell ORDER BY cell""".stripMargin.replace("\n", " ")),
       "q21_intersect" -> {

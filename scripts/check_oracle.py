@@ -53,6 +53,15 @@ def main(sfdir: str, outdir: str) -> int:
         ok = True
         for c in want.columns:
             a, b = want[c].to_numpy(), got[c].to_numpy()
+            # int-vs-float kind mismatch = schema mismatch at the driver
+            # (its compare hashes exact values), even if numerically close
+            ak, bk = a.dtype.kind, b.dtype.kind
+            if ak != 'O' and bk != 'O' and (ak in 'iu') != (bk in 'iu'):
+                print(f"FAIL {name}: column {c}: dtype kind mismatch "
+                      f"oracle={a.dtype} engine={b.dtype}")
+                ok = False
+                failures += 1
+                break
             if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
                 af = a.astype(float); bf = b.astype(float)
                 bad = ~(np.isclose(af, bf, rtol=1e-9, atol=1e-9) |

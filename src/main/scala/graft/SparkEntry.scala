@@ -103,12 +103,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // engine-level relational coverage -------------------------------
     "q01_agg_pricing" -> ((s, dir) => {
+      // avg of a 2-dp column in exact integer cents (see q24: double
+      // sum order + decimal rounding boundaries are engine- and
+      // scale-dependent for rational averages); money SUMs rounded at
+      // 2 dp are safe — their true values are 0.01-multiples, 0.0025
+      // away from any rounding boundary
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          sum(round(col("l_discount") * 100).cast("long")).as("__disc_cents"),
           count(lit(1)).as("cnt"))
+        // `div` = integral division (Column./ is always floating)
+        .withColumn("avg_disc_e6", expr("__disc_cents * 10000 div cnt"))
+        .drop("__disc_cents")
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+          "avg_disc_e6", "cnt")
         .orderBy("l_returnflag", "l_linestatus")
     }),
     "q02_join_revenue" -> ((s, dir) => {
@@ -427,12 +437,13 @@ object SparkEntry {
       // money average in EXACT integer arithmetic: double sums are
       // order-dependent, and even identical quotient doubles round
       // differently across engines on exact .xxxx5 boundaries
-      // (observed at sf0.1) — floor(cents * 1e4 / n) in BIGINT is
+      // (observed at sf0.1) — cents * 1e4 div n in BIGINT is
       // associative and engine-independent. Unit: 1e-6 dollars.
-      val avgBalE6 = (sum(round(col("c_acctbal") * 100).cast("long")) * 10000L /
-        count(lit(1))).as("avg_bal_e6")
       graft.operators.Raster.rasterize(custPts(s, dir), "n", 4,
-          Seq(count(lit(1)).as("cnt"), avgBalE6))
+          Seq(count(lit(1)).as("cnt"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("__cents")))
+        .withColumn("avg_bal_e6", expr("__cents * 10000 div cnt"))
+        .drop("__cents")
         .orderBy("cell")
     }),
     "q39_embedding_near_dups" -> ((s, dir) => {
@@ -593,7 +604,8 @@ object SparkEntry {
     Map(
       "q01_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-          | round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc,
+          | round(sum(l_extendedprice), 2) AS sum_price,
+          | (CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) * 10000) // count(*) AS avg_disc_e6,
           | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus
           | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
       "q02_join_revenue" ->
@@ -736,7 +748,7 @@ object SparkEntry {
              | cellids AS (SELECT k, face * 144115188075855872 + 4 * 4503599627370496
              |  + i * 67108864 + j AS cell FROM ij)
              | SELECT cell, count(*) AS cnt,
-             |  (sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 10000) // count(*) AS avg_bal_e6
+             |  (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) * 10000) // count(*) AS avg_bal_e6
              | FROM cellids JOIN customer ON c_custkey = k
              | GROUP BY cell ORDER BY cell""".stripMargin.replace("\n", " ")),
       "q21_intersect" -> {

@@ -119,6 +119,7 @@ object MediaCodecs {
           if (j + 1 >= bytes.length || u8(j) != 0xff) broken = true
           else u8(j + 1) match {
             case 0xd9 => end = j + 2 // EOI (frame without scan data)
+            case 0xff => j += 1 // fill byte before a marker
             case 0xd8 | 0x01 => j += 2 // SOI again / TEM: no length
             case m if m >= 0xd0 && m <= 0xd7 => j += 2 // RSTn: no length
             case 0xda => // SOS: skip its header, then entropy scan

@@ -97,6 +97,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(offsets(0) == ((0, spliced.length)),
       s"embedded FF D9 must not end the frame: ${offsets(0)}")
     assert(offsets(1) == ((spliced.length, real.length)))
+
+    // fill bytes (0xFF padding) before a header marker are legal
+    val padded = real.take(2) ++ Array[Byte](0xFF.toByte, 0xFF.toByte) ++ real.drop(2)
+    val off2 = MediaCodecs.mjpegFrameOffsets(padded)
+    assert(off2.length == 1 && off2(0) == ((0, padded.length)),
+      s"fill bytes broke the parse: ${off2.toSeq}")
   }
 
   test("mjpeg demux: real frame boundaries and imageio decode") {

@@ -193,6 +193,45 @@ object CellIndex {
     case _ => Vec3(v, u, -1)
   }
 
+  /** Safe lower bound [rad] on the angular distance from unit vector
+    * (x, y, z) to any point of `cell` (0 when the point may lie in or
+    * touch the cell): the largest violated bounding-plane angle, plus
+    * the face-hemisphere constraint. Never overestimates, so a disc
+    * cover built from it can only over-include cells.
+    */
+  def cellMinDistLB(id: Long, x: Double, y: Double, z: Double): Double = {
+    val level = levelOf(id)
+    val scale = 1 << level
+    val step = 2.0 / scale
+    val face = faceOf(id)
+    val u0 = iOf(id) * step - 1.0; val u1 = u0 + step
+    val v0 = jOf(id) * step - 1.0; val v1 = v0 + step
+    val w = faceW(face); val ua = faceU(face); val va = faceV(face)
+    val pw = x * w.x + y * w.y + z * w.z
+    // plane u = c with the cell on the {>= c} (sideGE) or {<= c} side;
+    // positive return = violation angle
+    def viol(ax: Vec3, c: Double, sideGE: Boolean): Double = {
+      val d = (x * ax.x + y * ax.y + z * ax.z) - c * pw
+      val s = d / math.sqrt(1.0 + c * c)
+      val signed = if (sideGE) -s else s
+      if (signed > 0) math.asin(math.min(1.0, signed)) else 0.0
+    }
+    var lb = math.max(viol(ua, u0, sideGE = true), viol(ua, u1, sideGE = false))
+    lb = math.max(lb, math.max(viol(va, v0, sideGE = true), viol(va, v1, sideGE = false)))
+    if (pw < 0) lb = math.max(lb, math.asin(math.min(1.0, -pw)))
+    lb
+  }
+
+  /** All cells at `level` intersecting (by the safe lower bound) the
+    * spherical cap of radius `angleRad` around unit (x, y, z) —
+    * exact disc cover for broadcast prefilters. Sorted ascending.
+    */
+  def capCells(x: Double, y: Double, z: Double, level: Int,
+               angleRad: Double): Array[Long] = {
+    val out = allCells(level).filter(c => cellMinDistLB(c, x, y, z) <= angleRad)
+    out
+  }
+
   /** Face frame axes: dirOf(face, u, v) = faceW + u*faceU + v*faceV. */
   private[index] val faceW = Array(Vec3(1, 0, 0), Vec3(-1, 0, 0), Vec3(0, 1, 0),
     Vec3(0, -1, 0), Vec3(0, 0, 1), Vec3(0, 0, -1))

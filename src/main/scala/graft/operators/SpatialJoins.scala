@@ -231,24 +231,24 @@ object SpatialJoins {
     val spark = points.sparkSession
     import spark.implicits._
     require(aois.nonEmpty)
-    // coarsest level at which every AOI's circumdisc provably fits a
-    // 1-ring block (safe bound; huge AOIs bottom out at level 2)
+    // exact disc covers: enumerate cells at a level sized so each
+    // AOI's cover is ~100 cells and keep those whose safe
+    // lower-bound distance to the centroid is inside the circumdisc.
+    // Unlike a centroid-ring block, this never degenerates to a
+    // whole-sphere cover for continent-sized AOIs, so points
+    // prefilter to the AOIs that can actually contain them. One
+    // shared level so the join key is a single cell column.
     val level = aois.map { a =>
-      val l = CellIndex.levelForRadiusSafe(math.max(a.circumAngle, 1e-6), 1)
-      if (l < 0) 2 else l
+      val discArea = 2.0 * math.Pi *
+        (1.0 - math.cos(math.min(math.Pi, math.max(a.circumAngle, 1e-6))))
+      // 6*4^L cells on the sphere; want ~96 cells over discArea
+      val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
+        math.log(2.0))).ceil.toInt
+      math.max(2, math.min(8, l))
     }.min
     val cover: Seq[(Long, String)] = aois.flatMap { a =>
-      val cCell = CellIndex.cellAt(a.centroid.x, a.centroid.y, a.centroid.z, level)
-      // a cell intersecting the circumdisc lies entirely within
-      // circumAngle + its own diagonal (<= sqrt(2)*step) of the
-      // centroid; widen the block until its exact coverage holds that
-      // (the wrap block covers the sphere, so the loop terminates)
-      val slack = math.sqrt(2.0) * 2.0 / (1 << level)
-      var kk = 1
-      while (2 * kk + 1 < (1 << level) &&
-        CellIndex.ringCoverageRad(a.centroid.x, a.centroid.y, a.centroid.z,
-          level, kk) < a.circumAngle + slack) kk += 1
-      CellIndex.ring(cCell, kk).map(c => (c, a.id))
+      CellIndex.capCells(a.centroid.x, a.centroid.y, a.centroid.z,
+        level, a.circumAngle).map(c => (c, a.id))
     }
     val coverDf = broadcast(cover.toDF("__cell", "aoi_id"))
     val vertsDf = broadcast(aois.map(a => (a.id, a.flatVerts)).toDF("aoi_id", "__verts"))

@@ -108,6 +108,26 @@ class CellIndexSpec extends AnyFunSuite {
     assert(ringCoverageRad(p.x, p.y, p.z, 2, 2) == math.Pi)
   }
 
+  test("capCells covers every point of the cap (disc-cover property)") {
+    for (i <- 1L to 300L) {
+      val c = randomPoint(i * 17)
+      val ang = 0.01 + 1.2 * rnd(i * 19) // up to ~continent size
+      val level = 2 + (rnd(i * 23) * 4).toInt
+      val cover = capCells(c.x, c.y, c.z, level, ang)
+      assert(cover.nonEmpty)
+      for (j <- 1 to 30) {
+        val q = Gade.sphereReckon(c, ang * rnd(i * 1000 + j),
+          2 * math.Pi * rnd(i * 2000 + j))
+        val cq = cellAt(q.x, q.y, q.z, level)
+        assert(java.util.Arrays.binarySearch(cover, cq) >= 0,
+          s"i=$i level=$level ang=$ang point not covered")
+      }
+      // the lower bound is a true lower bound: cells far outside the
+      // cap are excluded (cover is not the whole sphere for small caps)
+      if (ang < 0.3 && level >= 4) assert(cover.length < allCells(level).length / 4)
+    }
+  }
+
   test("levelForRadius picks a covering level") {
     for (meters <- Seq(10.0, 1000.0, 50000.0, 2e6)) {
       val angle = meters / 6371009.0

@@ -224,12 +224,24 @@ object CellIndex {
 
   /** All cells at `level` intersecting (by the safe lower bound) the
     * spherical cap of radius `angleRad` around unit (x, y, z) —
-    * exact disc cover for broadcast prefilters. Sorted ascending.
+    * exact disc cover for broadcast prefilters, computed by quadtree
+    * DESCENT from the 6 faces (a child within the cap implies its
+    * parent's true distance — hence its lower bound — is within the
+    * cap, so pruning parents never loses needed cells). Cost is
+    * O(cover size * level), valid at any level; sorted ascending.
     */
   def capCells(x: Double, y: Double, z: Double, level: Int,
                angleRad: Double): Array[Long] = {
-    val out = allCells(level).filter(c => cellMinDistLB(c, x, y, z) <= angleRad)
-    out
+    var frontier = Array.tabulate(6)(f => pack(f, 0, 0, 0))
+      .filter(c => cellMinDistLB(c, x, y, z) <= angleRad)
+    var l = 0
+    while (l < level) {
+      frontier = frontier.flatMap(children)
+        .filter(c => cellMinDistLB(c, x, y, z) <= angleRad)
+      l += 1
+    }
+    java.util.Arrays.sort(frontier)
+    frontier
   }
 
   /** Face frame axes: dirOf(face, u, v) = faceW + u*faceU + v*faceV. */

@@ -45,12 +45,12 @@ object MediaCodecs {
     var data: Option[(Int, Int)] = None // (offset, size)
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(bytes, off)
-      // size stays a Long until bounds-checked: a corrupt 32-bit size
-      // must not overflow into a negative step (infinite loop /
-      // negative indexing) or bypass the bounds check
+      // size stays a Long (u32 yields [0, 2^32)) until bounds-checked
+      // in Long math, so a corrupt 32-bit size can neither step the
+      // cursor backwards nor bypass the bounds check via overflow
       val size = u32(bytes, off + 4)
       val body = off + 8L
-      if (size < 0 || body + size > bytes.length) return None
+      if (body + size > bytes.length) return None
       val sz = size.toInt
       id match {
         case "fmt " if sz >= 16 =>

@@ -242,9 +242,12 @@ object SpatialJoins {
       val discArea = 2.0 * math.Pi *
         (1.0 - math.cos(math.min(math.Pi, math.max(a.circumAngle, 1e-6))))
       // 6*4^L cells on the sphere; want ~96 cells over discArea
+      // (capCells descends the quadtree, so fine levels cost only
+      // O(cover size * level) — no full-sphere enumeration, no cap
+      // coarser than the AOI deserves)
       val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
         math.log(2.0))).ceil.toInt
-      math.max(2, math.min(8, l))
+      math.max(2, math.min(CellIndex.MaxLevel, l))
     }.min
     val cover: Seq[(Long, String)] = aois.flatMap { a =>
       CellIndex.capCells(a.centroid.x, a.centroid.y, a.centroid.z,

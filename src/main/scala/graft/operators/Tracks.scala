@@ -330,9 +330,10 @@ object Tracks {
     val out = f.groupByKey(_._1).cogroup(q.groupByKey(_._1)) { (track, fit, qit) =>
       // duplicate timestamps (same-second GPS fixes, retransmits)
       // would put h=0 knots into the spline solve and NaN-poison the
-      // whole track — keep the first fix per timestamp (deterministic
-      // after the stable sort)
-      val fs0 = fit.toArray.sortBy(_._2)
+      // whole track — keep one fix per timestamp, chosen by the FULL
+      // tuple order (cogroup iterator order varies across retries, so
+      // sorting by t alone would keep an arbitrary duplicate)
+      val fs0 = fit.toArray.sorted
       val fs = if (fs0.length < 2) fs0 else {
         val b = scala.collection.mutable.ArrayBuffer(fs0.head)
         var i = 1

@@ -134,9 +134,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .map { s =>
         val fname = s.getPath.getName
         // committer naming is "part-NNNNN-uuid..."; anything else
-        // (foreign committers, >5-digit indices) degrades to -1
-        // rather than failing the commit after the data is written
-        val part = "part-(\\d+)".r.findPrefixMatchOf(fname)
+        // (foreign committers, over-long numeric prefixes) degrades
+        // to -1 rather than failing the commit after the data is
+        // written — digit count bounded so toInt cannot overflow
+        val part = "part-(\\d{1,9})".r.findPrefixMatchOf(fname)
           .map(_.group(1).toInt).getOrElse(-1)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf))

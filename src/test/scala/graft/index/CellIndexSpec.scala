@@ -125,7 +125,23 @@ class CellIndexSpec extends AnyFunSuite {
       // the lower bound is a true lower bound: cells far outside the
       // cap are excluded (cover is not the whole sphere for small caps)
       if (ang < 0.3 && level >= 4) assert(cover.length < allCells(level).length / 4)
+      // quadtree descent is a SUBSET of the one-shot enumeration (an
+      // ancestor's lower bound can prove a loose-bounded child is
+      // outside the cap — descent prunes it, the flat filter cannot);
+      // the coverage loop above is the completeness guarantee
+      if (level <= 4) {
+        val brute = allCells(level).filter(cc =>
+          cellMinDistLB(cc, c.x, c.y, c.z) <= ang).toSet
+        assert(cover.forall(brute.contains))
+      }
     }
+    // fine levels work without full-sphere enumeration (the old cap)
+    val p = randomPoint(991)
+    val fine = capCells(p.x, p.y, p.z, 14, 0.0005)
+    // cap diameter ~8 cells at level 14 -> cover stays O(10^2), not
+    // the 1.6e9-cell full level
+    assert(fine.nonEmpty && fine.length < 400)
+    assert(fine.contains(cellAt(p.x, p.y, p.z, 14)))
   }
 
   test("levelForRadius picks a covering level") {

@@ -843,7 +843,14 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rc FROM sims),
            | lists AS (SELECT vec_id AS d_id, c FROM ranked_c WHERE rc = 1),
            | probes AS (SELECT vec_id AS q_id, c FROM ranked_c WHERE rc <= 4 AND vec_id < 10),
-           | cand AS (SELECT DISTINCT p.q_id, l.d_id FROM probes p JOIN lists l USING (c)),
+           | cand0 AS (SELECT DISTINCT p.q_id, l.d_id FROM probes p JOIN lists l USING (c)),
+           | allq AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
+           | starved AS (SELECT q_id FROM allq WHERE q_id NOT IN
+           |   (SELECT q_id FROM cand0 GROUP BY q_id HAVING count(*) >= 5)),
+           | cand AS (SELECT q_id, d_id FROM cand0
+           |     WHERE q_id NOT IN (SELECT q_id FROM starved)
+           |   UNION SELECT s.q_id, l.d_id FROM starved s
+           |     CROSS JOIN (SELECT DISTINCT d_id FROM lists) l),
            | cdot AS (SELECT cd.q_id, cd.d_id, sum(a.v * b.v) AS dot
            |   FROM cand cd JOIN dv a ON a.vec_id = cd.q_id
            |   JOIN dv b ON b.vec_id = cd.d_id AND b.i = a.i

@@ -43,6 +43,17 @@ object FrameE {
 private[api] object Frames {
   def check(a: FrameE, b: FrameE): Unit =
     require(a == b, s"frame mismatch: $a vs $b")
+
+  /** Validated method dispatch: true for "greatcircle", false for
+    * "ellipsoid"; anything else (typos like "exact", "gc") errors
+    * instead of silently picking a branch.
+    */
+  def isGreatCircle(method: String): Boolean = method match {
+    case "greatcircle" => true
+    case "ellipsoid" => false
+    case other => throw new IllegalArgumentException(
+      s"unknown method '$other' (expected 'greatcircle' or 'ellipsoid')")
+  }
 }
 
 /** Geodetic position (radians, depth z = -height). */
@@ -60,7 +71,7 @@ final case class GeoPoint(lat: Double, lon: Double, z: Double = 0.0,
     */
   def distanceAndAzimuth(other: GeoPoint, method: String = "ellipsoid"): (Double, Double, Double) = {
     Frames.check(frame, other.frame)
-    if (method.startsWith("g")) {
+    if (Frames.isGreatCircle(method)) {
       val nA = Gade.latLonToNvec(lat, lon); val nB = Gade.latLonToNvec(other.lat, other.lon)
       val radius = (toECEF.p.norm + other.toECEF.p.norm) / 2
       val d = Gade.greatCircleDistanceRad(nA, nB) * radius
@@ -75,7 +86,7 @@ final case class GeoPoint(lat: Double, lon: Double, z: Double = 0.0,
     * radius = |p_EA|, objects.py:552-559).
     */
   def displace(distance: Double, azimuth: Double, method: String = "ellipsoid"): (GeoPoint, Double) =
-    if (method.startsWith("g")) {
+    if (Frames.isGreatCircle(method)) {
       val radius = toECEF.p.norm
       val nB = Gade.sphereReckon(Gade.latLonToNvec(lat, lon), distance / radius, azimuth)
       val (la, lo) = Gade.nvecToLatLon(nB)
@@ -208,7 +219,7 @@ final case class GeoPath(a: GeoPoint, b: GeoPoint) {
     */
   def onPath(point: GeoPoint, method: String = "greatcircle",
              rtol: Double = 1e-6, atol: Double = 1e-8): Boolean =
-    if (method.startsWith("e")) {
+    if (!Frames.isGreatCircle(method)) {
       val z = (a.z + b.z) * 0.5
       val (distAb, azAb, _) = a.distanceAndAzimuth(b)
       val (distAc, azAc, _) = a.distanceAndAzimuth(point)

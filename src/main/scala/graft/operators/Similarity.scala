@@ -54,7 +54,11 @@ object Similarity {
     * the equivalent builtin-composed form (bits x aggregate/zip_with
     * over dim-element literal arrays) codegens to an enormous class
     * that dominates job compile time; the kernel computes the same
-    * left-fold double arithmetic bit-for-bit. Expects array<float>.
+    * left-fold double arithmetic bit-for-bit. Accepts array<float>
+    * (cast element-wise to double — exact, so signatures are
+    * unchanged) or array<double> (passes through at full precision;
+    * the earlier float-typed kernel could flip near-zero sign bits
+    * for double-typed callers).
     */
   def lshSignature(vec: Column, dim: Int, bits: Int = 16): Column =
     org.apache.spark.sql.GraftSqlBridge.staticInvoke(
@@ -62,7 +66,7 @@ object Similarity {
       org.apache.spark.sql.types.LongType, "lshSignature",
       Seq(vec, lit(dim), lit(bits)),
       Seq(org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType),
+        org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.IntegerType))
 
@@ -236,7 +240,7 @@ object Similarity {
       Class.forName("graft.operators.SimilarityKernels"),
       org.apache.spark.sql.types.IntegerType, "ivfAssign",
       Seq(vec, lit(centroidsFlat), lit(dim)),
-      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.IntegerType))
 
@@ -249,7 +253,7 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType, containsNull = false),
       "ivfProbes",
       Seq(vec, lit(centroidsFlat), lit(dim), lit(nProbe)),
-      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.IntegerType))

@@ -21,7 +21,7 @@ object SimilarityKernels {
     val k = centroidsFlat.numElements() / dim
     var vn = 0.0
     var i = 0
-    while (i < n) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
+    while (i < n) { val x = vec.getDouble(i); vn += x * x; i += 1 }
     val vd = math.sqrt(vn) + java.lang.Double.MIN_NORMAL
     var best = 0
     var bestSim = Double.NegativeInfinity
@@ -31,7 +31,7 @@ object SimilarityKernels {
       var j = 0
       while (j < n) {
         val cv = centroidsFlat.getDouble(c * dim + j)
-        dot += vec.getFloat(j).toDouble * cv
+        dot += vec.getDouble(j) * cv
         cn += cv * cv
         j += 1
       }
@@ -50,7 +50,7 @@ object SimilarityKernels {
     val sims = new Array[Double](k)
     var vn = 0.0
     var i = 0
-    while (i < n) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
+    while (i < n) { val x = vec.getDouble(i); vn += x * x; i += 1 }
     val vd = math.sqrt(vn) + java.lang.Double.MIN_NORMAL
     var c = 0
     while (c < k) {
@@ -58,7 +58,7 @@ object SimilarityKernels {
       var j = 0
       while (j < n) {
         val cv = centroidsFlat.getDouble(c * dim + j)
-        dot += vec.getFloat(j).toDouble * cv
+        dot += vec.getDouble(j) * cv
         cn += cv * cv
         j += 1
       }
@@ -69,7 +69,8 @@ object SimilarityKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(idx.toArray)
   }
 
-  /** Sign-bit signature of `vec` (array<float>) against `bits` fixed
+  /** Sign-bit signature of `vec` (array<double>; float inputs cast
+    * exactly by the caller's declared type) against `bits` fixed
     * deterministic hyperplanes. Identical arithmetic to the
     * builtin-composed form it replaces: per-plane left fold of
     * float-to-double products in element order, sign test >= 0.
@@ -83,7 +84,7 @@ object SimilarityKernels {
       val h = ps(b)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += vec.getFloat(i).toDouble * h(i); i += 1 }
+      while (i < n) { acc += vec.getDouble(i) * h(i); i += 1 }
       if (acc >= 0) sig |= 1L << b
       b += 1
     }

@@ -131,6 +131,10 @@ object SpatialJoins {
               bruteForceThreshold: Long = 2000000L,
               geodesicReRank: Boolean = false): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(distCol), col(dId))
+    // partition-wide stats window: same hash partitioning as `w`, so
+    // chaining it after the rank window adds no exchange and no sort
+    val wStat = Window.partitionBy(qId)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     // candidate selection always uses the spherical metric (the block
     // coverage proof is spherical); with geodesicReRank the final
@@ -153,11 +157,62 @@ object SpatialJoins {
       }
     }
 
-    val dataCount = data.count()
+    /** rank() plus the per-query satisfaction stats folded into the
+      * SAME window shuffle (no separate groupBy + semi join): `__cnt`
+      * = candidate count in this block, `__kth` = the worst kept
+      * distance in the FINAL metric (geodesic when re-ranking — the
+      * coverage test must bound the metric that orders the output).
+      */
+    def rankWithStats(cand: DataFrame): DataFrame = {
+      // __cnt uses the rank window's spec with an unbounded frame, so
+      // both land in ONE WindowExec (one exchange, one sort)
+      val wAllOrd = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val gcRanked = cand
+        .withColumn(distCol, geo.gcDistance(col(qNvec), col(dNvec), sphereRadius))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(wAllOrd))
+      val top =
+        if (!geodesicReRank) gcRanked.filter(col("rank") <= k)
+        else {
+          val wG = Window.partitionBy(qId).orderBy(col("geodesic_m"), col(dId))
+          gcRanked.filter(col("rank") <= 3 * k)
+            .withColumn("geodesic_m", geo.geodesicDistance(
+              geo.lat(col(qNvec)), geo.lon(col(qNvec)),
+              geo.lat(col(dNvec)), geo.lon(col(dNvec))))
+            .withColumn("rank", row_number().over(wG))
+            .filter(col("rank") <= k)
+        }
+      // child is already hash-partitioned and qId-clustered: no
+      // exchange, no sort for the unordered stats window
+      top.withColumn("__kth",
+        max(col(if (geodesicReRank) "geodesic_m" else distCol)).over(wStat))
+    }
+
+    // a spherical coverage radius only bounds GEODESIC distances after
+    // deflating by the flattening: an unprobed point just outside the
+    // block has geodesic distance >= coverage * R * (1 - f)
+    val covDeflate =
+      if (geodesicReRank) 1.0 - math.abs(graft.geo.Ellipsoids.WGS84.f) else 1.0
+
+    // Size estimates from catalyst statistics — metadata only, never a
+    // job over the data (a count() pre-pass would add a full-table
+    // scan per call at 100 TB). rowCount when the plan provides it,
+    // else sizeInBytes / row width; both only steer COST choices
+    // (brute-force guard, auto level), never correctness.
+    def estRows(df: DataFrame): Long = {
+      val plan = df.queryExecution.optimizedPlan
+      plan.stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+        val width = math.max(8L, plan.schema.map(_.dataType.defaultSize).sum.toLong)
+        (plan.stats.sizeInBytes.min(BigInt(Long.MaxValue)) / width).toLong
+      }
+    }
+    val dataCount = estRows(data)
+    val dataBytes = data.queryExecution.optimizedPlan.stats.sizeInBytes
     // cost guard: a broadcast nested-loop pass materializes Q x D
     // candidate rows — only cheaper than the ring machinery when that
     // product is small (and the data side must fit a broadcast)
-    if (dataCount <= 100000 && dataCount * queries.count() <= bruteForceThreshold) {
+    if (dataCount <= 100000 && dataBytes <= (64L << 20) &&
+        dataCount * estRows(queries) <= bruteForceThreshold) {
       return rank(queries.crossJoin(broadcast(data)))
     }
     val lvl =
@@ -196,21 +251,22 @@ object SpatialJoins {
       val probes = remaining
         .withColumn("__cov", cells.ringCoverage(col(qNvec), l, r))
         .withColumn("__cell", explode(cells.ringCells(cells.cellAt(col(qNvec), l), r)))
-      val cand = rank(probes.join(dCells, "__cell").drop("__cell"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      persisted += cand
       if (CellIndex.coverageLowerBound(l, r) == math.Pi) {
         // wrap block: every cell probed, nothing can hide anywhere
+        val cand = rank(probes.join(dCells, "__cell").drop("__cell"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += cand
         done ::= cand.drop("__cov")
         remaining = null
       } else {
-        val satisfied = cand.groupBy(qId)
-          .agg(count(lit(1)).as("__n"), max(col(distCol)).as("__kth"),
-            first(col("__cov")).as("__c"))
-          .filter(col("__n") >= k && col("__kth") <= col("__c") * sphereRadius)
-          .select(qId)
-        done ::= cand.join(satisfied, Seq(qId), "left_semi").drop("__cov")
-        val next = remaining.join(satisfied, Seq(qId), "left_anti")
+        val cand = rankWithStats(probes.join(dCells, "__cell").drop("__cell"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += cand
+        val ok = col("__cnt") >= k &&
+          col("__kth") <= col("__cov") * sphereRadius * covDeflate
+        done ::= cand.filter(ok).drop("__cov", "__cnt", "__kth")
+        val next = remaining
+          .join(cand.filter(ok).select(qId), Seq(qId), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
         persisted += next
         remaining = if (next.isEmpty) null else next

@@ -42,6 +42,26 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     case c => c.toString
   }
 
+  /** JSON string-literal body: matches up to the CLOSING quote even
+    * when the value contains esc()-escaped quotes/backslashes (a plain
+    * `[^"]*` would stop at the first escaped quote).
+    */
+  private val JsonStr = """(?:[^"\\]|\\.)*"""
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' if i + 5 < s.length =>
+          b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+        case e => b.append(e); i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** All committed snapshots: (version, name, rowCount). */
   def snapshots: Seq[(Int, String, Long)] =
     (1 to currentVersion.getOrElse(0)).flatMap { v =>
@@ -49,7 +69,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       if (!Files.exists(p)) None
       else {
         val s = Files.readString(p)
-        val name = """"name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+        val name = ("\"name\"\\s*:\\s*\"(" + JsonStr + ")\"").r.findFirstMatchIn(s).map(m => unesc(m.group(1)))
         val rows = """"rowCount"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
         Some((v, name.getOrElse(""), rows.getOrElse(0L)))
       }
@@ -93,7 +113,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val out = dataPath(v, name)
     df.write.mode("overwrite").parquet(out) // the only pass over the data
     val partCounts = fileMetricsOf(out)
-    val rowCount = partCounts.map(_._3).sum
+    // a parquet write always leaves at least one part file (possibly
+    // 0-row); an empty listing means a committer this store does not
+    // understand — fall back to a read-back count rather than
+    // recording rowCount 0 for data that exists
+    val rowCount =
+      if (partCounts.nonEmpty) partCounts.map(_._3).sum
+      else spark.read.parquet(out).count()
     val inputs = df.inputFiles.sorted
     val json = new StringBuilder
     json.append("{\n")
@@ -128,9 +154,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).toSeq
+    // recursive: a partitionBy() layout nests part files under
+    // key=value directories — a top-level-only listing would record
+    // an empty manifest for a successfully written table
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) files += it.next()
+    files.toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+      .sortBy(_.getPath.toString)
       .map { s =>
         val fname = s.getPath.getName
         // committer naming is "part-NNNNN-uuid..."; anything else
@@ -151,9 +183,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     */
   def fileMetrics(v: Int): Seq[(Int, Long, String)] = {
     val s = Files.readString(snapshotJson(v))
-    """\{"path": "([^"]*)", "partition": (-?\d+), "rows": (\d+)\}""".r
+    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": (-?\\d+), \"rows\": (\\d+)\\}").r
       .findAllMatchIn(s)
-      .map(m => (m.group(2).toInt, m.group(3).toLong, m.group(1))).toSeq
+      .map(m => (m.group(2).toInt, m.group(3).toLong, unesc(m.group(1)))).toSeq
   }
 
   /** Resumable checkpoint: if a committed snapshot named `name`
@@ -170,7 +202,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def diff(v1: Int, v2: Int): (Seq[String], Seq[String]) = {
     def files(v: Int): Set[String] = {
       val s = Files.readString(snapshotJson(v))
-      """"path"\s*:\s*"([^"]*)"""".r.findAllMatchIn(s).map(_.group(1)).toSet
+      ("\"path\"\\s*:\\s*\"(" + JsonStr + ")\"").r.findAllMatchIn(s).map(m => unesc(m.group(1))).toSet
     }
     val (a, b) = (files(v1), files(v2))
     ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)

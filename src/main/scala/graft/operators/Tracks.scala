@@ -389,21 +389,33 @@ object Tracks {
     val m = windowLength / 2
     val w = Window.partitionBy(trackCol).orderBy(tCol)
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    def tap(c: Column, j: Int): Column =
-      if (j < 0) coalesce(lag(c, -j).over(w), first(c).over(wAll))
-      else if (j > 0) coalesce(lead(c, j).over(w), last(c).over(wAll))
-      else c
-    def smooth(field: String): Column =
-      (-m to m).map(j =>
-        tap(col(nvecCol).getField(field), j) * lit(coeff(j + m)))
-        .reduce(_ + _)
-    fixes
+    val flds = Seq("x", "y", "z")
+    // stage each component and its partition first/last ONCE: an
+    // unbounded-frame first/last aggregates the whole partition per
+    // expression, so repeating it inside every tap (the previous
+    // form) multiplied that cost by the window length — 3.3x slower
+    // than the buffered variant at sf0.1. Six staged aggregates +
+    // pure lag/lead taps; the tap windows share the staging window's
+    // partitioning and sort, so no extra exchange.
+    val staged = flds.foldLeft(fixes) { (df, f) =>
+      df.withColumn(s"__v$f", col(nvecCol).getField(f))
+        .withColumn(s"__hd$f", first(col(nvecCol).getField(f)).over(wAll))
+        .withColumn(s"__tl$f", last(col(nvecCol).getField(f)).over(wAll))
+    }
+    def tap(f: String, j: Int): Column =
+      if (j < 0) coalesce(lag(col(s"__v$f"), -j).over(w), col(s"__hd$f"))
+      else if (j > 0) coalesce(lead(col(s"__v$f"), j).over(w), col(s"__tl$f"))
+      else col(s"__v$f")
+    def smooth(f: String): Column =
+      (-m to m).map(j => tap(f, j) * lit(coeff(j + m))).reduce(_ + _)
+    staged
       .withColumn("__sx", smooth("x"))
       .withColumn("__sy", smooth("y"))
       .withColumn("__sz", smooth("z"))
       .withColumn(nvecCol,
         geo.vunit(geo.vec(col("__sx"), col("__sy"), col("__sz"))))
-      .drop("__sx", "__sy", "__sz")
+      .drop(flds.flatMap(f => Seq(s"__v$f", s"__hd$f", s"__tl$f")) ++
+        Seq("__sx", "__sy", "__sz"): _*)
   }
 
   /** Smoothed track positions: per-track Savitzky-Golay over each

@@ -386,14 +386,22 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
     "q33_minhash_pairs" -> ((s, dir) => {
-      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.35)
+      // md5 signature basis: same one-permutation pipeline as the
+      // production default, with the hash swapped for the 60-bit md5
+      // value DuckDB can compute — converts this gate from rows-only
+      // to a full oracle row
+      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.35,
+          basis = "md5")
         .orderBy("id_a", "id_b")
     }),
     "q34_simhash" -> ((s, dir) => {
+      // md5 hash basis (see q33) so signature + fingerprint both get a
+      // relational DuckDB mirror
       t(s, dir, "documents")
-        .withColumn("__h", transform(Dedup.shingles(col("text")), x => xxhash64(x)))
+        .withColumn("__h", transform(Dedup.shingles(col("text")),
+          x => Dedup.hash60md5(x)))
         .select(col("doc_id"), Dedup.simHashFromHashes(col("__h")).as("sig"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
+          TextAnalysis.fingerprint(col("text"), basis = "md5").as("fp"))
         .orderBy("doc_id")
     }),
     "q35_lang_quality" -> ((s, dir) => {
@@ -864,6 +872,58 @@ object SparkEntry {
            | SELECT q_id, rank, d_id, round(cos, 6) AS cosine FROM fin
            | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
       },
+      "q33_minhash_pairs" ->
+        """WITH sh AS (SELECT doc_id, substr(lower(text), t.i + 1, 5) AS s
+          |   FROM documents CROSS JOIN generate_series(0, 2047) t(i)
+          |   WHERE t.i <= greatest(length(text) - 5, 0)),
+          | hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+          | bmin AS (SELECT doc_id, h % 32 AS b, min(h) AS mh FROM hs GROUP BY doc_id, h % 32),
+          | grid AS (SELECT DISTINCT doc_id, gb.b FROM documents CROSS JOIN generate_series(0, 31) gb(b)),
+          | filled AS (SELECT g.doc_id, g.b, arg_min(bm.mh, (bm.b - g.b + 32) % 32) AS mh
+          |   FROM grid g JOIN bmin bm ON bm.doc_id = g.doc_id GROUP BY g.doc_id, g.b),
+          | sig AS (SELECT doc_id, list(mh ORDER BY b) AS sg FROM filled GROUP BY doc_id),
+          | sigk AS (SELECT doc_id, array_to_string(sg, '|') AS sk, sg FROM sig),
+          | star AS (SELECT min(doc_id) OVER (PARTITION BY sk) AS rep, doc_id, sg FROM sigk),
+          | starpairs AS (SELECT rep AS id_a, doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard_est
+          |   FROM star WHERE doc_id <> rep),
+          | reps AS (SELECT doc_id, sg FROM star WHERE doc_id = rep),
+          | bands AS (SELECT doc_id,
+          |   concat_ws(',', gb.b, sg[4*gb.b+1], sg[4*gb.b+2], sg[4*gb.b+3], sg[4*gb.b+4]) AS bk
+          |   FROM reps CROSS JOIN generate_series(0, 7) gb(b)),
+          | capped AS (SELECT doc_id, bk FROM (SELECT doc_id, bk,
+          |     row_number() OVER (PARTITION BY bk ORDER BY doc_id) AS rn FROM bands)
+          |   WHERE rn <= 4096),
+          | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |   FROM capped a JOIN capped b USING (bk) WHERE a.doc_id < b.doc_id),
+          | est AS (SELECT c.id_a, c.id_b,
+          |   CAST(sum(CASE WHEN sa.sg[gi.i] = sb.sg[gi.i] THEN 1 ELSE 0 END) AS DOUBLE) / 32.0 AS jaccard_est
+          |   FROM cand c JOIN sigk sa ON sa.doc_id = c.id_a JOIN sigk sb ON sb.doc_id = c.id_b
+          |   CROSS JOIN generate_series(1, 32) gi(i) GROUP BY c.id_a, c.id_b)
+          | SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.35
+          | UNION ALL SELECT id_a, id_b, jaccard_est FROM starpairs
+          | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q34_simhash" ->
+        """WITH sh AS (SELECT doc_id, substr(lower(text), t.i + 1, 5) AS s
+          |   FROM documents CROSS JOIN generate_series(0, 2047) t(i)
+          |   WHERE t.i <= greatest(length(text) - 5, 0)),
+          | hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+          | votes AS (SELECT doc_id, gb.b AS b,
+          |   sum(CASE WHEN (h >> gb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |   FROM hs CROSS JOIN generate_series(0, 59) gb(b) GROUP BY doc_id, gb.b),
+          | sg AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+          |   FROM votes GROUP BY doc_id),
+          | fsh AS (SELECT doc_id, substr(text, gi.i * 4 + 1, 8) AS s
+          |   FROM documents CROSS JOIN generate_series(0, 511) gi(i)
+          |   WHERE length(text) >= 8
+          |     AND gi.i <= greatest(CAST(floor((length(text) - 8) / 4.0) AS BIGINT), 0)),
+          | fmin AS (SELECT doc_id, min(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS fp
+          |   FROM fsh GROUP BY doc_id),
+          | fpa AS (SELECT d.doc_id,
+          |   CASE WHEN length(d.text) < 8 THEN CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT)
+          |        ELSE f.fp END AS fp
+          |   FROM documents d LEFT JOIN fmin f USING (doc_id))
+          | SELECT sg.doc_id, sg.sig, fpa.fp FROM sg JOIN fpa USING (doc_id)
+          | ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q37_course_over_ground" ->
         (s"""WITH ev AS (SELECT user_id, event_id,
             |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),

@@ -63,8 +63,52 @@ object Dedup {
         .map(r => sig.getItem(b * rowsPerBand + r)): _*)
     }: _*)
 
+  /** Band keys as plain concatenated strings (band index + entries) —
+    * the ANSI-SQL-mirrorable form the md5-basis oracle gate uses;
+    * equality semantics identical to [[minHashBands]] (hashing band
+    * keys only compresses them).
+    */
+  def minHashBandsConcat(sig: Column, numHashes: Int = 32, rowsPerBand: Int = 4): Column =
+    array((0 until numHashes / rowsPerBand).map { b =>
+      concat_ws(",", lit(b) +: (0 until rowsPerBand)
+        .map(r => sig.getItem(b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** 60-bit md5-derived hash of a column — the DuckDB-computable hash
+    * basis (`CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)` on the
+    * oracle side), used by the oracle-checked gate variants of the
+    * signature operators.
+    */
+  def hash60md5(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** One-permutation MinHash signature (single kernel pass over the
+    * text: shingle -> one hash -> min per hash bucket, rotation
+    * densification for empty buckets — see
+    * [[DedupKernels.onePermMinHash]]). `numHashes` times cheaper than
+    * the seeded form: the seeded signature made q33 the slowest gate
+    * query two rounds running, and its cost was pure hashing (2048
+    * shingles x 32 seeded hashes per doc).
+    */
+  def minHashSignatureOnePerm(text: Column, k: Int = 5, numBuckets: Int = 32,
+                              cap: Int = 2048, basis: String = "xx"): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.DedupKernels"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "onePermMinHash",
+      Seq(text, lit(k), lit(cap), lit(numBuckets), lit(basis)),
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.StringType))
+
   /** MinHash/LSH near-duplicate candidate pairs with estimated jaccard
     * >= threshold. Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    * Signatures are one-permutation minhash ([[minHashSignatureOnePerm]];
+    * basis "xx" = fast 64-bit hash, "md5" = the DuckDB-mirrorable
+    * oracle basis with string band keys).
     *
     * Pipeline: signature -> identical-signature star-encoding -> band
     * explode (representatives only) -> capped bucket self-join on IDS
@@ -86,11 +130,13 @@ object Dedup {
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 4096,
+                   basis: String = "xx"): DataFrame = {
     val sigs = spreadSmallInput(df).select(col(idCol).as("__id"),
-      shingles(col(textCol), k).as("__sh"))
-      .select(col("__id"),
-        minHashSignatureFromShingles(col("__sh"), numHashes).as("__sig"))
+      minHashSignatureOnePerm(col(textCol), k, numHashes, basis = basis).as("__sig"))
+    val bandsOf = (sig: Column) =>
+      if (basis == "md5") minHashBandsConcat(sig, numHashes, rowsPerBand)
+      else minHashBands(sig, numHashes, rowsPerBand)
     val wSig = Window.partitionBy(col("__sig"))
     val tagged = sigs.withColumn("__rep", min(col("__id")).over(wSig))
     val starPairs = tagged.filter(col("__id") =!= col("__rep"))
@@ -98,8 +144,7 @@ object Dedup {
         lit(1.0).as("jaccard_est"))
     val reps = tagged.filter(col("__id") === col("__rep"))
       .select("__id", "__sig")
-    val banded = reps.withColumn("__band",
-      explode(minHashBands(col("__sig"), numHashes, rowsPerBand)))
+    val banded = reps.withColumn("__band", explode(bandsOf(col("__sig"))))
       .select("__band", "__id")
     val estimated = Similarity.bandPairs(banded, "__id", maxBucket)
       .join(reps.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), "id_a")

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static entry points for `StaticInvoke` codegen over the dedup
+  * operators (object without companion class => static forwarders).
+  */
+object DedupKernels {
+
+  /** 64-bit string hash: FNV-1a over UTF-8 bytes + splitmix avalanche.
+    * Deterministic across JVMs; only self-consistency matters (the
+    * "xx" basis is never oracle-compared).
+    */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit value of the first 15 hex chars of the md5 digest — equal
+    * to Spark `conv(substr(md5(x),1,15),16,10)` and DuckDB
+    * `CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`, which is what
+    * makes the "md5" basis DuckDB-oracle-comparable.
+    */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get(); d.reset()
+    val out = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v >>> 4 // 15 hex chars = first 7.5 bytes
+  }
+
+  /** One-permutation MinHash signature of `text` in a single pass
+    * (Li, Owen, Zhang NIPS 2012; densified per Shrivastava & Li ICML
+    * 2014): shingle -> one 64-bit hash -> bucket by floorMod ->
+    * signed min per bucket; empty buckets borrow from the nearest
+    * non-empty bucket scanning circularly upward (rotation
+    * densification), so short documents keep unbiased-ish agreement
+    * instead of spuriously matching on co-empty buckets.
+    *
+    * Shingling matches [[Dedup.shingles]]: k-char substrings of the
+    * lowercased text, stride 1, first `cap` kept; text shorter than k
+    * contributes itself as the single shingle.
+    *
+    * basis "xx" = fnv64 (fast path); "md5" = [[md5Hash60]] (the
+    * DuckDB-mirrorable gate basis). ~numHashes times fewer hash
+    * evaluations than the seeded-permutation signature.
+    */
+  def onePermMinHash(text: UTF8String, k: Int, cap: Int, numBuckets: Int,
+                     basis: UTF8String): GenericArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val md5 = basis.toString == "md5"
+    val n = s.length
+    val nShingles = math.min(if (n <= k) 1 else n - k + 1, cap)
+    val mins = Array.fill(numBuckets)(Long.MaxValue)
+    val seen = new Array[Boolean](numBuckets)
+    var i = 0
+    while (i < nShingles) {
+      val sh = s.substring(i, math.min(i + k, n))
+      val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = if (md5) md5Hash60(bytes) else fnv64(bytes)
+      val b = java.lang.Math.floorMod(h, numBuckets.toLong).toInt
+      if (h < mins(b)) mins(b) = h
+      seen(b) = true
+      i += 1
+    }
+    val out = new Array[Long](numBuckets)
+    var b = 0
+    while (b < numBuckets) {
+      if (seen(b)) out(b) = mins(b)
+      else {
+        var j = 1
+        while (j < numBuckets && !seen((b + j) % numBuckets)) j += 1
+        out(b) = if (j < numBuckets) mins((b + j) % numBuckets) else Long.MaxValue
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -88,12 +88,16 @@ object TextAnalysis {
     * character 8-grams (winnowing-lite) — equal fingerprints flag
     * near-identical prefixes/content cheaply.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column, basis: String = "xx"): Column = {
     // rolling hash via aggregate over the char codes of 8-gram windows
-    // is expensive in pure SQL; do one xxhash per 8-char shingle stride 4
+    // is expensive in pure SQL; do one hash per 8-char shingle stride 4.
+    // basis "md5" swaps in the 60-bit md5 hash so the oracle gate can
+    // mirror the whole fingerprint in DuckDB.
+    val h = (c: Column) =>
+      if (basis == "md5") Dedup.hash60md5(c) else xxhash64(c)
     val shingles = slice(transform(
       sequence(lit(0), greatest(floor((length(text) - 8) / 4).cast("int"), lit(0))),
-      i => xxhash64(substring(text, i * 4 + 1, lit(8)))), 1, 512)
-    when(length(text) < 8, xxhash64(text)).otherwise(array_min(shingles))
+      i => h(substring(text, i * 4 + 1, lit(8)))), 1, 512)
+    when(length(text) < 8, h(text)).otherwise(array_min(shingles))
   }
 }

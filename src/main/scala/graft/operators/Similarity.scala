@@ -141,25 +141,89 @@ object Similarity {
   def pseudoCentroids(nCentroids: Int, dim: Int, seed: Int = 1000): Array[Double] =
     Array.tabulate(nCentroids)(c => hyperplane(seed + c, dim)).flatten
 
+  /** Bounded last-resort candidates for starved queries: per-partition
+    * local top-k over the data (one column-pruned linear pass), merged
+    * as (numPartitions x k) id pairs per query — never a
+    * |starved| x |data| frame through a global window (whose one
+    * row_number sort per query would be unbounded in |data|). The
+    * local ordering uses bit-identical arithmetic to the Column
+    * [[cosine]] (sequential left-fold of double products), so the
+    * local top-k provably contains the global top-k under the final
+    * exact re-rank.
+    */
+  private def localTopKPairs(starved: DataFrame, data: DataFrame,
+                             dVec: String, dId: String, k: Int): DataFrame = {
+    val spark = data.sparkSession
+    def toDoubles(s: Seq[Any]): Array[Double] =
+      s.iterator.map(x => x.asInstanceOf[Number].doubleValue()).toArray
+    val qVecs: Array[(Any, Array[Double])] = starved.select("__qid", "__qvec")
+      .collect().map(r => (r.get(0), toDoubles(r.getSeq[Any](1))))
+    val bc = spark.sparkContext.broadcast(qVecs)
+    val dFull = data.select(col(dId).as("__did"), col(dVec).as("__dvec"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__qid", starved.schema("__qid").dataType),
+      org.apache.spark.sql.types.StructField("__did", dFull.schema("__did").dataType)))
+    def cmpId(x: Any, y: Any): Int = x.asInstanceOf[Comparable[Any]].compareTo(y)
+    // max-heap whose head is the WORST kept candidate: smaller cosine
+    // (ties: larger id) ranks greater — same total order, negated, as
+    // the final row_number(orderBy(sim desc, id asc))
+    val worseIsGreater: Ordering[(Double, Any)] = new Ordering[(Double, Any)] {
+      def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else cmpId(a._2, b._2)
+      }
+    }
+    val pairRdd = dFull.rdd.mapPartitions { it =>
+      val qs = bc.value
+      val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Any)]()(worseIsGreater))
+      it.foreach { r =>
+        val did = r.get(0)
+        val dv = toDoubles(r.getSeq[Any](1))
+        var qi = 0
+        while (qi < qs.length) {
+          val qv = qs(qi)._2
+          val n = math.min(qv.length, dv.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < n) {
+            dot += qv(i) * dv(i); na += qv(i) * qv(i); nb += dv(i) * dv(i)
+            i += 1
+          }
+          val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+          val h = heaps(qi)
+          if (h.size < k) h.enqueue((sim, did))
+          else if (worseIsGreater.compare((sim, did), h.head) < 0) {
+            h.dequeue(); h.enqueue((sim, did))
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map(e => org.apache.spark.sql.Row(qs(qi)._1, e._2))
+      }
+    }
+    spark.createDataFrame(pairRdd, outSchema)
+  }
+
   /** Shared starvation-escalation scaffold for the approximate top-k
     * operators: run candidate `stages` in order (stage 0 over all
     * queries, later stages only over still-starved ones) until every
-    * query has >= k candidate (id, id) pairs, falling back to one
-    * linear data-id scan for any residual queries; then join vectors
-    * back once and rank exactly. Id-pair stages persist MEMORY_AND_DISK
-    * and release after the result materializes. The returned result
-    * stays persisted so the caller's action reads the materialized
-    * rows; it is reclaimed by Spark's ContextCleaner once the caller
-    * drops the reference (or sooner via an explicit unpersist).
+    * query has >= k candidate (id, id) pairs, falling back to the
+    * bounded [[localTopKPairs]] scan for any residual queries; then
+    * join vectors back once and rank exactly. Id-pair stages persist
+    * MEMORY_AND_DISK and release after the result materializes. The
+    * returned result stays persisted so the caller's action reads the
+    * materialized rows; it is reclaimed by Spark's ContextCleaner once
+    * the caller drops the reference (or sooner via an explicit
+    * unpersist).
     *
     * Contract: `qS` has columns (__qid, __qvec); stages map a frame
-    * with those columns to (__qid, __did) pairs; `dIds` is the
-    * data-id projection (__did).
+    * with those columns to (__qid, __did) pairs.
     */
   private def escalatedTopK(queries: DataFrame, data: DataFrame,
                             qVec: String, dVec: String, qId: String, dId: String,
                             k: Int, simCol: String,
-                            qS: DataFrame, dIds: DataFrame,
+                            qS: DataFrame,
                             stages: Seq[DataFrame => DataFrame],
                             opName: String): DataFrame = {
     val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
@@ -181,9 +245,10 @@ object Similarity {
     if (!starved.isEmpty) {
       val n = starved.count()
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"$opName: $n queries starved after escalation; scanning data ids for them")
+        s"$opName: $n queries starved after escalation; " +
+          "running the bounded per-partition local top-k scan for them")
       pairs = hold(pairs.unionByName(
-        starved.select("__qid").crossJoin(dIds)).distinct())
+        localTopKPairs(starved, data, dVec, dId, k)).distinct())
     }
     val result = pairs
       .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
@@ -281,8 +346,7 @@ object Similarity {
           explode(ivfProbes(col("__qvec"), centroidsFlat, dim, probes)).as("__list"))
         .join(dLists, "__list")
         .select("__qid", "__did").distinct()
-    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol,
-      qS, dLists.select("__did"),
+    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol, qS,
       Seq(pairsOf(nProbe) _, pairsOf(math.min(nCentroids, nProbe * 4)) _,
         pairsOf(nCentroids) _),
       "ivfTopK")
@@ -344,8 +408,7 @@ object Similarity {
 
     // escalation ladder: exact+hamming-1 probes, then hamming-2, then
     // half-width re-banding (higher collision probability)
-    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol,
-      qS, dS.select("__did"),
+    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol, qS,
       Seq(pairsOf(bandBits, 1) _, pairsOf(bandBits, 2) _,
         pairsOf(math.max(2, bandBits / 2), 1) _),
       "lshTopK")

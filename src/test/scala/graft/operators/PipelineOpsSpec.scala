@@ -127,6 +127,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perQuery.length == 6 && perQuery.forall(_ == 4L))
   }
 
+  test("lshTopK residual starvation takes the bounded local top-k scan") {
+    import spark.implicits._
+    // all data rows share one vector v; queries are -v, so every band
+    // of the query signature is the bitwise complement of the data
+    // band: hamming distance 4 per 4-bit band (> radius 2) and 2 per
+    // 2-bit half-width band (> radius 1) — every escalation stage
+    // yields zero candidates and the bounded local scan must fill k
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val nv = v.map(x => -x)
+    val data = (0 until 500).map(i => (i.toLong, v)).toDF("d_id", "d_vec")
+    val queries = (0 until 5).map(i => (i.toLong, nv)).toDF("q_id", "q_vec")
+    val out = Similarity.lshTopK(queries, data, "q_vec", "d_vec", "q_id", "d_id",
+      k = 4, dim = 64)
+    val rows = out.select("q_id", "rank", "d_id").collect()
+    assert(rows.length == 20)
+    // all cosines tie at -1, so the exact re-rank breaks ties by d_id:
+    // ranks 1..4 must be data ids 0..3 for every query
+    rows.foreach(r => assert(r.getLong(2) == r.getInt(1) - 1,
+      s"rank ${r.getInt(1)} of query ${r.getLong(0)} is d_id ${r.getLong(2)}"))
+  }
+
   test("IVF top-k: trained lists, probe recall vs brute force, exact k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))

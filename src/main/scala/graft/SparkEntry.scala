@@ -525,6 +525,29 @@ object SparkEntry {
           round(col("depth"), 6).as("idepth"))
         .orderBy("user_id")
     }),
+    "q44_track_interp_quadratic" -> ((s, dir) => {
+      // quadratic (order-2 B-spline, scipy midpoint knots) track
+      // interpolation with a mirror-padded Savitzky-Golay pre-smooth —
+      // the interp1d kind='quadratic' / savgol mode parity path
+      val ev = t(s, dir, "events")
+        .withColumn("tsec", col("event_id").cast("double"))
+        .withColumn("lat", latRad(col("event_id")))
+        .withColumn("lon", lonRad(col("event_id")))
+        .withColumn("n", geo.nvec(col("lat"), col("lon")))
+        .withColumn("depth", (col("event_id") % 97).cast("double"))
+        .select(col("user_id"), col("tsec"), col("n"), col("depth"))
+      val qs = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)
+      graft.operators.Tracks.interpolateSpline(ev, qs, "user_id", "tsec", "n",
+          zCol = Some("depth"), kind = "quadratic", windowLength = 7,
+          polyorder = 2, mode = "mirror")
+        .filter(!isnan(geo.vx(col("n"))))
+        .select(col("user_id"), col("tsec"),
+          round(geo.latDeg(col("n")), 6).as("ilat"),
+          round(geo.lonDeg(col("n")), 6).as("ilon"),
+          round(col("depth"), 6).as("idepth"))
+        .orderBy("user_id")
+    }),
     "q38_track_interpolation" -> ((s, dir) => {
       // interpolate each user's position track at fixed times
       val ev = t(s, dir, "events")

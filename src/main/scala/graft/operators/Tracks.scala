@@ -206,6 +206,145 @@ object Tracks {
       (y(i) / h - m(i) * h / 6.0) * u + (y(i + 1) / h - m(i + 1) * h / 6.0) * v
   }
 
+  /** Knot vector for B-spline interpolation of order k through sites
+    * x — scipy `make_interp_spline`'s default rules: endpoint knots of
+    * multiplicity k+1; interior knots at the data sites with the
+    * not-a-knot trim for odd k (de Boor XIII(12)), at the site
+    * MIDPOINTS (first/last midpoints dropped) for even k (scipy's
+    * k=2 rule, generalized to k=4 by trimming k/2 midpoints per side
+    * so the collocation system stays square).
+    */
+  def interpKnots(x: Array[Double], k: Int): Array[Double] = {
+    val n = x.length
+    val interior: Array[Double] =
+      if (k % 2 == 1) { val m = (k - 1) / 2; x.slice(m + 1, n - m - 1) }
+      else {
+        val mid = Array.tabulate(n - 1)(i => (x(i) + x(i + 1)) / 2.0)
+        mid.slice(k / 2, n - 1 - k / 2)
+      }
+    Array.fill(k + 1)(x(0)) ++ interior ++ Array.fill(k + 1)(x(n - 1))
+  }
+
+  /** Index of the knot span containing x: largest i in [k, nCoef-1]
+    * with t(i) <= x (right end clamps into the last span).
+    */
+  private def findSpan(t: Array[Double], k: Int, nCoef: Int, x: Double): Int = {
+    if (x >= t(nCoef)) return nCoef - 1
+    var lo = k; var hi = nCoef - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (t(mid) <= x) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** The k+1 nonzero B-spline basis values B_{span-k..span}(x)
+    * (Cox-de Boor, the standard triangular scheme).
+    */
+  private def basisFuns(t: Array[Double], k: Int, span: Int, x: Double): Array[Double] = {
+    val nv = new Array[Double](k + 1)
+    val left = new Array[Double](k + 1)
+    val right = new Array[Double](k + 1)
+    nv(0) = 1.0
+    var j = 1
+    while (j <= k) {
+      left(j) = x - t(span + 1 - j)
+      right(j) = t(span + j) - x
+      var saved = 0.0
+      var r = 0
+      while (r < j) {
+        val temp = nv(r) / (right(r + 1) + left(j - r))
+        nv(r) = saved + right(r + 1) * temp
+        saved = left(j - r) * temp
+        r += 1
+      }
+      nv(j) = saved
+      j += 1
+    }
+    nv
+  }
+
+  /** B-spline coefficients interpolating (x, y) at order k >= 2 with
+    * [[interpKnots]] knots: banded collocation solve, O(n k^2). No
+    * pivoting — B-spline collocation matrices satisfying the
+    * Schoenberg-Whitney conditions are totally positive, for which
+    * plain Gaussian elimination is backward stable (de Boor, A
+    * Practical Guide to Splines, ch. XIII). Each row's nonzeros lie
+    * within columns [i-k, i+k], so rows are stored as width-(2k+1)
+    * windows and elimination never fills outside them.
+    */
+  def bsplineInterpCoefs(x: Array[Double], y: Array[Double], k: Int): Array[Double] = {
+    val n = x.length
+    require(n >= k + 1, s"order-$k B-spline interpolation needs >= ${k + 1} points")
+    val t = interpKnots(x, k)
+    val w = 2 * k + 1
+    val a = Array.ofDim[Double](n, w) // a(i)(c - i + k) = A[i][c]
+    val rhs = y.clone()
+    var i = 0
+    while (i < n) {
+      val span = findSpan(t, k, n, x(i))
+      val b = basisFuns(t, k, span, x(i))
+      var r = 0
+      while (r <= k) {
+        val cc = span - k + r
+        a(i)(cc - i + k) = b(r)
+        r += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val piv = a(i)(k)
+      var r = i + 1
+      while (r <= math.min(i + k, n - 1)) {
+        val f = a(r)(i - r + k) / piv
+        if (f != 0.0) {
+          var c = i
+          while (c <= math.min(i + k, n - 1)) {
+            a(r)(c - r + k) -= f * a(i)(c - i + k)
+            c += 1
+          }
+          rhs(r) -= f * rhs(i)
+        }
+        r += 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var acc = rhs(i)
+      var c = i + 1
+      while (c <= math.min(i + k, n - 1)) { acc -= a(i)(c - i + k) * out(c); c += 1 }
+      out(i) = acc / a(i)(k)
+      i -= 1
+    }
+    out
+  }
+
+  /** Evaluate the order-k interpolating B-spline of (x, y) at each xi;
+    * NaN outside [x.head, x.last] (scipy bounds_error=False). The
+    * generic path behind interp1d kind='quadratic' and integer spline
+    * orders (reference core.py:607-614 passes `kind` to interp1d).
+    */
+  def bsplineInterpEval(x: Array[Double], y: Array[Double], k: Int,
+                        xi: Array[Double]): Array[Double] = {
+    val n = x.length
+    val t = interpKnots(x, k)
+    val c = bsplineInterpCoefs(x, y, k)
+    xi.map { v =>
+      if (v < x(0) || v > x(n - 1) || v.isNaN) Double.NaN
+      else {
+        val span = findSpan(t, k, n, v)
+        val b = basisFuns(t, k, span, v)
+        var acc = 0.0
+        var r = 0
+        while (r <= k) { acc += b(r) * c(span - k + r); r += 1 }
+        acc
+      }
+    }
+  }
+
   /** Linear interpolation with NaN outside the span (scipy interp1d
     * kind='linear'/'slinear', bounds_error=False).
     */
@@ -248,17 +387,28 @@ object Tracks {
     * first three (e.g. depth z, objects.py:945-948) are interpolated
     * identically; the CALLER renormalizes rows 0-2 to unit.
     *
-    * kind: "linear"/"slinear", "cubic" (not-a-knot, = scipy interp1d),
-    * "nearest", or "zero" (previous-knot step); tracks shorter than 4
-    * fixes degrade cubic to linear (scipy raises there; a distributed
-    * operator must not kill the job for a 3-fix track). kind
-    * "quadratic" is not implemented.
+    * kind: "linear"/"slinear", "quadratic" (order-2 B-spline,
+    * midpoint knots = scipy interp1d), "cubic" (not-a-knot, = scipy
+    * interp1d), "nearest", "zero" (previous-knot step), or an integer
+    * spline order "0".."5" — the same `kind` values the reference
+    * forwards to interp1d (core.py:607-614). Tracks too short for the
+    * requested order degrade to the highest feasible order and
+    * ultimately to linear (scipy raises there; a distributed operator
+    * must not kill the job for a 3-fix track).
+    *
+    * mode: Savitzky-Golay edge handling — "interp" (edge polynomial
+    * fits), "nearest" (replicate), "mirror" (reflect without
+    * repeating the edge sample), "constant" (pad with `cval`), "wrap"
+    * (circular) — scipy savgol_filter's mode set.
     */
   def interpVectors(tI: Array[Double], t: Array[Double], rows: Array[Array[Double]],
                     kind: String = "linear", windowLength: Int = 0,
-                    polyorder: Int = 2, mode: String = "interp"): Array[Array[Double]] = {
-    require(Set("linear", "slinear", "cubic", "nearest", "zero")(kind),
-      s"unsupported kind $kind")
+                    polyorder: Int = 2, mode: String = "interp",
+                    cval: Double = 0.0): Array[Array[Double]] = {
+    require(Set("linear", "slinear", "cubic", "nearest", "zero", "quadratic")(kind)
+      || kind.matches("[0-5]"), s"unsupported kind $kind")
+    require(Set("interp", "nearest", "mirror", "constant", "wrap")(mode),
+      s"unsupported savgol mode $mode")
     val n = t.length
     val smoothed =
       if (windowLength <= 0) rows
@@ -270,6 +420,16 @@ object Tracks {
           val coeff = savgolCoefficients(wl, polyorder)
           val edge = if (mode == "interp") savgolEdgeCoefficients(wl, polyorder) else null
           val half = wl / 2
+          // out-of-range sample index per padding mode (wl < n, so a
+          // single reflection suffices for 'mirror')
+          def padded(row: Array[Double], idx: Int): Double =
+            if (idx >= 0 && idx < n) row(idx)
+            else mode match {
+              case "nearest" => row(math.min(n - 1, math.max(0, idx)))
+              case "mirror" => row(if (idx < 0) -idx else 2 * n - 2 - idx)
+              case "wrap" => row(java.lang.Math.floorMod(idx, n))
+              case _ => cval // "constant"
+            }
           rows.map { row =>
             Array.tabulate(n) { i =>
               if (edge != null && i < half) {
@@ -284,8 +444,7 @@ object Tracks {
               } else {
                 var acc = 0.0; var kk = 0
                 while (kk < wl) {
-                  val idx = math.min(n - 1, math.max(0, i - half + kk))
-                  acc += coeff(kk) * row(idx)
+                  acc += coeff(kk) * padded(row, i - half + kk)
                   kk += 1
                 }
                 acc
@@ -294,14 +453,26 @@ object Tracks {
           }
         }
       }
-    kind match {
-      case "cubic" if n >= 4 =>
+    val order = kind match {
+      case "nearest" => -1
+      case "zero" => 0
+      case "linear" | "slinear" => 1
+      case "quadratic" => 2
+      case "cubic" => 3
+      case d => d.toInt
+    }
+    val eff = if (order > 1) math.min(order, n - 1) else order
+    eff match {
+      case -1 => smoothed.map(row => tI.map(x => nearestEval(t, row, x)))
+      case 0 => smoothed.map(row => tI.map(x => zeroEval(t, row, x)))
+      case 3 =>
+        // specialized O(n) not-a-knot Thomas solve (same spline the
+        // generic order-3 collocation produces)
         smoothed.map { row =>
           val m = notAKnotSplineM(t, row)
           tI.map(x => splineEval(t, row, m, x))
         }
-      case "nearest" => smoothed.map(row => tI.map(x => nearestEval(t, row, x)))
-      case "zero" => smoothed.map(row => tI.map(x => zeroEval(t, row, x)))
+      case k if k >= 2 => smoothed.map(row => bsplineInterpEval(t, row, k, tI))
       case _ => smoothed.map(row => tI.map(x => linearEval(t, row, x)))
     }
   }
@@ -317,7 +488,8 @@ object Tracks {
   def interpolateSpline(fixes: DataFrame, queries: DataFrame,
                         trackCol: String, tCol: String, nvecCol: String,
                         zCol: Option[String] = None, kind: String = "cubic",
-                        windowLength: Int = 0, polyorder: Int = 2): DataFrame = {
+                        windowLength: Int = 0, polyorder: Int = 2,
+                        mode: String = "interp", cval: Double = 0.0): DataFrame = {
     val spark = fixes.sparkSession
     import spark.implicits._
     val zc = zCol.map(col).getOrElse(lit(0.0)).cast("double")
@@ -348,7 +520,7 @@ object Tracks {
       else {
         val t = fs.map(_._2)
         val rows = Array(fs.map(_._3), fs.map(_._4), fs.map(_._5), fs.map(_._6))
-        val itp = interpVectors(ts, t, rows, kind, windowLength, polyorder)
+        val itp = interpVectors(ts, t, rows, kind, windowLength, polyorder, mode, cval)
         ts.indices.iterator.map { i =>
           // unit(..., NaN) = reference norm_zero_vector=np.nan; NaN
           // components (out-of-span queries) propagate through unit()
@@ -419,7 +591,8 @@ object Tracks {
   }
 
   /** Smoothed track positions: per-track Savitzky-Golay over each
-    * n-vector component ('nearest' edge padding, the reference
+    * n-vector component (edge modes 'nearest'/'mirror'/'constant'
+    * (+cval)/'wrap'/'interp' — scipy savgol_filter's set, 'nearest'
     * default), renormalized to unit length. Distributes per track via
     * typed groups.
     *
@@ -433,8 +606,9 @@ object Tracks {
     */
   def savgolSmooth(fixes: DataFrame, trackCol: String, tCol: String,
                    nvecCol: String, windowLength: Int, polyorder: Int = 2,
-                   mode: String = "nearest"): DataFrame = {
-    require(mode == "nearest" || mode == "interp", s"unsupported mode $mode")
+                   mode: String = "nearest", cval: Double = 0.0): DataFrame = {
+    require(Set("interp", "nearest", "mirror", "constant", "wrap")(mode),
+      s"unsupported mode $mode")
     val spark = fixes.sparkSession
     import spark.implicits._
     val rows = fixes.select(col(trackCol).cast("long"), col(tCol).cast("double"),
@@ -466,10 +640,19 @@ object Tracks {
             while (k < wl) { acc += row(k) * get(n - wl + k); k += 1 }
             acc
           } else {
+            // out-of-range index per padding mode (scipy savgol_filter
+            // mode semantics; wl < n so one reflection suffices)
+            def padded(idx: Int): Double =
+              if (idx >= 0 && idx < n) get(idx)
+              else mode match {
+                case "nearest" => get(math.min(n - 1, math.max(0, idx)))
+                case "mirror" => get(if (idx < 0) -idx else 2 * n - 2 - idx)
+                case "wrap" => get(java.lang.Math.floorMod(idx, n))
+                case _ => cval // "constant"
+              }
             var acc = 0.0; var k = 0
             while (k < wl) {
-              val idx = math.min(n - 1, math.max(0, i - m + k)) // 'nearest'
-              acc += coeff(k) * get(idx)
+              acc += coeff(k) * padded(i - m + k)
               k += 1
             }
             acc

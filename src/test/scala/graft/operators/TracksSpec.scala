@@ -64,6 +64,109 @@ class TracksSpec extends AnyFunSuite {
     }
   }
 
+  test("B-spline interpolation orders 2/4/5 match the independent numpy solve") {
+    // golden: dense collocation solve + recursive Cox-de Boor in
+    // numpy (independent of the Scala banded/iterative path), scipy
+    // make_interp_spline knot rules (midpoints for even k, not-a-knot
+    // for odd k)
+    val x = Array(0.0, 1.0, 2.5, 3.1, 4.0, 6.0, 7.2, 9.0, 10.5, 12.0)
+    val y = x.map(v => math.sin(v) + 0.3 * v)
+    val xi = Array(0.5, 2.0, 3.05, 5.0, 8.1, 11.7)
+    val want = Map(
+      2 -> Array(0.6715852684293625, 1.4769816861308604, 1.0059986538497516,
+        0.6320768870375842, 3.3238948327112956, 2.7427587929636705),
+      4 -> Array(0.6328034126471551, 1.5057134029059047, 1.0066162216907135,
+        0.5514344392239581, 3.3697205550860034, 2.6359594715877153),
+      5 -> Array(0.6184942951956088, 1.5107948797712851, 1.0064988087562607,
+        0.5469544135064043, 3.3841810664200325, 2.707186106751356))
+    for ((k, w) <- want) {
+      val got = Tracks.bsplineInterpEval(x, y, k, xi)
+      xi.indices.foreach(i => assert(math.abs(got(i) - w(i)) < 1e-10,
+        s"k=$k x=${xi(i)}: got ${got(i)} want ${w(i)}"))
+    }
+  }
+
+  test("order-k B-spline interpolation reproduces degree-k polynomials") {
+    val x = Array(0.0, 0.6, 1.5, 2.0, 3.3, 4.1, 5.0, 6.6, 7.0, 8.5)
+    for (k <- 2 to 5) {
+      def p(v: Double) = (1 to k).foldLeft(1.0)((acc, _) => acc * (v - 1.7) / 2.0) + 0.25 * v
+      val y = x.map(p)
+      val xi = Array(0.3, 1.0, 2.9, 4.99, 6.9, 8.2)
+      val got = Tracks.bsplineInterpEval(x, y, k, xi)
+      xi.indices.foreach(i => assert(math.abs(got(i) - p(xi(i))) < 1e-9,
+        s"k=$k x=${xi(i)}"))
+    }
+  }
+
+  test("interpVectors kind routing: quadratic == order 2, cubic == order 3, NaN bounds") {
+    val t = Array(0.0, 1.0, 2.5, 3.1, 4.0, 6.0)
+    val rows = Array(t.map(v => math.cos(v)), t.map(v => v * 0.1))
+    val ti = Array(-1.0, 0.5, 3.0, 6.0, 7.0)
+    val q = Tracks.interpVectors(ti, t, rows, kind = "quadratic")
+    val q2 = Tracks.interpVectors(ti, t, rows, kind = "2")
+    val c = Tracks.interpVectors(ti, t, rows, kind = "cubic")
+    val c2 = Tracks.interpVectors(ti, t, rows, kind = "3")
+    for (r <- rows.indices; i <- ti.indices) {
+      assert(q(r)(i).isNaN == q2(r)(i).isNaN &&
+        (q(r)(i).isNaN || q(r)(i) == q2(r)(i)))
+      assert(c(r)(i).isNaN == c2(r)(i).isNaN &&
+        (c(r)(i).isNaN || math.abs(c(r)(i) - c2(r)(i)) < 1e-12))
+    }
+    assert(q(0)(0).isNaN && q(0)(4).isNaN) // out of span
+    assert(!q(0)(3).isNaN) // right endpoint included
+  }
+
+  test("savgol padding modes mirror/constant/wrap match numpy np.pad goldens") {
+    val sig = Array.tabulate(12)(i => math.sin(i * 0.7) + 0.05 * i)
+    val want = Map(
+      "mirror" -> Array(0.5138320552470266, 0.6311251234269315, 0.869562188790961,
+        0.9399308462323663, 0.5065507432545124, -0.07100496426343267,
+        -0.49758702124735815, -0.5490514394976657, -0.1776779176859668,
+        0.4937305847436595, 1.106535062096142, 1.3512841321980882),
+      "constant" -> Array(0.7569160276235134, 0.7067559042966385, 0.7928210161469317,
+        0.9399308462323663, 0.5065507432545124, -0.07100496426343267,
+        -0.49758702124735815, -0.5490514394976657, -0.1776779176859668,
+        0.46106264176449663, 1.057138300420539, 1.4320034384118774),
+      "wrap" -> Array(0.8172179989782593, 0.744876452115373, 0.789185946253884,
+        0.9399308462323663, 0.5065507432545124, -0.07100496426343267,
+        -0.49758702124735815, -0.5490514394976657, -0.1776779176859668,
+        0.6039197846216393, 0.9195937587788541, 0.9278012289707417))
+    val t = Array.tabulate(12)(_.toDouble)
+    for ((mode, w) <- want) {
+      // windowLength 7, polyorder 2, cval 1.5 (only 'constant' reads it);
+      // query at the knots so the smoothed series itself comes back
+      val got = Tracks.interpVectors(t, t, Array(sig), kind = "linear",
+        windowLength = 7, polyorder = 2, mode = mode, cval = 1.5)(0)
+      w.indices.foreach(i => assert(math.abs(got(i) - w(i)) < 1e-10,
+        s"mode=$mode i=$i: got ${got(i)} want ${w(i)}"))
+    }
+  }
+
+  test("interpolateSpline kind=quadratic interpolates tracks end-to-end") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val fixes = (0 until 40).map { i =>
+      val t = i * 2.0
+      val lat = rad(10.0 + 3.0 * math.sin(i * 0.2))
+      val lon = rad(5.0 + 0.25 * i)
+      (1L, t, Gade.latLonToNvec(lat, lon))
+    }.map { case (id, t, n) => (id, t, n.x, n.y, n.z) }
+      .toDF("track", "t", "nx", "ny", "nz")
+      .withColumn("n", geo.vec(col("nx"), col("ny"), col("nz")))
+    val qs = Seq((1L, 11.3), (1L, 40.7), (1L, 200.0)).toDF("track", "t")
+    val out = Tracks.interpolateSpline(fixes, qs, "track", "t", "n",
+      kind = "quadratic")
+      .select("t", "n.x", "n.y", "n.z").collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(200.0)._1.isNaN) // out of span
+    for (t0 <- Seq(11.3, 40.7)) {
+      val (x, y, z) = out(t0)
+      assert(math.abs(math.sqrt(x * x + y * y + z * z) - 1.0) < 1e-12)
+      // within the fix envelope: lat in [7,13] deg
+      assert(deg(math.asin(z)) > 6.9 && deg(math.asin(z)) < 13.1)
+    }
+  }
+
   test("interp kinds nearest/zero/slinear (scipy interp1d conventions)") {
     val t = Array(0.0, 1.0, 3.0, 4.0)
     val y = Array(10.0, 20.0, 30.0, 40.0)

@@ -138,7 +138,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum + median
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round}}"""
+    println(json)
+    // the console line lands inside sbt [info] noise; also write it
+    // machine-readably where the driver and later rounds can parse it
+    try {
+      val dir = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("last_run.json"), json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH/last_run.json: $e")
+    }
     spark.stop()
   }
 }

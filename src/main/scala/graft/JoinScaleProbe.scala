@@ -27,6 +27,27 @@ object JoinScaleProbe {
       .select(col("id").as(s"${name}_id"),
         geo.nvec(col("lat"), col("lon")).as(s"${name}_n"))
 
+  /** Power-law-skewed points: half the rows concentrate in a ~20 km
+    * disc at (45N, 10E) — one white-hot cell at any join level — and
+    * half scatter uniformly like [[points]]. Exercises the hot-cell
+    * salting path of distanceJoin with a realistic worst case
+    * (metro-area photo dumps in a global corpus).
+    */
+  def skewedPoints(spark: SparkSession, n: Long, name: String, salt: Long): DataFrame =
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 2)
+      .withColumn("k", pmod(col("id") * 2654435761L + salt, lit(179424673L)))
+      .withColumn("hot", pmod(col("id"), lit(2)) === 0)
+      .withColumn("lat",
+        when(col("hot"),
+          lit(math.toRadians(45.0)) + ((col("k") % 1000L) / 1000.0 - 0.5) * 0.003)
+          .otherwise(asin(((col("k") * 40503L) % 180001L) / 90000.5 - 1.0)))
+      .withColumn("lon",
+        when(col("hot"),
+          lit(math.toRadians(10.0)) + (((col("k") * 7L) % 1000L) / 1000.0 - 0.5) * 0.003)
+          .otherwise((((col("k") * 69069L) % 360001L) / 180000.5 - 1.0) * math.Pi))
+      .select(col("id").as(s"${name}_id"),
+        geo.nvec(col("lat"), col("lon")).as(s"${name}_n"))
+
   def main(args: Array[String]): Unit = {
     val nQ = if (args.length > 0) args(0).toLong else 1000000L
     val nD = if (args.length > 1) args(1).toLong else 1000000L
@@ -49,6 +70,17 @@ object JoinScaleProbe {
     time("knn_join_k5") {
       SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", 5,
         bruteForceThreshold = 0).count()
+    }
+    // hot-cell skew: half the probe side in one ~20 km disc; compare
+    // the unsalted join (one giant cell key) against salted
+    // repartitioning of the hot cells
+    val qSkew = skewedPoints(spark, nQ, "q", 7)
+    time("distance_join_50km_skewed_nosalt") {
+      SpatialJoins.distanceJoin(qSkew, d, "q_n", "d_n", 50e3).count()
+    }
+    time("distance_join_50km_skewed_salt16") {
+      SpatialJoins.distanceJoin(qSkew, d, "q_n", "d_n", 50e3,
+        skewSalt = 16, hotCellThreshold = 100000L).count()
     }
     spark.stop()
   }

@@ -895,6 +895,48 @@ object SparkEntry {
            | SELECT q_id, rank, d_id, round(cos, 6) AS cosine FROM fin
            | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
       },
+      "q39_embedding_near_dups" -> {
+        // full relational mirror of the hyperplane-LSH near-dup
+        // pipeline: the 16 x 64 plane constants inline at the exact
+        // doubles the kernel uses, dot products as left-fold `+`
+        // chains (SQL + is left-associative, so the IEEE adds match
+        // the kernel's fold bit for bit; measured sign margins are
+        // >= 1e-5, five orders above any summation-order wobble)
+        val planes = (0 until 16).map(b =>
+          graft.operators.Similarity.hyperplane(b, 64))
+        def dotW(vec: String, w: Array[Double]): String =
+          (0 until 64).map(i => s"CAST($vec[${i + 1}] AS DOUBLE)*${fmt(w(i))}")
+            .mkString(" + ")
+        def dotVV(a: String, b: String): String =
+          (0 until 64).map(i =>
+            s"CAST($a[${i + 1}] AS DOUBLE)*CAST($b[${i + 1}] AS DOUBLE)")
+            .mkString(" + ")
+        val sigExpr = (0 until 16).map(b =>
+          s"(CASE WHEN (${dotW("embedding", planes(b))}) >= 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+           | pl AS (SELECT vec_id + 1000000 AS vec_id,
+           |   list_transform(embedding, x -> CAST(x * CAST(1.0005 AS FLOAT) AS FLOAT)) AS embedding
+           |   FROM base WHERE vec_id % 100 = 0),
+           | allv AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+           | sig AS (SELECT vec_id, embedding, $sigExpr AS sig FROM allv),
+           | banded AS (
+           |   SELECT vec_id, (sig & 255) | (CAST(1 AS BIGINT) << 60) AS band FROM sig
+           |   UNION ALL
+           |   SELECT vec_id, ((sig >> 8) & 255) | (CAST(2 AS BIGINT) << 60) AS band FROM sig),
+           | capped AS (SELECT vec_id, band FROM (SELECT vec_id, band,
+           |     row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn FROM banded)
+           |   WHERE rn <= 4096),
+           | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |   FROM capped a JOIN capped b USING (band) WHERE a.vec_id < b.vec_id),
+           | cj AS (SELECT c.id_a, c.id_b, sa.embedding AS ea, sb.embedding AS eb
+           |   FROM cand c JOIN sig sa ON sa.vec_id = c.id_a JOIN sig sb ON sb.vec_id = c.id_b),
+           | cosv AS (SELECT id_a, id_b,
+           |   (${dotVV("ea", "eb")}) / (sqrt(${dotVV("ea", "ea")}) * sqrt(${dotVV("eb", "eb")})) AS cosine
+           |   FROM cj)
+           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM cosv
+           | WHERE cosine >= 0.9995 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+      },
       "q33_minhash_pairs" ->
         """WITH sh AS (SELECT doc_id, substr(lower(text), t.i + 1, 5) AS s
           |   FROM documents CROSS JOIN generate_series(0, 2047) t(i)

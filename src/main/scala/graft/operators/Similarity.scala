@@ -42,7 +42,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component (splitmix64 ->
     * [-1, 1)).
     */
-  private[operators] def hyperplane(seed: Int, dim: Int): Array[Double] =
+  def hyperplane(seed: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
       val m = graft.sources.ImageTable.mix(seed.toLong * 131071 + i)
       (m >>> 11).toDouble / (1L << 52).toDouble - 1.0

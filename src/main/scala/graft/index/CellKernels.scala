@@ -17,6 +17,10 @@ object CellKernels {
   def ring(id: Long, k: Int): ArrayData =
     new GenericArrayData(CellIndex.ring(id, k))
 
+  def capCells(x: Double, y: Double, z: Double, level: Int,
+               angleRad: Double): ArrayData =
+    new GenericArrayData(CellIndex.capCells(x, y, z, level, angleRad))
+
   def ringCoverageRad(x: Double, y: Double, z: Double, level: Int, k: Int): Double =
     CellIndex.ringCoverageRad(x, y, z, level, k)
 

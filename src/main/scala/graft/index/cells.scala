@@ -39,6 +39,16 @@ object cells {
       Seq(geo.vx(n), geo.vy(n), geo.vz(n), lit(level), lit(k)),
       Seq(DoubleType, DoubleType, DoubleType, IntegerType, IntegerType))
 
+  /** Exact quadtree disc cover: all cells at `level` whose safe
+    * lower-bound distance to the n-vector is within `angleRad`
+    * (CellIndex.capCells, per row).
+    */
+  def capCells(n: Column, level: Int, angleRad: Double): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass,
+      ArrayType(LongType, containsNull = false), "capCells",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), lit(level), lit(angleRad)),
+      Seq(DoubleType, DoubleType, DoubleType, IntegerType, DoubleType))
+
   /** Unit n-vector struct of the cell center. */
   def cellCenter(cell: Column): Column = {
     val ret = StructType(Seq(StructField("x", DoubleType, nullable = false),

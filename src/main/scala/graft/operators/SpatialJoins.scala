@@ -40,9 +40,11 @@ object SpatialJoins {
     * projection compresses (CellIndex.coverageLowerBound); each right
     * row keeps exactly one cell while left probes its ring, so no pair
     * dedup is needed. Radii beyond what any block can cover (~0.26 rad
-    * ~ 1660 km) fall back to the exact-filtered cross join: at such
-    * radii the matching pairs are a constant fraction of |L|x|R|, so
-    * the output itself is quadratic and candidate pruning cannot help.
+    * ~ 1660 km) switch to per-row quadtree DISC COVERS at a coarse
+    * level (still pruning, still provably complete); only caps
+    * spanning most of the sphere — where the output itself is
+    * quadratic and pruning cannot help — take the exact-filtered
+    * cross join.
     */
   def distanceJoin(left: DataFrame, right: DataFrame,
                    leftNvec: String, rightNvec: String,
@@ -59,6 +61,27 @@ object SpatialJoins {
       .map(k => (CellIndex.levelForRadiusSafe(angle, k), k))
       .find(_._1 >= 0)
     if (plan.isEmpty) {
+      // beyond any provable ring block (~0.26 rad): per-row quadtree
+      // disc covers at a coarse level keep pruning — every right row
+      // within `angle` of a query lies in a cell whose lower-bound
+      // distance is <= angle, so the cover is provably complete.
+      // Level sized so a cap covers ~<=48 cells (plus boundary).
+      // Only when the cap spans most of the sphere — where matching
+      // pairs are a constant fraction of |L| x |R| and the OUTPUT is
+      // quadratic — does the exact-filtered cross join remain.
+      val capFrac = (1.0 - math.cos(angle)) / 2.0
+      if (capFrac <= 0.7) {
+        val lvl = math.max(1, math.min(6,
+          (math.log(8.0 / capFrac) / math.log(4.0)).floor.toInt))
+        val probes = left.withColumn("__cell",
+          explode(cells.capCells(col(leftNvec), lvl, angle)))
+        val build1 = right.withColumn("__cell", cells.cellAt(col(rightNvec), lvl))
+        val build = if (broadcastRight) broadcast(build1) else build1
+        return probes.join(build, "__cell")
+          .withColumn(distCol, geo.gcDistance(col(leftNvec), col(rightNvec), sphereRadius))
+          .filter(col(distCol) <= radiusMeters)
+          .drop("__cell")
+      }
       val b = if (broadcastRight) broadcast(right) else right
       return left.crossJoin(b)
         .withColumn(distCol, geo.gcDistance(col(leftNvec), col(rightNvec), sphereRadius))

@@ -162,17 +162,31 @@ class SpatialJoinsSpec extends AnyFunSuite {
       s"missing=${(brute -- salted).take(5)} extra=${(salted -- brute).take(5)}")
   }
 
-  test("distance join beyond block coverage falls back to exact cross join") {
+  test("wide-radius distance join uses pruning disc covers, stays exact") {
     val a = pointsDf(200, "a", 41)
     val b = pointsDf(150, "b", 42)
-    val radius = 5000e3 // ~0.78 rad: beyond any provable block coverage
-    val got = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", radius)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = a.crossJoin(b)
+    def bruteAt(radius: Double) = a.crossJoin(b)
       .withColumn("d", geo.gcDistance(col("a_n"), col("b_n")))
       .filter(col("d") <= radius)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(brute.nonEmpty && got == brute)
+    // 5000 km (~0.78 rad): beyond any provable ring block, inside the
+    // cap-cover regime — must still prune (no CartesianProduct) and
+    // match brute force exactly
+    val wide = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", 5000e3)
+    val planStr = wide.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct"),
+      "wide-radius join should take the disc-cover path, not a cross join")
+    val got = wide.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = bruteAt(5000e3)
+    assert(brute.nonEmpty && got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // 13000 km (~2.0 rad, cap covers ~73% of the sphere): output is
+    // itself quadratic, the exact-filtered cross join is the honest
+    // plan and must stay correct
+    val hemi = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", 13000e3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hemi == bruteAt(13000e3))
   }
 
   test("knn ring path never executes a cross join against the data side") {

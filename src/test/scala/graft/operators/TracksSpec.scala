@@ -98,6 +98,22 @@ class TracksSpec extends AnyFunSuite {
     }
   }
 
+  test("B-spline interpolation passes through random irregular data sites") {
+    // interpolation property on random (seeded) sites, including
+    // tightly clustered knots — catches banded-solver indexing bugs
+    // the fixed goldens might miss
+    val rnd = new scala.util.Random(20260816)
+    for (k <- 2 to 5; trial <- 0 until 6) {
+      val n = k + 1 + rnd.nextInt(20)
+      val x = Iterator.iterate(0.0)(v => v + 1e-3 + rnd.nextDouble() * (if (rnd.nextInt(4) == 0) 0.01 else 2.0))
+        .take(n).toArray
+      val y = x.map(_ => rnd.nextDouble() * 10 - 5)
+      val got = Tracks.bsplineInterpEval(x, y, k, x)
+      x.indices.foreach(i => assert(math.abs(got(i) - y(i)) < 1e-7,
+        s"k=$k trial=$trial i=$i: got ${got(i)} want ${y(i)}"))
+    }
+  }
+
   test("interpVectors kind routing: quadratic == order 2, cubic == order 3, NaN bounds") {
     val t = Array(0.0, 1.0, 2.5, 3.1, 4.0, 6.0)
     val rows = Array(t.map(v => math.cos(v)), t.map(v => v * 0.1))

@@ -379,6 +379,27 @@ object Tracks {
     if (x <= midpoint) y(i) else y(i + 1)
   }
 
+  /** kind='nearest-up': like nearest but exact midpoints round UP
+    * (scipy's companion convention).
+    */
+  def nearestUpEval(t: Array[Double], y: Array[Double], x: Double): Double = {
+    val n = t.length
+    if (x < t(0) || x > t(n - 1) || x.isNaN) return Double.NaN
+    var i = java.util.Arrays.binarySearch(t, x)
+    if (i >= 0) return y(i)
+    i = -i - 2
+    val midpoint = (t(i) + t(i + 1)) / 2.0
+    if (x < midpoint) y(i) else y(i + 1)
+  }
+
+  /** kind='next': value of the first knot at or after x. */
+  def nextEval(t: Array[Double], y: Array[Double], x: Double): Double = {
+    val n = t.length
+    if (x < t(0) || x > t(n - 1) || x.isNaN) return Double.NaN
+    val i = java.util.Arrays.binarySearch(t, x)
+    if (i >= 0) y(i) else y(-i - 1)
+  }
+
   /** Pure-Scala port of the reference `_interp_vectors` +
     * `interp_nvectors` tail (core.py:586-744): optional Savitzky-Golay
     * pre-filter along time (mode 'interp'/'nearest', NO
@@ -390,8 +411,9 @@ object Tracks {
     * kind: "linear"/"slinear", "quadratic" (order-2 B-spline,
     * midpoint knots = scipy interp1d), "cubic" (not-a-knot, = scipy
     * interp1d), "nearest", "zero" (previous-knot step), or an integer
-    * spline order "0".."5" — the same `kind` values the reference
-    * forwards to interp1d (core.py:607-614). Tracks too short for the
+    * spline order "0".."5", plus the step kinds "previous"/"next"/
+    * "nearest-up" — the same `kind` values the reference forwards to
+    * interp1d (core.py:607-614). Tracks too short for the
     * requested order degrade to the highest feasible order and
     * ultimately to linear (scipy raises there; a distributed operator
     * must not kill the job for a 3-fix track).
@@ -405,7 +427,8 @@ object Tracks {
                     kind: String = "linear", windowLength: Int = 0,
                     polyorder: Int = 2, mode: String = "interp",
                     cval: Double = 0.0): Array[Array[Double]] = {
-    require(Set("linear", "slinear", "cubic", "nearest", "zero", "quadratic")(kind)
+    require(Set("linear", "slinear", "cubic", "nearest", "nearest-up",
+      "zero", "quadratic", "previous", "next")(kind)
       || kind.matches("[0-5]"), s"unsupported kind $kind")
     require(Set("interp", "nearest", "mirror", "constant", "wrap")(mode),
       s"unsupported savgol mode $mode")
@@ -455,7 +478,9 @@ object Tracks {
       }
     val order = kind match {
       case "nearest" => -1
-      case "zero" => 0
+      case "nearest-up" => -2
+      case "next" => -3
+      case "zero" | "previous" => 0 // scipy 'previous' = the order-0 spline step
       case "linear" | "slinear" => 1
       case "quadratic" => 2
       case "cubic" => 3
@@ -464,6 +489,8 @@ object Tracks {
     val eff = if (order > 1) math.min(order, n - 1) else order
     eff match {
       case -1 => smoothed.map(row => tI.map(x => nearestEval(t, row, x)))
+      case -2 => smoothed.map(row => tI.map(x => nearestUpEval(t, row, x)))
+      case -3 => smoothed.map(row => tI.map(x => nextEval(t, row, x)))
       case 0 => smoothed.map(row => tI.map(x => zeroEval(t, row, x)))
       case 3 =>
         // specialized O(n) not-a-knot Thomas solve (same spline the

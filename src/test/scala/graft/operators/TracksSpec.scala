@@ -197,6 +197,24 @@ class TracksSpec extends AnyFunSuite {
     assert(math.abs(slin(3) - 25.0) < 1e-12) // halfway 1->3
   }
 
+  test("step kinds previous/next/nearest-up follow interp1d conventions") {
+    val t = Array(0.0, 1.0, 3.0, 4.0)
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val ti = Array(-0.5, 0.0, 0.5, 1.0, 2.0, 3.5, 4.0, 4.5)
+    def run(kind: String) = Tracks.interpVectors(ti, t, Array(y), kind)(0)
+    val prev = run("previous")
+    val nxt = run("next")
+    val nup = run("nearest-up")
+    val near = run("nearest")
+    assert(prev(0).isNaN && nxt(0).isNaN && prev(7).isNaN && nxt(7).isNaN)
+    assert(prev.slice(1, 7).sameElements(Array(10.0, 10.0, 20.0, 20.0, 30.0, 40.0)))
+    assert(nxt.slice(1, 7).sameElements(Array(10.0, 20.0, 20.0, 30.0, 40.0, 40.0)))
+    // exact midpoints: 'nearest' rounds down, 'nearest-up' rounds up
+    assert(near(2) == 10.0 && nup(2) == 20.0) // 0.5 is the 0-1 midpoint
+    assert(near(4) == 20.0 && nup(4) == 30.0) // 2.0 is the 1-3 midpoint
+    assert(near(5) == 30.0 && nup(5) == 40.0) // 3.5 is the 3-4 midpoint
+  }
+
   test("interpolateSpline tolerates duplicate fix timestamps") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -31,6 +31,35 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(ids == Seq("img_a", "img_b", "img_c"))
   }
 
+  test("streaming AOI assignment (stream-static broadcast PIP)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SpatialJoins
+    import graft.operators.SpatialJoins.Aoi
+    // aoiJoin is stateless (broadcast cover map + PIP filter), so it
+    // composes directly onto a streaming source — the flagship tiling
+    // stage in streaming form
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("pid", "latd", "lond")
+      .withColumn("n", geo.nvecDeg(col("latd"), col("lond")))
+    val aois = Seq(
+      Aoi("eq_box", Seq((-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0), (10.0, -10.0))),
+      Aoi("north", Seq((50.0, -60.0), (50.0, 60.0), (80.0, 60.0), (80.0, -60.0))))
+    val assigned = SpatialJoins.aoiJoin(pts, "n", aois).select("pid", "aoi_id")
+    val q = assigned.writeStream.format("memory").queryName("aoi_out")
+      .outputMode("append").start()
+    // note great-circle edges: the (50,-60)->(50,60) edge bulges to
+    // ~67.3N at lon 0, so "inside" at lon 0 means lat in (67.3, 85)
+    input.addData((1L, 0.0, 0.0), (2L, 75.0, 0.0), (3L, -40.0, 100.0))
+    q.processAllAvailable()
+    input.addData((4L, 5.0, -5.0), (5L, 75.0, 30.0))
+    q.processAllAvailable()
+    val got = spark.table("aoi_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set((1L, "eq_box"), (2L, "north"), (4L, "eq_box"), (5L, "north")))
+  }
+
   test("streaming ingest commits deduplicated snapshots and resumes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -37,8 +37,42 @@ object GeoFunctions {
       geo.latDeg(geo.interpolate(geo.nvec(a, b), geo.nvec(cc, d), t)) }),
     "geo_cross_track" -> (6, { case Seq(a1la, a1lo, a2la, a2lo, bla, blo) =>
       geo.crossTrackDistance(geo.nvec(a1la, a1lo), geo.nvec(a2la, a2lo),
-        geo.nvec(bla, blo)) })
+        geo.nvec(bla, blo)) }),
+    "geo_cell_parent" -> (2, { case Seq(cell, steps) =>
+      graft.index.cells.parentCell(cell, litInt(steps)) }),
+    "geo_ring_cells" -> (2, { case Seq(cell, k) =>
+      graft.index.cells.ringCells(cell, litInt(k)) }),
+    "geo_cap_cells" -> (4, { case Seq(lat, lon, level, angleRad) =>
+      graft.index.cells.capCells(geo.nvec(lat, lon), litInt(level),
+        litDouble(angleRad)) }),
+    "geo_hamming" -> (2, { case Seq(a, b) =>
+      graft.operators.Dedup.hamming(a, b) }),
+    "geo_minhash" -> (2, { case Seq(text, buckets) =>
+      graft.operators.Dedup.minHashSignatureOnePerm(text,
+        numBuckets = litInt(buckets)) })
   )
+
+  /** Foldable int literal argument (levels, ring sizes, bucket counts
+    * feed driver-side cover/coefficient construction).
+    */
+  private def litInt(c0: Column): Int =
+    GraftSqlBridge.expression(c0).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument must be an integer literal, got $other")
+    }
+
+  private def litDouble(c0: Column): Double =
+    GraftSqlBridge.expression(c0).eval(null) match {
+      case d: Double => d
+      case f: java.math.BigDecimal => f.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"argument must be a numeric literal, got $other")
+    }
 
   /** Register every function as a session temp function. */
   def register(spark: SparkSession): Unit =

@@ -42,4 +42,27 @@ class GeoFunctionsSqlSpec extends AnyFunSuite {
     val n = Gade.latLonToNvec(rad(10), rad(20))
     assert(r.getLong(3) == graft.index.CellIndex.cellAt(n.x, n.y, n.z, 8))
   }
+
+  test("cell/dedup SQL functions match kernels") {
+    GeoFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  geo_cell_parent(geo_cell(radians(10.0), radians(20.0), 8), 2) AS parent,
+        |  geo_ring_cells(geo_cell(radians(10.0), radians(20.0), 6), 1) AS ring,
+        |  geo_cap_cells(radians(45.0), radians(10.0), 3, 0.5) AS cap,
+        |  geo_hamming(CAST(9223372036854775807 AS BIGINT), CAST(0 AS BIGINT)) AS hd,
+        |  geo_minhash('the quick brown fox jumps over the lazy dog', 32) AS mh
+        |""".stripMargin).collect()(0)
+    val n = Gade.latLonToNvec(rad(10), rad(20))
+    assert(r.getLong(0) ==
+      graft.index.CellIndex.parent(graft.index.CellIndex.cellAt(n.x, n.y, n.z, 8), 2))
+    assert(r.getSeq[Long](1).toArray.sameElements(
+      graft.index.CellIndex.ring(graft.index.CellIndex.cellAt(n.x, n.y, n.z, 6), 1)))
+    val c = Gade.latLonToNvec(rad(45), rad(10))
+    assert(r.getSeq[Long](2).toArray.sameElements(
+      graft.index.CellIndex.capCells(c.x, c.y, c.z, 3, 0.5)))
+    assert(r.getInt(3) == 63)
+    val mh = r.getSeq[Long](4)
+    assert(mh.length == 32 && mh.distinct.length > 1)
+  }
 }

@@ -242,9 +242,16 @@ object SpatialJoins {
       if (level > 0) level
       else {
         val n = math.max(1L, dataCount)
-        // ~2k points per cell: 6 * 4^L cells; N / (6*4^L) = 2k
-        val cellsWanted = math.max(1.0, n.toDouble / math.max(1, 2 * k))
-        val l = (math.log(cellsWanted / 6.0) / math.log(4.0)).ceil.toInt
+        // target ~2.5 points per cell (a first 3x3 ring then holds
+        // ~23 candidates) — the measured optimum at the 1M and 4M
+        // probes and the sf0.1 gate; for large k keep ~k/4 per cell
+        // so the first ring can still satisfy. Cells go 4x per level,
+        // so ROUND to the nearest level: rounding coarse multiplies
+        // the rank-window volume 4x for every query, rounding fine
+        // only sends a few sparse queries one escalation ring further.
+        val perCell = math.max(2.5, k / 4.0)
+        val l = math.round(
+          math.log(n.toDouble / (6.0 * perCell)) / math.log(4.0)).toInt
         math.max(2, math.min(CellIndex.MaxLevel, l))
       }
     // escalation schedule: widen at the base level, then coarsen the

@@ -548,6 +548,20 @@ object SparkEntry {
           round(col("depth"), 6).as("idepth"))
         .orderBy("user_id")
     }),
+    "q45_phash_neardups" -> ((s, dir) => {
+      // image-corpus near-dup primitive: multi-index hamming self-join
+      // over a 64-bit perceptual-hash-style fingerprint. Gate variant
+      // fingerprints documents with the md5-basis simhash (q34's
+      // signature) so DuckDB can brute-force the same pair set —
+      // the banded join is provably brute-force-equal (pigeonhole).
+      val sigs = t(s, dir, "documents")
+        .withColumn("__h", transform(Dedup.shingles(col("text")),
+          x => Dedup.hash60md5(x)))
+        .select(col("doc_id"), Dedup.simHashFromHashes(col("__h")).as("fp"))
+      Dedup.hammingNearDups(sigs, "doc_id", "fp",
+          maxDist = 3, bits = 60, bands = 6)
+        .orderBy("id_a", "id_b")
+    }),
     "q38_track_interpolation" -> ((s, dir) => {
       // interpolate each user's position track at fixed times
       val ev = t(s, dir, "events")
@@ -989,6 +1003,31 @@ object SparkEntry {
           |   FROM documents d LEFT JOIN fmin f USING (doc_id))
           | SELECT sg.doc_id, sg.sig, fpa.fp FROM sg JOIN fpa USING (doc_id)
           | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // brute-force mirror of the multi-index hamming join: the banded
+      // engine path is pigeonhole-exact over representatives, so an
+      // O(n^2) DuckDB pair scan over the same md5-basis simhash
+      // fingerprints must produce the identical pair set
+      "q45_phash_neardups" ->
+        """WITH sh AS (SELECT doc_id, substr(lower(text), t.i + 1, 5) AS s
+          |   FROM documents CROSS JOIN generate_series(0, 2047) t(i)
+          |   WHERE t.i <= greatest(length(text) - 5, 0)),
+          | hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+          | votes AS (SELECT doc_id, gb.b AS b,
+          |   sum(CASE WHEN (h >> gb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |   FROM hs CROSS JOIN generate_series(0, 59) gb(b) GROUP BY doc_id, gb.b),
+          | sg AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+          |   FROM votes GROUP BY doc_id),
+          | star AS (SELECT min(doc_id) OVER (PARTITION BY fp) AS rep, doc_id, fp FROM sg),
+          | starpairs AS (SELECT rep AS id_a, doc_id AS id_b, 0 AS hamming
+          |   FROM star WHERE doc_id <> rep),
+          | reps AS (SELECT doc_id, fp FROM star WHERE doc_id = rep),
+          | brute AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |     CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+          |   FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          |   WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+          | SELECT id_a, id_b, hamming FROM brute
+          | UNION ALL SELECT id_a, id_b, hamming FROM starpairs
+          | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       "q37_course_over_ground" ->
         (s"""WITH ev AS (SELECT user_id, event_id,
             |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),

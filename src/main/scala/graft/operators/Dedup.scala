@@ -183,6 +183,64 @@ object Dedup {
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Fingerprint near-duplicate pairs within hamming distance
+    * `maxDist` over a `bits`-bit integer fingerprint column (an image
+    * perceptual hash, [[simHash]], or any compact signature):
+    * multi-index hashing (Norouzi et al., "Fast Search in Hamming
+    * Space with Multi-Index Hashing", CVPR 2012).
+    *
+    * Pigeonhole guarantee: the fingerprint splits into `bands`
+    * disjoint bit segments; a pair differing in at most `maxDist`
+    * bits has fewer differing bits than segments when
+    * `bands > maxDist`, so at least one segment matches EXACTLY.
+    * Candidates therefore come from a bucket self-join on
+    * (segment index, segment value) — linear volume for
+    * non-degenerate corpora — and the pair set is EXACT
+    * (brute-force-equal over representatives), not approximate,
+    * up to the `maxBucket` cap.
+    *
+    * Scale shape mirrors [[minHashPairs]]: identical fingerprints
+    * (exact-duplicate floods — 10^9 copies of the same image share a
+    * phash) are star-encoded around the min-id representative
+    * (distance 0) so the clique never materializes and only
+    * representatives enter the banding; pathological buckets (the
+    * all-zero phash of blank frames) are capped deterministically by
+    * id; candidate pairs travel as ids only and fingerprints
+    * re-attach once after pair dedup. Returns
+    * (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def hammingNearDups(df: DataFrame, idCol: String, fpCol: String,
+                      maxDist: Int = 3, bits: Int = 64, bands: Int = 8,
+                      maxBucket: Int = 4096): DataFrame = {
+    require(bands > maxDist,
+      s"pigeonhole exactness needs bands > maxDist (got $bands <= $maxDist)")
+    require(bits > 0 && bits <= 64 && bits % bands == 0,
+      s"bits must divide into equal-width bands (bits=$bits, bands=$bands)")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val fps = spreadSmallInput(df)
+      .select(col(idCol).as("__id"), col(fpCol).cast("long").as("__fp"))
+    val wFp = Window.partitionBy("__fp")
+    val tagged = fps.withColumn("__rep", min(col("__id")).over(wFp))
+    val starPairs = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        lit(0).as("hamming"))
+    val reps = tagged.filter(col("__id") === col("__rep")).select("__id", "__fp")
+    // band key = segment index in the bits above the segment value
+    val banded = reps.select(col("__id"),
+      explode(array((0 until bands).map { b =>
+        lit(b.toLong << width).bitwiseOR(
+          shiftrightunsigned(col("__fp"), b * width).bitwiseAND(lit(mask)))
+      }: _*)).as("__band"))
+    val pairs = Similarity.bandPairs(banded, "__id", maxBucket)
+      .join(reps.select(col("__id").as("id_a"), col("__fp").as("__fp_a")), "id_a")
+      .join(reps.select(col("__id").as("id_b"), col("__fp").as("__fp_b")), "id_b")
+      .withColumn("hamming", hamming(col("__fp_a"), col("__fp_b")).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+    pairs.unionByName(starPairs)
+  }
+
   /** Word n-gram Jaccard similarity between two text columns
     * (exact, for verification / small candidate sets).
     */

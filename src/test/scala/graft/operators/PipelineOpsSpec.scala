@@ -111,6 +111,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n > 0 && n <= 8L * 64 * 63 / 2)
   }
 
+  test("hamming near-dup join equals brute force (multi-index hashing)") {
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    // planted near-dups: flip 0..3 bits of every 5th fingerprint
+    // (0 flips exercises the identical-fingerprint star path)
+    val planted = (0 until 40).map { j =>
+      val fp = base(j * 5)._2
+      val flips = rnd.nextInt(4)
+      val mutated = (0 until flips).foldLeft(fp)((f, _) => f ^ (1L << rnd.nextInt(64)))
+      (1000L + j, mutated)
+    }
+    val all = base ++ planted
+    val got = Dedup.hammingNearDups(all.toDF("id", "fp"), "id", "fp",
+        maxDist = 3, bits = 64, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // expected under the documented contract: identical fingerprints
+    // star to the min-id representative; representatives pair exactly
+    val rep = all.groupBy(_._2).map { case (fp, rows) => fp -> rows.map(_._1).min }
+    val stars = all.filter { case (id, fp) => rep(fp) != id }
+      .map { case (id, fp) => (rep(fp), id, 0) }.toSet
+    val reps = all.filter { case (id, fp) => rep(fp) == id }
+    val brute = (for {
+      (a, fa) <- reps; (b, fb) <- reps if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "test data must contain representative-level near-dups")
+    assert(got == brute ++ stars,
+      s"missing=${(brute ++ stars) -- got} extra=${got -- (brute ++ stars)}")
+  }
+
+  test("identical-fingerprint flood stays linear in hamming near-dup join") {
+    val flood = spark.range(3000)
+      .select(col("id"), lit(0x1234L).as("fp"))
+      .union(Seq((9000L, 0x1235L)).toDF("id", "fp"))
+    val out = Dedup.hammingNearDups(flood, "id", "fp", maxDist = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // 2999 star pairs around rep 0, plus (0, 9000) at distance 1 —
+    // never the ~4.5M-pair clique
+    assert(out.length == 3000)
+    assert(out.count(_._3 == 0) == 2999)
+    assert(out.contains((0L, 9000L, 1)))
+  }
+
   test("lshTopK fills starved queries via escalation (exact k per query)") {
     import spark.implicits._
     // orthogonal-ish sparse data: queries far from everything starve at

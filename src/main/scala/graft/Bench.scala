@@ -109,7 +109,12 @@ object Bench {
       (if (skipQueries) Seq() else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // noop sink, not count(): count() lets Catalyst prune every
+          // column the row count doesn't need, so projection-heavy
+          // queries (signatures, azimuth chains) would time at near
+          // zero while a real consumer pays full price. The noop
+          // writer materializes every output column and discards it.
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           name -> Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

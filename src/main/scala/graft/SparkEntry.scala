@@ -53,6 +53,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Like [[t]], but spread across all cores first — for queries that
+    * follow the scan with per-row-expensive projections (signature
+    * hashes). Small tables arrive as a single parquet row group, and
+    * computing 2048 md5 shingles per row in that one task serializes
+    * the whole query on one core.
+    */
+  private def tSpread(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, name)
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** customers with derived position and n-vector. */
   private def custPts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -258,7 +270,7 @@ object SparkEntry {
     }),
     // text / dedup ---------------------------------------------------
     "q18_text_stats" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.wordCount(col("text")).as("words"),
           (length(col("text")) - length(translate(col("text"), ".,!", ""))).as("punct"),
@@ -308,7 +320,7 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
     "q23_stopword_ratio" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"),
           round(TextAnalysis.stopwordRatio(col("text")), 6).as("sw_ratio"))
         .orderBy("doc_id")
@@ -397,7 +409,7 @@ object SparkEntry {
     "q34_simhash" -> ((s, dir) => {
       // md5 hash basis (see q33) so signature + fingerprint both get a
       // relational DuckDB mirror
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .withColumn("__h", transform(Dedup.shingles(col("text")),
           x => Dedup.hash60md5(x)))
         .select(col("doc_id"), Dedup.simHashFromHashes(col("__h")).as("sig"),
@@ -405,7 +417,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q35_lang_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langGuess(col("text")).as("lang_guess"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
@@ -436,8 +448,8 @@ object SparkEntry {
         .withColumn("lat", latRad(col("event_id")))
         .withColumn("lon", lonRad(col("event_id")))
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
-      graft.operators.Tracks.courseOverGround(ev, "user_id", "event_id", "n")
-        .filter(!isnan(col("cog")))
+      graft.operators.Tracks.courseOverGround(ev, "user_id", "event_id", "n",
+          dropSingletons = true)
         .select(col("user_id"), col("event_id"), round(col("cog"), 6).as("cog_rad"))
         .orderBy("user_id", "event_id")
     }),
@@ -478,8 +490,8 @@ object SparkEntry {
         .select(col("user_id"), col("tsec"), col("n"))
       val smoothed = graft.operators.Tracks.savgolSmoothWindowed(
         ev, "user_id", "tsec", "n", windowLength = 7, polyorder = 2)
-      graft.operators.Tracks.courseOverGround(smoothed, "user_id", "tsec", "n")
-        .filter(!isnan(col("cog")))
+      graft.operators.Tracks.courseOverGround(smoothed, "user_id", "tsec", "n",
+          dropSingletons = true)
         .select(col("user_id"), col("tsec"), round(col("cog"), 6).as("cog_rad"))
         .orderBy("user_id", "tsec")
     }),
@@ -554,7 +566,7 @@ object SparkEntry {
       // fingerprints documents with the md5-basis simhash (q34's
       // signature) so DuckDB can brute-force the same pair set —
       // the banded join is provably brute-force-equal (pigeonhole).
-      val sigs = t(s, dir, "documents")
+      val sigs = tSpread(s, dir, "documents")
         .withColumn("__h", transform(Dedup.shingles(col("text")),
           x => Dedup.hash60md5(x)))
         .select(col("doc_id"), Dedup.simHashFromHashes(col("__h")).as("fp"))

@@ -164,19 +164,21 @@ object Dedup {
   def simHash(text: Column, k: Int = 5): Column =
     simHashFromHashes(transform(shingles(text, k), s => xxhash64(s)))
 
-  /** SimHash over an already-materialized shingle-hash array column
-    * (stage it to keep the plan tree linear — 64 bit-votes reference
-    * the array).
+  /** SimHash over an already-materialized shingle-hash array column:
+    * per-bit +-1 votes over the hashes, bit set when the vote is
+    * non-negative. One scalar kernel call
+    * ([[DedupKernels.simHashVotes]]) — the equivalent 64x aggregate()
+    * expression tree evaluates its lambdas interpreted and cost ~90x
+    * the md5 shingle stage at sf0.1.
     */
-  def simHashFromHashes(hashes: Column): Column = {
-    // per-bit votes: sum over shingles of +-1 depending on the bit
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce[Column]((a, c) => a.bitwiseOR(c))
-  }
+  def simHashFromHashes(hashes: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.DedupKernels"),
+      org.apache.spark.sql.types.LongType,
+      "simHashVotes",
+      Seq(hashes),
+      Seq(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)))
 
   /** Hamming distance between two 64-bit signatures (codegen'd
     * bit_count).
@@ -218,8 +220,16 @@ object Dedup {
       s"bits must divide into equal-width bands (bits=$bits, bands=$bands)")
     val width = bits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // materialize the (id, fingerprint) pairs through one exchange:
+    // the plan below fans out into 5 branches (star window, banding,
+    // two fingerprint re-attach joins), and without a shared exchange
+    // subtree each branch would recompute fpCol — catastrophic when
+    // the fingerprint is an expensive expression (a 60-bit-vote
+    // simhash tree). The same hash shuffle then serves the __fp
+    // window directly. Shuffle files, not cache: replayable at scale.
     val fps = spreadSmallInput(df)
       .select(col(idCol).as("__id"), col(fpCol).cast("long").as("__fp"))
+      .repartition(col("__fp"))
     val wFp = Window.partitionBy("__fp")
     val tagged = fps.withColumn("__rep", min(col("__id")).over(wFp))
     val starPairs = tagged.filter(col("__id") =!= col("__rep"))

@@ -87,4 +87,31 @@ object DedupKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** SimHash bit-vote fold over an array of shingle hashes: for each
+    * of the 64 bit positions, count +1/-1 votes across hashes and set
+    * the bit when the vote is non-negative — exactly the semantics of
+    * the column-expression form (aggregate per bit), but as ONE JITed
+    * pass instead of 64 interpreted higher-order aggregates (the
+    * expression tree made the signature ~90x slower than its own
+    * md5 stage at sf0.1).
+    */
+  def simHashVotes(hashes: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
 }

@@ -39,12 +39,11 @@ object TextAnalysis {
   val EnglishStopwords: Seq[String] = Seq("the", "of", "and", "to", "in",
     "a", "is", "that", "it", "for", "was", "on", "are", "with", "as")
 
-  def stopwordRatio(text: Column): Column = {
-    val words = split(lower(text), " ")
-    val hits = size(filter(words, w => EnglishStopwords
-      .map(s => w === lit(s)).reduce(_ || _)))
-    hits.cast("double") / greatest(size(words), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.TextKernels"),
+      org.apache.spark.sql.types.DoubleType, "stopwordRatio",
+      Seq(text), Seq(org.apache.spark.sql.types.StringType))
 
   /** Heuristic language id from stopword families; returns a code or
     * "und". Cheap n-gram-free heuristic suited to a pre-filter pass.
@@ -55,15 +54,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est"),
     "es" -> Seq("el", "la", "de", "que", "los", "es"))
 
-  def langGuess(text: Column): Column = {
-    val words = split(lower(text), " ")
-    val scores = StopwordFamilies.toSeq.sortBy(_._1).map { case (code, sws) =>
-      val hits = size(filter(words, w => sws.map(s => w === lit(s)).reduce(_ || _)))
-      struct(hits.as("hits"), lit(code).as("code"))
-    }
-    val best = greatest(scores: _*)
-    when(best.getField("hits") >= 1, best.getField("code")).otherwise(lit("und"))
-  }
+  def langGuess(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.TextKernels"),
+      org.apache.spark.sql.types.StringType, "langGuess",
+      Seq(text), Seq(org.apache.spark.sql.types.StringType))
 
   /** Composite quality score in [0,1]: length sweet-spot, moderate
     * punctuation, mixed-case, whitespace sanity.
@@ -82,7 +77,10 @@ object TextAnalysis {
     * tokenizer budget within ~15%).
     */
   def tokenCountApprox(text: Column): Column =
-    size(filter(split(text, """(?U)(?<=\W)|(?=\W)"""), t => length(t) > 0 && t =!= " "))
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.TextKernels"),
+      org.apache.spark.sql.types.IntegerType, "tokenCountApprox",
+      Seq(text), Seq(org.apache.spark.sql.types.StringType))
 
   /** 64-bit document fingerprint: min of rolling Rabin hashes over
     * character 8-grams (winnowing-lite) — equal fingerprints flag

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static entry points for `StaticInvoke` codegen over the text
+  * analysis operators. Semantics MATCH the column-expression forms
+  * they replace bit-for-bit (same split contract, same tie-breaks) so
+  * the DuckDB oracle SQL is unchanged; the win is evaluation speed —
+  * higher-order array lambdas (`filter`, `aggregate`) run interpreted
+  * per element, which made a 15-stopword scan over 5000 documents
+  * cost ~2 s at sf0.1.
+  */
+object TextKernels {
+
+  /** Mirrors `split(lower(text), " ")`: Java regex split, limit -1
+    * (trailing empties kept — a denominator detail the oracle SQL
+    * reproduces).
+    */
+  private def words(text: UTF8String): Array[String] =
+    text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+
+  private val Stopwords: Array[String] = Array("the", "of", "and", "to",
+    "in", "a", "is", "that", "it", "for", "was", "on", "are", "with", "as")
+
+  /** Occurrence-counting stopword hit ratio over space-split words. */
+  def stopwordRatio(text: UTF8String): Double = {
+    val ws = words(text)
+    var hits = 0
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      var j = 0
+      var hit = false
+      while (j < Stopwords.length && !hit) { hit = w == Stopwords(j); j += 1 }
+      if (hit) hits += 1
+      i += 1
+    }
+    hits.toDouble / math.max(ws.length, 1)
+  }
+
+  // sorted by code — ties resolve to the lexicographically greatest
+  // code, matching greatest() over (hits, code) structs
+  private val Families: Array[(String, Array[String])] = Array(
+    "de" -> Array("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Array("the", "and", "of", "is", "that", "with"),
+    "es" -> Array("el", "la", "de", "que", "los", "es"),
+    "fr" -> Array("le", "la", "et", "les", "des", "est"))
+
+  /** Stopword-family language guess; "und" when no family scores. */
+  def langGuess(text: UTF8String): UTF8String = {
+    val ws = words(text)
+    var bestHits = -1
+    var bestCode = ""
+    var f = 0
+    while (f < Families.length) {
+      val (code, sws) = Families(f)
+      var hits = 0
+      var i = 0
+      while (i < ws.length) {
+        val w = ws(i)
+        var j = 0
+        var hit = false
+        while (j < sws.length && !hit) { hit = w == sws(j); j += 1 }
+        if (hit) hits += 1
+        i += 1
+      }
+      // strictly greater OR equal-with-greater-code wins, so the
+      // scan order (code ascending) makes ties pick the max code
+      if (hits > bestHits || (hits == bestHits && code > bestCode)) {
+        bestHits = hits; bestCode = code
+      }
+      f += 1
+    }
+    UTF8String.fromString(if (bestHits >= 1) bestCode else "und")
+  }
+
+  private val TokenBoundary =
+    java.util.regex.Pattern.compile("""(?U)(?<=\W)|(?=\W)""")
+
+  /** BPE-ish token count: split at word/non-word boundaries (same Java
+    * regex the expression form used), count tokens that are non-empty
+    * and not a single space.
+    */
+  def tokenCountApprox(text: UTF8String): Int = {
+    val parts = TokenBoundary.split(text.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.nonEmpty && p != " ") n += 1
+      i += 1
+    }
+    n
+  }
+}

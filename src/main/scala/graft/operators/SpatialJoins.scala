@@ -272,9 +272,10 @@ object SpatialJoins {
     var remaining: DataFrame = queries
     var done: List[DataFrame] = Nil
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val stepIt = steps.iterator
-    while (remaining != null && stepIt.hasNext) {
-      val (l, r) = stepIt.next()
+    var stepList: List[(Int, Int)] = steps.toList
+    while (remaining != null && stepList.nonEmpty) {
+      val (l, r) = stepList.head
+      stepList = stepList.tail
       val dCells =
         if (l == lvl) dBase
         else dBase.withColumn("__cell", cells.parentCell(col("__cell"), lvl - l))
@@ -299,7 +300,19 @@ object SpatialJoins {
           .join(cand.filter(ok).select(qId), Seq(qId), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
         persisted += next
-        remaining = if (next.isEmpty) null else next
+        remaining = if (next.isEmpty) null else {
+          // stragglers shrink geometrically; once few enough that one
+          // wrap-block pass (every data cell probed — still a cell
+          // equi-join, the data side is never cross-joined or
+          // re-shuffled) stays under the pair budget, jump straight to
+          // the terminal instead of paying the remaining ladder steps'
+          // fixed per-step stage cost. count() here is free — isEmpty
+          // above already materialized the persisted frame.
+          if (next.count() * math.max(1L, dataCount) <= bruteForceThreshold)
+            stepList = stepList.filter { case (sl, sr) =>
+              CellIndex.coverageLowerBound(sl, sr) == math.Pi }
+          next
+        }
       }
     }
     val result = done.reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)

@@ -383,8 +383,10 @@ object SparkEntry {
         .withColumn("fwd", geo.geodesicReckon(col("lat"), col("lon"),
           dist, col("lon")))
         .select(col("c_custkey"),
-          round(degrees(col("fwd.lat2")), 9).as("dlat"),
-          round(degrees(col("fwd.lon2")), 9).as("dlon"))
+          // 6 dp (~0.1 m): the DuckDB mirror unrolls Clenshaw sums, so
+          // the two engines agree to ~1e-12 deg, not bit-exactly
+          round(degrees(col("fwd.lat2")), 6).as("dlat"),
+          round(degrees(col("fwd.lon2")), 6).as("dlon"))
         .orderBy("c_custkey")
     }),
     "q32_knn_embedding" -> ((s, dir) => {
@@ -1040,6 +1042,20 @@ object SparkEntry {
           | SELECT id_a, id_b, hamming FROM brute
           | UNION ALL SELECT id_a, id_b, hamming FROM starpairs
           | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      // full relational mirror of the Karney DIRECT solver (series
+      // constants generated from the solver's own arrays — see
+      // Karney.directSqlMirror); converts the reckon gate from
+      // rows-only to oracle-checked
+      "q31_geodesic_reckon" -> {
+        val from =
+          s"""(SELECT c_custkey, ${latSql("c_custkey")} AS lat1,
+             | ${lonSql("c_custkey")} AS lon1,
+             | (c_custkey % 9973) * 1000.0 + 500.0 AS dist,
+             | ${lonSql("c_custkey")} AS azi FROM customer)""".stripMargin.replace("\n", " ")
+        "SELECT c_custkey, round(degrees(lat2), 6) AS dlat, round(degrees(lon2), 6) AS dlon FROM (" +
+          graft.geo.Karney(wa, wf).directSqlMirror(from, "c_custkey") +
+          ") ORDER BY c_custkey"
+      },
       "q37_course_over_ground" ->
         (s"""WITH ev AS (SELECT user_id, event_id,
             |   ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon FROM events),

@@ -125,6 +125,74 @@ final class Karney private (val a: Double, val f: Double) {
     (lat2, lon2, alpha2)
   }
 
+  /** ANSI-SQL mirror of [[direct]] (longUnroll = false) for the
+    * DuckDB correctness oracle: emits one SELECT chain (nested
+    * sub-selects, all series constants inlined as literals evaluated
+    * from the SAME arrays the solver uses) that computes
+    * (lat2, lon2) from columns (lat1, lon1, dist, azi) of `from`.
+    * The only numerical deltas vs the Scala path: Clenshaw summation
+    * unrolls to the direct sum of c_i sin(2 i x) terms and hypot
+    * becomes sqrt-of-squares — both sub-ulp-of-term differences, so
+    * gate queries should round to <= 6 decimals of a degree.
+    * Oracle-only plumbing, kept next to the solver so the equation
+    * chain and its relational mirror stay in one file.
+    */
+  def directSqlMirror(from: String, key: String): String = {
+    def L(x: Double): String = {
+      val s = x.toString
+      if (s.contains('.') || s.contains('E') || s.contains('e')) s else s + ".0"
+    }
+    def horner(coefs: Array[Double], x: String): String =
+      coefs.tail.foldLeft(L(coefs.head))((acc, c) => s"(($acc) * ($x) + ${L(c)})")
+    def trunc(x: String): String =
+      s"CASE WHEN $x = 0 THEN 0 WHEN abs($x) < 0.06 THEN 0.06 - (0.06 - $x) ELSE $x END"
+    def sinSum(prefix: String, n: Int, arg: String): String =
+      (1 to n).map(i => s"${prefix}_$i * sin(${2 * i} * $arg)").mkString(" + ")
+    // eps-power columns and per-row series coefficients
+    // left-associated power chains (no same-SELECT alias references)
+    val epsPows = (2 to 6).map(l =>
+      s"ep$l" -> (2 to l).foldLeft("ep1")((acc, _) => s"($acc * eps)"))
+    val c1Cols = C1Coefficients.zipWithIndex.map { case (row, i) =>
+      s"c1_${i + 1}" -> s"ep${i + 1} * ${horner(row, "eps2")}" }
+    val cm1Cols = CM1Coefficients.zipWithIndex.map { case (row, i) =>
+      s"cm1_${i + 1}" -> s"ep${i + 1} * ${horner(row, "eps2")}" }
+    val c3Cols = c3Coefs.zipWithIndex.map { case (row, i) =>
+      s"c3_${i + 1}" -> s"ep${i + 1} * ${horner(row, "eps")}" }
+    s"""SELECT $key,
+       | atan(tan(blat2) / ${L(1.0 - f)}) AS lat2,
+       | CASE WHEN m <= ${L(-Pi)} THEN ${L(Pi)} ELSE m END AS lon2
+       | FROM (SELECT $key, blat2,
+       |   fmod(fmod(lon1 + lamda12 + ${L(Pi)}, ${L(2 * Pi)}) + ${L(2 * Pi)}, ${L(2 * Pi)}) - ${L(Pi)} AS m
+       |  FROM (SELECT $key, lon1, blat2,
+       |    w2 - w1 + ${L(f)} * sinA0 * (a3 * (sigma1 + ${sinSum("c3", 5, "sigma1")})
+       |      - a3 * (sigma2 + ${sinSum("c3", 5, "sigma2")})) AS lamda12
+       |   FROM (SELECT *,
+       |     atan2(sinA0 * sin(sigma2), cos(sigma2)) AS w2,
+       |     atan2(cosA0 * sin(sigma2),
+       |       sqrt(cosA0 * cos(sigma2) * cosA0 * cos(sigma2) + sinA0 * sinA0)) AS blat2
+       |    FROM (SELECT *, tau + ${sinSum("cm1", 6, "tau")} AS sigma2
+       |     FROM (SELECT *, ((s1 + dist) / ${L(b)}) / a1 AS tau
+       |      FROM (SELECT *, ${L(b)} * a1 * (sigma1 + ${sinSum("c1", 6, "sigma1")}) AS s1
+       |       FROM (SELECT *, ${(c1Cols ++ cm1Cols ++ c3Cols)
+                 .map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+       |        FROM (SELECT *, ${horner(A1Coefficients, "eps2")} / (1.0 - eps) AS a1,
+       |          ${horner(a3Coefs, "eps")} AS a3,
+       |          ${epsPows.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+       |         FROM (SELECT *, eps * eps AS eps2, eps AS ep1
+       |          FROM (SELECT *, k2 / ((sqrt(1.0 + k2) + 1.0) * (sqrt(1.0 + k2) + 1.0)) AS eps
+       |           FROM (SELECT *, atan2(sinA0 * sin(sigma1), cos(sigma1)) AS w1,
+       |             ${L(e2m)} * cosA0 * cosA0 AS k2
+       |            FROM (SELECT *, sinA1 * cosB1 AS sinA0,
+       |              sqrt(cosA1 * cosA1 + sinA1 * sinB1 * sinA1 * sinB1) AS cosA0,
+       |              atan2(sinB1, cosA1 * cosB1) AS sigma1
+       |             FROM (SELECT *, cos(alpha1) AS cosA1, sin(alpha1) AS sinA1,
+       |               cos(blat1) + ${L(TINY)} AS cosB1, sin(blat1) AS sinB1
+       |              FROM (SELECT $key, lon1, dist,
+       |                ${trunc("azi")} AS alpha1,
+       |                atan(${L(1.0 - f)} * tan(${trunc("lat1")})) AS blat1
+       |               FROM $from))))))))))))))""".stripMargin.replace("\n", " ")
+  }
+
   /** Astroid starting azimuth for nearly-antipodal pairs
     * (Karney eqs 55-57, table 4); oblate and prolate branches.
     */

@@ -198,6 +198,49 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       case None => commit(name, compute); read(name)
     }
 
+  /** Compact the latest snapshot of `name` into ~`targetBytes` data
+    * files (Iceberg's rewrite-data-files action): long-running ingest
+    * at 100 TB accretes small files per micro-batch/commit, and scan
+    * task count — hence driver scheduling and footer-reading load —
+    * grows with file count, not byte count. The data is rewritten in
+    * ONE pass (round-robin repartition to the target file count),
+    * committed as a NEW version of the same name, so history and
+    * [[readAt]] time travel keep working against the old files; the
+    * new manifest's footer-derived rowCount is then checked against
+    * the source manifest and a mismatch rolls the `current` pointer
+    * back and throws — a failed compaction can lose nothing.
+    */
+  def compact(name: String, targetBytes: Long = 128L << 20): Int = {
+    val v = versionOf(name).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot named '$name' in $root"))
+    val dir = dataPath(v, name)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) totalBytes += s.getLen
+    }
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val before = snapshots.find(_._1 == v).map(_._3).getOrElse(0L)
+    val newV = commit(name, spark.read.parquet(dir).repartition(nFiles))
+    val after = snapshots.find(_._1 == newV).map(_._3).getOrElse(-1L)
+    if (after != before) {
+      // roll the pointer back to the pre-compaction state; the
+      // orphaned files/manifest of newV are unreferenced, not torn
+      val tmp = snapDir.resolve(s".current.tmp.rollback.$v")
+      Files.writeString(tmp, (newV - 1).toString)
+      Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.deleteIfExists(snapshotJson(newV))
+      throw new IllegalStateException(
+        s"compaction of '$name' rewrote $after rows, expected $before; rolled back to v${newV - 1}")
+    }
+    newV
+  }
+
   /** Files added/removed between two snapshot versions of a name. */
   def diff(v1: Int, v2: Int): (Seq[String], Seq[String]) = {
     def files(v: Int): Set[String] = {

@@ -71,6 +71,28 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store2.readAt("derived", 2) }
   }
 
+  test("compaction rewrites small files, keeps data and history") {
+    val root = Files.newTmp("compact")
+    val store = new SnapshotStore(spark, root)
+    // ingest fragmented into 32 small files
+    val src = ImageTable.generate(spark, 200, 4).repartition(32)
+    val v1 = store.commit("images", src)
+    assert(store.fileMetrics(v1).length == 32)
+    val rowsBefore = store.read("images")
+      .select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    // large target => everything folds into one right-sized file
+    val v2 = store.compact("images", targetBytes = 1L << 30)
+    assert(v2 == v1 + 1)
+    val filesAfter = store.fileMetrics(v2)
+    assert(filesAfter.length == 1, s"expected 1 compacted file, got ${filesAfter.length}")
+    val rowsAfter = store.read("images")
+      .select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    // history: the fragmented snapshot stays readable via time travel
+    assert(store.readAt("images", v1).inputFiles.length == 32)
+    intercept[IllegalArgumentException] { store.compact("nope") }
+  }
+
   test("lineage partition metrics and commitWithMetrics") {
     val df = ImageTable.generate(spark, 100, 5)
     val m = Lineage.partitionMetrics(df).collect()

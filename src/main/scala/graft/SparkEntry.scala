@@ -50,6 +50,50 @@ object SparkEntry {
     if (s.contains("E")) new java.math.BigDecimal(d).toPlainString else s
   }
 
+  /** Engine-side twin of `Karney.inverseSqlMirror`'s general-position
+    * filter: selects pairs where the inverse solver provably takes the
+    * Newton + hybrid path (not meridional / equatorial / short /
+    * nearly antipodal, each with a >= 1e6-ULP margin over the solver's
+    * own branch thresholds, so Spark's java.lang.Math and DuckDB's
+    * libm classify every realistic row identically). Must stay
+    * formula-for-formula identical to the SQL mirror's inv_base WHERE.
+    */
+  private def inverseGeneralGuard(lat1: Column, lon1: Column,
+                                  lat2: Column, lon2: Column): Column = {
+    val f = graft.geo.Ellipsoids.WGS84.f
+    val e2 = f * (2.0 - f)
+    val tiny = graft.geo.Karney.TINY
+    def truncC(x: Column): Column =
+      when(x === 0.0, lit(0.0))
+        .otherwise(when(abs(x) < 0.06, lit(0.06) - (lit(0.06) - x)).otherwise(x))
+    def normC(x: Column): Column = {
+      val twoPi = 2.0 * math.Pi
+      val m = ((x + math.Pi) % twoPi + twoPi) % twoPi - math.Pi
+      when(m <= -math.Pi, math.Pi).otherwise(m)
+    }
+    val blat1r = truncC(atan(lit(1.0 - f) * tan(lat1)))
+    val blat2r = truncC(atan(lit(1.0 - f) * tan(lat2)))
+    val swap = abs(blat1r) < abs(blat2r)
+    val bb1 = when(swap, blat2r).otherwise(blat1r)
+    val bb2 = when(swap, blat1r).otherwise(blat2r)
+    val b1 = when(bb1 > 0, -bb1).otherwise(bb1)
+    val b2 = when(bb1 > 0, -bb2).otherwise(bb2)
+    val lamRaw = truncC(normC(lon2 - lon1))
+    val lam = when(lamRaw < 0, -lamRaw).otherwise(lamRaw)
+    val cbm = (cos(b1) + tiny + (cos(b2) + tiny)) * 0.5
+    val wbar = sqrt(lit(1.0) - lit(e2) * cbm * cbm)
+    val w12 = lam / wbar
+    val cw = cos(w12)
+    val sinA1s = cos(b2) * sin(w12)
+    val cosA1s = cos(b1) * sin(b2) - sin(b1) * cos(b2) * cw
+    val sigma12 = atan2(sqrt(sinA1s * sinA1s + cosA1s * cosA1s),
+      sin(b1) * sin(b2) + cos(b1) * cos(b2) * cw)
+    (abs(sin(lam)) > 1e-6) &&
+      !(abs(b2 - b1) <= 1e-6 && abs(b1) <= 1e-6) &&
+      (wbar * sigma12 >= 1e-3) &&
+      (sigma12 <= math.Pi * (1.0 - 6.0 * math.abs(f)))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -368,13 +412,24 @@ object SparkEntry {
     }),
     // rows-only (not SQL-expressible): Karney, LSH, images -----------
     "q30_geodesic_inverse" -> ((s, dir) => {
+      // general-position rows only (same filter as the DuckDB mirror's
+      // inv_base WHERE — see inverseGeneralGuard): the Newton + hybrid
+      // inverse path is oracle-checked relationally; the excluded
+      // special-case branches (meridional, equatorial, short, astroid)
+      // keep their GeodSolve golden suites. Rounding: both engines
+      // converge alpha1 to ~1e-15 rad, so 2 dp of a meter / 7 dp of a
+      // radian leave >= 1e6x margin against rounding-boundary ties
+      // (measured cross-engine deltas at sf0.1: s12 <= 1.2e-8 m,
+      // az <= 1.6e-14 rad).
       custPts(s, dir)
+        .filter(inverseGeneralGuard(col("lat"), col("lon"),
+          lit(OsloLat), lit(OsloLon)))
         .withColumn("inv", geo.geodesicInverse(col("lat"), col("lon"),
           lit(OsloLat), lit(OsloLon)))
         .select(col("c_custkey"),
-          round(col("inv.s12"), 3).as("s12_m"),
-          round(col("inv.az1"), 9).as("az1"),
-          round(col("inv.az2"), 9).as("az2"))
+          round(col("inv.s12"), 2).as("s12_m"),
+          round(col("inv.az1"), 7).as("az1"),
+          round(col("inv.az2"), 7).as("az2"))
         .orderBy("c_custkey")
     }),
     "q31_geodesic_reckon" -> ((s, dir) => {
@@ -1046,6 +1101,21 @@ object SparkEntry {
       // constants generated from the solver's own arrays — see
       // Karney.directSqlMirror); converts the reckon gate from
       // rows-only to oracle-checked
+      // full relational mirror of the Karney INVERSE solver for
+      // general-position pairs: recursive-CTE Newton iteration +
+      // hybrid distance, generated from the solver's own arrays
+      // (Karney.inverseSqlMirror); the engine side filters with the
+      // identical general-position guard
+      "q30_geodesic_inverse" -> {
+        val from =
+          s"""(SELECT c_custkey, ${latSql("c_custkey")} AS lat1,
+             | ${lonSql("c_custkey")} AS lon1,
+             | ${fmt(OsloLat)} AS lat2, ${fmt(OsloLon)} AS lon2
+             | FROM customer)""".stripMargin.replace("\n", " ")
+        "SELECT c_custkey, round(s12, 2) AS s12_m, round(az1, 7) AS az1, round(az2, 7) AS az2 FROM (" +
+          graft.geo.Karney(wa, wf).inverseSqlMirror(from, "c_custkey") +
+          ") ORDER BY c_custkey"
+      },
       "q31_geodesic_reckon" -> {
         val from =
           s"""(SELECT c_custkey, ${latSql("c_custkey")} AS lat1,

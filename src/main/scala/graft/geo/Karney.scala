@@ -137,17 +137,29 @@ final class Karney private (val a: Double, val f: Double) {
     * Oracle-only plumbing, kept next to the solver so the equation
     * chain and its relational mirror stay in one file.
     */
+  // SQL-mirror building blocks shared by directSqlMirror and
+  // inverseSqlMirror: shortest-roundtrip double literals, Horner
+  // chains, the truncateSmall rounding trick, and the unrolled
+  // sum of c_i sin(2 i x) that replaces Clenshaw summation.
+  private def L(x: Double): String = {
+    val s = x.toString
+    if (s.contains('.') || s.contains('E') || s.contains('e')) s else s + ".0"
+  }
+  private def horner(coefs: Array[Double], x: String): String =
+    coefs.tail.foldLeft(L(coefs.head))((acc, c) => s"(($acc) * ($x) + ${L(c)})")
+  private def trunc(x: String): String =
+    s"CASE WHEN $x = 0 THEN 0 WHEN abs($x) < 0.06 THEN 0.06 - (0.06 - $x) ELSE $x END"
+  private def sinSum(prefix: String, n: Int, arg: String): String =
+    (1 to n).map(i => s"${prefix}_$i * sin(${2 * i} * $arg)").mkString(" + ")
+  /** normalizeAngle (VecMath.scala:68) as SQL; `m` must already hold
+    * fmod(fmod(x+pi, 2pi)+2pi, 2pi) - pi from an enclosing select.
+    */
+  private def normCase(m: String): String =
+    s"CASE WHEN $m <= ${L(-Pi)} THEN ${L(Pi)} ELSE $m END"
+  private def normMod(x: String): String =
+    s"fmod(fmod(($x) + ${L(Pi)}, ${L(2 * Pi)}) + ${L(2 * Pi)}, ${L(2 * Pi)}) - ${L(Pi)}"
+
   def directSqlMirror(from: String, key: String): String = {
-    def L(x: Double): String = {
-      val s = x.toString
-      if (s.contains('.') || s.contains('E') || s.contains('e')) s else s + ".0"
-    }
-    def horner(coefs: Array[Double], x: String): String =
-      coefs.tail.foldLeft(L(coefs.head))((acc, c) => s"(($acc) * ($x) + ${L(c)})")
-    def trunc(x: String): String =
-      s"CASE WHEN $x = 0 THEN 0 WHEN abs($x) < 0.06 THEN 0.06 - (0.06 - $x) ELSE $x END"
-    def sinSum(prefix: String, n: Int, arg: String): String =
-      (1 to n).map(i => s"${prefix}_$i * sin(${2 * i} * $arg)").mkString(" + ")
     // eps-power columns and per-row series coefficients
     // left-associated power chains (no same-SELECT alias references)
     val epsPows = (2 to 6).map(l =>
@@ -191,6 +203,192 @@ final class Karney private (val a: Double, val f: Double) {
        |                ${trunc("azi")} AS alpha1,
        |                atan(${L(1.0 - f)} * tan(${trunc("lat1")})) AS blat1
        |               FROM $from))))))))))))))""".stripMargin.replace("\n", " ")
+  }
+
+  /** ANSI-SQL mirror of [[inverse]] for GENERAL-POSITION pairs: the
+    * Newton iteration on alpha1 (eqs 38-39, table 5) runs as a
+    * recursive CTE generated from the SAME coefficient arrays as the
+    * solver, preceded by the canonicalization + Vincenty start
+    * (table 3 / eqs 48-51) and followed by the hybrid distance
+    * (table 6) and azimuth restoration. Rows are FILTERED to the
+    * region where [[inverse]] provably takes the Newton + hybrid
+    * path, with wide margins so both engines classify identically:
+    * not meridional (|sin lam| > 1e-6 vs tol 1e-12), not equatorial,
+    * not short (s12 >= a*1e-3 vs a*1e-4), not nearly antipodal
+    * (sigma12 <= pi*(1 - 6|f|) vs pi*(1 - 3|f|cos^2 b1)). The gate
+    * query must apply the SAME filter on the engine side
+    * (SparkEntry.inverseGeneralGuard); excluded branches (astroid,
+    * meridional, equatorial, short) keep their golden-value specs.
+    * Numerical deltas vs Scala: unrolled Clenshaw, sqrt-of-squares
+    * hypot, and independent Newton stopping — all leave the solved
+    * alpha1 within ~1e-15, so gates should round s12 to <= 2 dp of a
+    * meter and azimuths to <= 8 dp of a radian.
+    *
+    * `from` must provide columns ($key, lat1, lon1, lat2, lon2)
+    * [radians]. Emits a full statement selecting ($key, s12, az1,
+    * az2).
+    */
+  def inverseSqlMirror(from: String, key: String): String = {
+    val epsPows = (2 to 6).map(l =>
+      s"ep$l" -> (2 to l).foldLeft("ep1")((acc, _) => s"($acc * eps)"))
+    def c1Cols(p: String) = C1Coefficients.zipWithIndex.map { case (row, i) =>
+      s"${p}_${i + 1}" -> s"ep${i + 1} * ${horner(row, "eps2")}" }
+    def c2Cols(p: String) = C2Coefficients.zipWithIndex.map { case (row, i) =>
+      s"${p}_${i + 1}" -> s"ep${i + 1} * ${horner(row, "eps2")}" }
+    def c3Cols(p: String) = c3Coefs.zipWithIndex.map { case (row, i) =>
+      s"${p}_${i + 1}" -> s"ep${i + 1} * ${horner(row, "eps")}" }
+    def cols(cs: Seq[(String, String)]) =
+      cs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    // eps ladder: eps -> (eps2, ep1) -> (ep2..ep6 + A-series) -> C-rows
+    def seriesLadder(inner: String, withA2A3: Boolean, cRows: String): String = {
+      val a = s"${horner(A1Coefficients, "eps2")} / (1.0 - eps) AS a1s" +
+        (if (withA2A3)
+          s", ${horner(A2Coefficients, "eps2")} * (1.0 - eps) AS a2s, ${horner(a3Coefs, "eps")} AS a3s"
+         else "")
+      s"""(SELECT *, $cRows
+         | FROM (SELECT *, $a, ${cols(epsPows)}
+         |  FROM (SELECT *, eps * eps AS eps2, eps AS ep1
+         |   FROM (SELECT *, k2 / ((sqrt(1.0 + k2) + 1.0) * (sqrt(1.0 + k2) + 1.0)) AS eps
+         |    FROM $inner))))""".stripMargin
+    }
+    // Newton step: one nested-select chain from (alpha1, dold, it) x
+    // per-row constants to the updated state. Structure follows
+    // solveAlpha1's newtonStep: triangles NEA/NEB, series, lamda12,
+    // reduced length m12 (eq 38), dL/dalpha, Newton update with the
+    // NaN half-step fallback and the [0, pi] clamp.
+    val newtonInner =
+      s"""(SELECT *, ${L(e2m)} * cosA0 * cosA0 AS k2,
+         |  atan2(sinA0 * sin(sigma1), cos(sigma1)) AS w1,
+         |  atan2(sinA2cb2, cosA2cb2) AS alpha2,
+         |  atan2(sinB2n, cosA2cb2) AS sigma2
+         | FROM (SELECT *, sinA1 * cosB1t AS sinA0,
+         |   sqrt(cosA1 * cosA1 + sinA1 * sinB1t * sinA1 * sinB1t) AS cosA0,
+         |   atan2(sinB1t, cosA1 * cosB1t) AS sigma1,
+         |   (CASE WHEN sinB2n = 0 AND cosB1n = 1.0 THEN -1.0 ELSE 1.0 END)
+         |     * sqrt(greatest(cosA1 * cosA1 * cosB1n * cosB1n
+         |         + (cosB2n * cosB2n - cosB1n * cosB1n), 0.0)) AS cosA2cb2,
+         |   sinA1 * cosB1n AS sinA2cb2
+         |  FROM (SELECT inv_newton.*, inv_base.lam, inv_base.sinB1t, inv_base.cosB1t,
+         |    inv_base.sinB1m, inv_base.cosB1n, inv_base.sinB2n, inv_base.cosB2n,
+         |    cos(inv_newton.alpha1) AS cosA1, sin(inv_newton.alpha1) AS sinA1
+         |   FROM inv_newton JOIN inv_base USING ($key)
+         |   WHERE NOT inv_newton.done AND inv_newton.it < 20)))""".stripMargin
+    val newtonSeries = seriesLadder(newtonInner, withA2A3 = true,
+      cols(c1Cols("c1") ++ c2Cols("c2") ++ c3Cols("c3")) +
+        ", sign(sigma2) * abs(atan2(sinA0 * sin(sigma2), cos(sigma2))) AS w2")
+    val c1m2 = (1 to 6).map(i => s"cm_$i" -> s"a1s * c1_$i - a2s * c2_$i")
+    val newtonStep =
+      s"""SELECT $key,
+         | CASE WHEN dalpha IS NULL OR isnan(dalpha)
+         |   THEN alpha1 - dold * 0.5
+         |   ELSE least(${L(Pi)}, greatest(0.0, alpha1 + dalpha)) END AS alpha1,
+         | CASE WHEN dalpha IS NULL OR isnan(dalpha)
+         |   THEN dold * 0.5 ELSE dalpha END AS dold,
+         | it + 1 AS it,
+         | coalesce(abs(dl) < 0.000000000001, FALSE) AS done
+         | FROM (SELECT *, dl / dLdA AS dalpha
+         |  FROM (SELECT *,
+         |    CASE WHEN abs(cos(alpha2)) < 1e-15
+         |      THEN -sqrt(1.0 - ${L(e2)} * cosB1n * cosB1n) / sinB1m * 2.0
+         |      ELSE m12 / ${L(a)} / (cos(alpha2) * cosB2n) END AS dLdA
+         |   FROM (SELECT *,
+         |     ${L(b)} * (sqrt(1.0 + k2 * sin(sigma2) * sin(sigma2)) * cos(sigma1) * sin(sigma2)
+         |       - sqrt(1.0 + k2 * sin(sigma1) * sin(sigma1)) * cos(sigma2) * sin(sigma1)
+         |       - cos(sigma1) * cos(sigma2) * deltaJ) AS m12,
+         |     lam - (lamda2 - lamda1) AS dl
+         |    FROM (SELECT *,
+         |      w1 - ${L(f)} * sinA0 * (a3s * (sigma1 + ${sinSum("c3", 5, "sigma1")})) AS lamda1,
+         |      w2 - ${L(f)} * sinA0 * (a3s * (sigma2 + ${sinSum("c3", 5, "sigma2")})) AS lamda2,
+         |      ((a1s - a2s) * sigma2 + ${sinSum("cm", 6, "sigma2")})
+         |        - ((a1s - a2s) * sigma1 + ${sinSum("cm", 6, "sigma1")}) AS deltaJ
+         |     FROM (SELECT *, ${cols(c1m2)} FROM $newtonSeries)))))""".stripMargin
+    // hybrid: final (s12, alpha2) for the solved alpha1 (table 6);
+    // solveHybrid uses the +TINY cosines on BOTH latitudes.
+    val hybridInner =
+      s"""(SELECT *, ${L(e2m)} * cosA0 * cosA0 AS k2,
+         |  atan2(sinA2cb2, cosA2cb2) AS alpha2f,
+         |  atan2(sinB2n, cosA2cb2) AS sigma2
+         | FROM (SELECT *, sinA1 * cosB1t AS sinA0,
+         |   sqrt(cosA1 * cosA1 + sinA1 * sinB1t * sinA1 * sinB1t) AS cosA0,
+         |   atan2(sinB1t, cosA1 * cosB1t) AS sigma1,
+         |   (CASE WHEN sinB2n = 0 AND cosB1t = 1.0 THEN -1.0 ELSE 1.0 END)
+         |     * sqrt(greatest(cosA1 * cosA1 * cosB1t * cosB1t
+         |         + (cosB2v * cosB2v - cosB1t * cosB1t), 0.0)) AS cosA2cb2,
+         |   sinA1 * cosB1t AS sinA2cb2
+         |  FROM (SELECT inv_alpha.$key, inv_alpha.alpha1, inv_base.swap,
+         |    inv_base.swapAlpha, inv_base.negLam, inv_base.sinB1t,
+         |    inv_base.cosB1t, inv_base.sinB2n, inv_base.cosB2v,
+         |    cos(inv_alpha.alpha1) AS cosA1, sin(inv_alpha.alpha1) AS sinA1
+         |   FROM inv_alpha JOIN inv_base USING ($key))))""".stripMargin
+    val hybridSeries = seriesLadder(hybridInner, withA2A3 = false, cols(c1Cols("c1")))
+    s"""WITH RECURSIVE
+       | inv_base AS (
+       |  SELECT *,
+       |    atan2(sinA1s, cosA1s) AS alpha10
+       |  FROM (SELECT *,
+       |    atan2(sqrt(sinA1s * sinA1s + cosA1s * cosA1s),
+       |      sinB1t * sinB2n + cosB1n * cosB2n * cw) AS sigma12
+       |   FROM (SELECT *, cosB2n * sw AS sinA1s,
+       |     cosB1n * sinB2n - sinB1t * cosB2n * cw AS cosA1s
+       |    FROM (SELECT *, sin(w12) AS sw, cos(w12) AS cw
+       |     FROM (SELECT *, lam / wbar AS w12
+       |      FROM (SELECT *,
+       |        sqrt(1.0 - ${L(e2)} * ((cosB1t + cosB2v) * 0.5) * ((cosB1t + cosB2v) * 0.5)) AS wbar
+       |       FROM (SELECT *,
+       |         sin(b1) AS sinB1t, cos(b1) + ${L(TINY)} AS cosB1t,
+       |         sin(b1) - ${L(TINY)} AS sinB1m, cos(b1) AS cosB1n,
+       |         sin(b2) AS sinB2n, cos(b2) AS cosB2n, cos(b2) + ${L(TINY)} AS cosB2v
+       |        FROM (SELECT *,
+       |          CASE WHEN bb1 > 0 THEN -bb1 ELSE bb1 END AS b1,
+       |          CASE WHEN bb1 > 0 THEN -bb2 ELSE bb2 END AS b2,
+       |          lamRaw < 0 AS negLam,
+       |          CASE WHEN lamRaw < 0 THEN -lamRaw ELSE lamRaw END AS lam,
+       |          swap <> (bb1 > 0) AS swapAlpha
+       |         FROM (SELECT *,
+       |           CASE WHEN swap THEN blat2r ELSE blat1r END AS bb1,
+       |           CASE WHEN swap THEN blat1r ELSE blat2r END AS bb2,
+       |           ${trunc(normCase("lamN"))} AS lamRaw
+       |          FROM (SELECT *, abs(blat1r) < abs(blat2r) AS swap,
+       |            ${normMod("lon2 - lon1")} AS lamN
+       |           FROM (SELECT $key,
+       |             ${trunc(s"atan(${L(1.0 - f)} * tan(lat1))")} AS blat1r,
+       |             ${trunc(s"atan(${L(1.0 - f)} * tan(lat2))")} AS blat2r,
+       |             lon1, lon2
+       |            FROM $from))))))))))
+       |  WHERE abs(sin(lam)) > 0.000001
+       |    AND NOT (abs(b2 - b1) <= 0.000001 AND abs(b1) <= 0.000001)
+       |    AND wbar * sigma12 >= 0.001
+       |    AND sigma12 <= ${L(Pi * (1.0 - 6.0 * abs(f)))}
+       | ),
+       | inv_newton AS (
+       |  SELECT $key, alpha10 AS alpha1, CAST(0.0 AS DOUBLE) AS dold,
+       |    0 AS it, FALSE AS done
+       |  FROM inv_base
+       |  UNION ALL
+       |  $newtonStep
+       | ),
+       | inv_alpha AS (
+       |  SELECT $key, alpha1 FROM (
+       |   SELECT $key, alpha1,
+       |     row_number() OVER (PARTITION BY $key ORDER BY it DESC) AS rn
+       |   FROM inv_newton) WHERE rn = 1
+       | )
+       | SELECT $key, s12, ${normCase("m1")} AS az1, ${normCase("m2")} AS az2
+       | FROM (SELECT $key, s12, ${normMod("az1c")} AS m1, ${normMod("az2c")} AS m2
+       |  FROM (SELECT $key, s12,
+       |    CASE WHEN negLam THEN -az1b ELSE az1b END AS az1c,
+       |    CASE WHEN negLam THEN -az2b ELSE az2b END AS az2c
+       |   FROM (SELECT $key, s12, negLam,
+       |     CASE WHEN swapAlpha THEN ${L(Pi)} - az1a ELSE az1a END AS az1b,
+       |     CASE WHEN swapAlpha THEN ${L(Pi)} - az2a ELSE az2a END AS az2b
+       |    FROM (SELECT $key, s12, swapAlpha, negLam,
+       |      CASE WHEN swap THEN alpha2f ELSE alpha1 END AS az1a,
+       |      CASE WHEN swap THEN alpha1 ELSE alpha2f END AS az2a
+       |     FROM (SELECT $key, swap, swapAlpha, negLam, alpha1, alpha2f,
+       |       ${L(b)} * abs(
+       |         a1s * (sigma2 + ${sinSum("c1", 6, "sigma2")})
+       |         - a1s * (sigma1 + ${sinSum("c1", 6, "sigma1")})) AS s12
+       |      FROM $hybridSeries)))))""".stripMargin.replace("\n", " ")
   }
 
   /** Astroid starting azimuth for nearly-antipodal pairs

@@ -575,7 +575,11 @@ object SparkEntry {
     }),
     "q41_track_interp_cubic" -> ((s, dir) => {
       // cubic (not-a-knot spline) track interpolation with depth carry
-      // — the reference interp_nvectors(kind='cubic') headline path
+      // — the reference interp_nvectors(kind='cubic') headline path.
+      // Tracks shorter than 4 fixes are excluded on BOTH sides (same
+      // integer count filter in the DuckDB mirror) so every mirrored
+      // track provably takes the cubic path at any scale — never the
+      // engine's short-track fallback orders.
       val ev = t(s, dir, "events")
         .withColumn("tsec", col("event_id").cast("double"))
         .withColumn("lat", latRad(col("event_id")))
@@ -583,6 +587,8 @@ object SparkEntry {
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("depth", (col("event_id") % 97).cast("double"))
         .select(col("user_id"), col("tsec"), col("n"), col("depth"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("__n") >= 4).drop("__n")
       val qs = t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)
       graft.operators.Tracks.interpolateSpline(ev, qs, "user_id", "tsec", "n",
@@ -598,6 +604,10 @@ object SparkEntry {
       // quadratic (order-2 B-spline, scipy midpoint knots) track
       // interpolation with a mirror-padded Savitzky-Golay pre-smooth —
       // the interp1d kind='quadratic' / savgol mode parity path
+      // tracks shorter than 8 fixes excluded on BOTH sides (same
+      // integer filter in the DuckDB mirror), so every mirrored track
+      // keeps the full 7-tap window and the quadratic order at any
+      // scale — never the window-truncation or short-track fallbacks
       val ev = t(s, dir, "events")
         .withColumn("tsec", col("event_id").cast("double"))
         .withColumn("lat", latRad(col("event_id")))
@@ -605,6 +615,8 @@ object SparkEntry {
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("depth", (col("event_id") % 97).cast("double"))
         .select(col("user_id"), col("tsec"), col("n"), col("depth"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("__n") >= 8).drop("__n")
       val qs = t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)
       graft.operators.Tracks.interpolateSpline(ev, qs, "user_id", "tsec", "n",
@@ -1115,6 +1127,48 @@ object SparkEntry {
         "SELECT c_custkey, round(s12, 2) AS s12_m, round(az1, 7) AS az1, round(az2, 7) AS az2 FROM (" +
           graft.geo.Karney(wa, wf).inverseSqlMirror(from, "c_custkey") +
           ") ORDER BY c_custkey"
+      },
+      // full relational mirror of the quadratic B-spline (midpoint
+      // knots) + savgol mode='mirror' pre-smooth
+      // (Tracks.quadraticSplineMirrorSql): tridiagonal collocation
+      // solved by the same Thomas CTEs; converts q44 from rows-only
+      // to oracle-checked
+      "q44_track_interp_quadratic" -> {
+        val fixes =
+          s"""SELECT user_id, CAST(event_id AS DOUBLE) AS t,
+             | cos(lat) * cos(lon) AS c1, cos(lat) * sin(lon) AS c2,
+             | sin(lat) AS c3, CAST(event_id % 97 AS DOUBLE) AS c4
+             | FROM (SELECT user_id, event_id,
+             |  ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon
+             | FROM events)""".stripMargin.replace("\n", " ")
+        val qs = "SELECT DISTINCT user_id, CAST(user_id AS DOUBLE) * 7.0 + 100.0 AS tq FROM events"
+        "SELECT user_id, tq AS tsec, " +
+          "round(degrees(atan2(i3, sqrt(i1*i1 + i2*i2))), 6) AS ilat, " +
+          "round(degrees(atan2(i2, i1)), 6) AS ilon, " +
+          "round(i4, 6) AS idepth FROM (" +
+          graft.operators.Tracks.quadraticSplineMirrorSql(fixes, qs,
+            windowLength = 7, polyorder = 2, minFixes = 8) +
+          ") ORDER BY user_id"
+      },
+      // full relational mirror of the not-a-knot cubic spline track
+      // interpolation: Thomas sweeps as recursive CTEs
+      // (Tracks.cubicSplineMirrorSql); converts the cubic gate from
+      // rows-only to oracle-checked
+      "q41_track_interp_cubic" -> {
+        val fixes =
+          s"""SELECT user_id, CAST(event_id AS DOUBLE) AS t,
+             | cos(lat) * cos(lon) AS c1, cos(lat) * sin(lon) AS c2,
+             | sin(lat) AS c3, CAST(event_id % 97 AS DOUBLE) AS c4
+             | FROM (SELECT user_id, event_id,
+             |  ${latSql("event_id")} AS lat, ${lonSql("event_id")} AS lon
+             | FROM events)""".stripMargin.replace("\n", " ")
+        val qs = "SELECT DISTINCT user_id, CAST(user_id AS DOUBLE) * 7.0 + 100.0 AS tq FROM events"
+        "SELECT user_id, tq AS tsec, " +
+          "round(degrees(atan2(i3, sqrt(i1*i1 + i2*i2))), 6) AS ilat, " +
+          "round(degrees(atan2(i2, i1)), 6) AS ilon, " +
+          "round(i4, 6) AS idepth FROM (" +
+          graft.operators.Tracks.cubicSplineMirrorSql(fixes, qs) +
+          ") ORDER BY user_id"
       },
       "q31_geodesic_reckon" -> {
         val from =

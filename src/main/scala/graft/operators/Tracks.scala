@@ -740,4 +740,246 @@ object Tracks {
           .otherwise(geo.azimuthFast(col("__from"), col("__to"), a, f)))
       .drop("__prev", "__next", "__from", "__to")
   }
+
+  /** ANSI-SQL mirror of the not-a-knot cubic spline track
+    * interpolation ([[notAKnotSplineM]] + [[splineEval]]) for the
+    * DuckDB correctness oracle: the Thomas forward/backward sweeps run
+    * as recursive CTEs over the interior rows (the same corner-folded
+    * tridiagonal system, identical operation order, so component
+    * columns with integer-exact inputs agree bitwise and trig-derived
+    * ones to ~1e-15). The elimination coefficient `cp` depends only on
+    * the matrix, so one recursion solves all four components at once.
+    *
+    * `fixesSql` must yield (user_id, t, c1, c2, c3, c4); `queriesSql`
+    * (user_id, tq). Emits a statement selecting (user_id, tq,
+    * i1..i4) — raw interpolated components (NOT unit-normalized;
+    * atan2-based lat/lon consumers are scale-free), out-of-span
+    * queries and tracks shorter than `minFixes` omitted (the gate
+    * query must apply the same `count >= minFixes` filter on the
+    * engine side; minFixes >= 4 keeps every mirrored track on the
+    * cubic path at any scale).
+    */
+  private def percomp(f: Int => String) = (1 to 4).map(f).mkString(", ")
+
+  /** Shared mirror prelude: dedup fixes by timestamp (keeping the
+    * lexicographically-smallest tuple, like the cogroup path), order
+    * and count per track, drop tracks shorter than `minFixes` RAW
+    * rows (the same integer filter the engine-side gate applies).
+    */
+  private def orderedCtes(fixesSql: String, minFixes: Int): String =
+    s""" sp_fix AS ($fixesSql),
+       | sp_dedup AS (SELECT user_id, t, ${percomp(j => s"c$j")}, nraw FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY user_id, t
+       |     ORDER BY c1, c2, c3, c4) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS nraw
+       |   FROM sp_fix) WHERE rn = 1),
+       | sp_ord AS (SELECT *,
+       |   row_number() OVER (PARTITION BY user_id ORDER BY t) AS i,
+       |   count(*) OVER (PARTITION BY user_id) AS n FROM sp_dedup),
+       | sp_trk AS MATERIALIZED (SELECT * FROM sp_ord WHERE nraw >= $minFixes)""".stripMargin
+
+  /** Shared Thomas-algorithm CTEs over a system CTE `sp_sys` with
+    * columns (user_id, j [1..m], m, av, bv, cv, d1..d4): forward and
+    * backward sweeps as recursive CTEs, each buffered through a
+    * MATERIALIZED wrapper — without it every iteration of the next
+    * recursion (and every later reference) re-executes the whole
+    * upstream recursion, which is quadratic in track length. The
+    * elimination coefficient cp depends only on the matrix, so one
+    * recursion carries all four components.
+    */
+  private def thomasCtes: String =
+    s""" sp_fwd_r AS (
+       |  SELECT user_id, j, m, cv / bv AS cp, ${percomp(j => s"d$j / bv AS p$j")}
+       |   FROM sp_sys WHERE j = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.j, s.m, s.cv / (s.bv - s.av * f.cp) AS cp,
+       |   ${percomp(j => s"(s.d$j - s.av * f.p$j) / (s.bv - s.av * f.cp) AS p$j")}
+       |   FROM sp_fwd_r f JOIN sp_sys s ON s.user_id = f.user_id AND s.j = f.j + 1),
+       | sp_fwd AS MATERIALIZED (SELECT * FROM sp_fwd_r),
+       | sp_bwd_r AS (
+       |  SELECT user_id, j, m, ${percomp(j => s"p$j AS x$j")}
+       |   FROM sp_fwd WHERE j = m
+       |  UNION ALL
+       |  SELECT f.user_id, f.j, f.m, ${percomp(j => s"f.p$j - f.cp * b.x$j AS x$j")}
+       |   FROM sp_bwd_r b JOIN sp_fwd f ON f.user_id = b.user_id AND f.j = b.j - 1),
+       | sp_bwd AS MATERIALIZED (SELECT * FROM sp_bwd_r)""".stripMargin
+
+  def cubicSplineMirrorSql(fixesSql: String, queriesSql: String,
+                           minFixes: Int = 4): String = {
+    require(minFixes >= 4)
+    s"""WITH RECURSIVE
+       |${orderedCtes(fixesSql, minFixes)},
+       | sp_k1 AS (SELECT *,
+       |   lead(t) OVER (PARTITION BY user_id ORDER BY i) - t AS h,
+       |   ${percomp(j => s"lead(c$j) OVER (PARTITION BY user_id ORDER BY i) AS cn$j")},
+       |   ${percomp(j => s"lag(c$j) OVER (PARTITION BY user_id ORDER BY i) AS cp$j")}
+       |  FROM sp_trk),
+       | sp_k2 AS (SELECT *,
+       |   lag(h) OVER (PARTITION BY user_id ORDER BY i) AS hm FROM sp_k1),
+       | sp_hs AS MATERIALIZED (SELECT user_id,
+       |   max(CASE WHEN i = 1 THEN h END) AS h1,
+       |   max(CASE WHEN i = 2 THEN h END) AS h2,
+       |   max(CASE WHEN i = n - 2 THEN h END) AS hp,
+       |   max(CASE WHEN i = n - 1 THEN h END) AS hl
+       |  FROM sp_k1 GROUP BY user_id),
+       | sp_sys AS MATERIALIZED (SELECT k.user_id, k.i - 1 AS j, k.n - 2 AS m,
+       |   CASE WHEN k.i = 2 THEN 0.0
+       |        WHEN k.i = k.n - 1 THEN s.hp - s.hl * s.hl / s.hp
+       |        ELSE k.hm END AS av,
+       |   CASE WHEN k.i = 2 THEN s.h1 * (s.h1 + s.h2) / s.h2 + 2.0 * (s.h1 + s.h2)
+       |        WHEN k.i = k.n - 1 THEN 2.0 * (s.hp + s.hl) + s.hl * (s.hp + s.hl) / s.hp
+       |        ELSE 2.0 * (k.hm + k.h) END AS bv,
+       |   CASE WHEN k.i = 2 THEN s.h2 - s.h1 * s.h1 / s.h2
+       |        WHEN k.i = k.n - 1 THEN 0.0
+       |        ELSE k.h END AS cv,
+       |   ${percomp(j => s"6.0 * ((k.cn$j - k.c$j) / k.h - (k.c$j - k.cp$j) / k.hm) AS d$j")}
+       |  FROM sp_k2 k JOIN sp_hs s USING (user_id)
+       |  WHERE k.i BETWEEN 2 AND k.n - 1),
+       |$thomasCtes,
+       | sp_edge AS (SELECT user_id,
+       |   ${percomp(j => s"max(CASE WHEN j = 1 THEN x$j END) AS xa$j")},
+       |   ${percomp(j => s"max(CASE WHEN j = 2 THEN x$j END) AS xb$j")},
+       |   ${percomp(j => s"max(CASE WHEN j = m THEN x$j END) AS xm$j")},
+       |   ${percomp(j => s"max(CASE WHEN j = m - 1 THEN x$j END) AS xn$j")},
+       |   max(m) AS m
+       |  FROM sp_bwd GROUP BY user_id),
+       | sp_m AS MATERIALIZED (
+       |  SELECT user_id, j + 1 AS i, ${percomp(j => s"x$j AS m$j")} FROM sp_bwd
+       |  UNION ALL
+       |  SELECT e.user_id, 1 AS i,
+       |   ${percomp(j => s"((s.h1 + s.h2) * e.xa$j - s.h1 * e.xb$j) / s.h2 AS m$j")}
+       |   FROM sp_edge e JOIN sp_hs s USING (user_id)
+       |  UNION ALL
+       |  SELECT e.user_id, e.m + 2 AS i,
+       |   ${percomp(j => s"((s.hp + s.hl) * e.xm$j - s.hl * e.xn$j) / s.hp AS m$j")}
+       |   FROM sp_edge e JOIN sp_hs s USING (user_id)),
+       | sp_q AS ($queriesSql),
+       | sp_br AS (SELECT q.user_id, q.tq,
+       |   max(o.i) FILTER (WHERE o.t <= q.tq) AS ihit,
+       |   max(o.n) AS n, min(o.t) AS t0, max(o.t) AS tn
+       |  FROM sp_q q JOIN sp_trk o USING (user_id) GROUP BY q.user_id, q.tq),
+       | sp_span AS (SELECT user_id, tq, least(ihit, n - 1) AS ispan
+       |  FROM sp_br WHERE tq >= t0 AND tq <= tn)
+       | SELECT s.user_id, s.tq,
+       |  ${percomp(j =>
+           s"""(ma.m$j * u * u * u + mb.m$j * v * v * v) / (6.0 * h)
+              |   + (ka.c$j / h - ma.m$j * h / 6.0) * u
+              |   + (kb.c$j / h - mb.m$j * h / 6.0) * v AS i$j""".stripMargin)}
+       | FROM (SELECT sp.*, ka0.t AS ta, kb0.t AS tb,
+       |    kb0.t - ka0.t AS h, kb0.t - sp.tq AS u, sp.tq - ka0.t AS v
+       |   FROM sp_span sp
+       |   JOIN sp_trk ka0 ON ka0.user_id = sp.user_id AND ka0.i = sp.ispan
+       |   JOIN sp_trk kb0 ON kb0.user_id = sp.user_id AND kb0.i = sp.ispan + 1) s
+       | JOIN sp_trk ka ON ka.user_id = s.user_id AND ka.i = s.ispan
+       | JOIN sp_trk kb ON kb.user_id = s.user_id AND kb.i = s.ispan + 1
+       | JOIN sp_m ma ON ma.user_id = s.user_id AND ma.i = s.ispan
+       | JOIN sp_m mb ON mb.user_id = s.user_id AND mb.i = s.ispan + 1""".stripMargin
+      .replace("\n", " ")
+  }
+
+  /** DuckDB-SQL mirror of the quadratic (order-2 B-spline, scipy
+    * midpoint knots — [[interpKnots]] / [[bsplineInterpCoefs]] /
+    * [[bsplineInterpEval]]) track interpolation with an optional
+    * Savitzky-Golay mode='mirror' pre-smooth, for the correctness
+    * oracle. The order-2 collocation matrix on midpoint knots is
+    * tridiagonal (row i touches coefficients i-1..i+1; the two
+    * endpoint rows are exact unit rows), so the same Thomas CTEs as
+    * the cubic mirror solve it; basis values unroll the k=2 Cox-de
+    * Boor triangle with the solver's own operation order. Knot spans
+    * need NO floating comparisons for the sites (span_i =
+    * clamp(i, 2, n-1) by construction) and only exact-arithmetic
+    * midpoint comparisons for the queries. Savgol coefficients are
+    * inlined as literals from [[savgolCoefficients]] — the same
+    * doubles the engine multiplies by.
+    *
+    * Same contract as [[cubicSplineMirrorSql]]; `minFixes` must
+    * exceed the smoothing window so the reference's window-truncation
+    * rules never fire on a mirrored track.
+    */
+  def quadraticSplineMirrorSql(fixesSql: String, queriesSql: String,
+                               windowLength: Int, polyorder: Int = 2,
+                               minFixes: Int = 8): String = {
+    require(windowLength % 2 == 1 && minFixes > windowLength && minFixes >= 3)
+    def L(x: Double): String = {
+      val s = x.toString
+      if (s.contains('.') || s.contains('E') || s.contains('e')) s else s + ".0"
+    }
+    val coeff = savgolCoefficients(windowLength, polyorder)
+    val half = windowLength / 2
+    // smoothed c_j: taps in ascending-k order (the solver's summation
+    // order) with single-reflection 'mirror' indexing into the
+    // per-track component list
+    def smooth(j: Int): String =
+      coeff.zipWithIndex.map { case (c, kk) =>
+        val off = kk - half
+        val ii = if (off == 0) "o.i" else s"(o.i + ${off})"
+        s"${L(c)} * l$j[CASE WHEN $ii < 1 THEN 2 - $ii WHEN $ii > o.n THEN 2 * o.n - $ii ELSE $ii END]"
+      }.mkString(" + ")
+    // knot(idx) for 0-based B-spline knot index: endpoint clamps plus
+    // the midpoint list (mid_j at 1-based list position j)
+    def knot(idx: String, p: String): String =
+      s"CASE WHEN $idx <= 2 THEN ${p}tf WHEN $idx >= ${p}n THEN ${p}tl ELSE ${p}ml[$idx - 1] END"
+    // k=2 Cox-de Boor triangle, matching basisFuns' operation order:
+    // t1 = 1/(r1+l1); t2 = (r1*t1)/(r1+l2); t3 = (l1*t1)/(r2+l1);
+    // B0 = r1*t2, B1 = l2*t2 + r2*t3, B2 = l1*t3.
+    s"""WITH RECURSIVE
+       |${orderedCtes(fixesSql, minFixes)},
+       | sq_l AS MATERIALIZED (SELECT user_id,
+       |   ${percomp(j => s"list(c$j ORDER BY i) AS l$j")},
+       |   list((t + lead) / 2.0 ORDER BY i) FILTER (WHERE lead IS NOT NULL) AS ml,
+       |   min(t) AS tf, max(t) AS tl, max(n) AS n
+       |  FROM (SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY i) AS lead
+       |   FROM sp_trk) GROUP BY user_id),
+       | sq_sm AS MATERIALIZED (SELECT o.user_id, o.i, o.n, o.t,
+       |   ${percomp(j => s"${smooth(j)} AS c$j")}
+       |  FROM sp_trk o JOIN sq_l l USING (user_id)),
+       | sq_bas AS (SELECT *,
+       |   1.0 / (r1 + l1) AS t1
+       |  FROM (SELECT *,
+       |    t - k_s AS l1, k_s1 - t AS r1, t - k_sm1 AS l2, k_s2 - t AS r2
+       |   FROM (SELECT sm.*,
+       |     ${knot("(sp - 1)", "l.")} AS k_sm1, ${knot("sp", "l.")} AS k_s,
+       |     ${knot("(sp + 1)", "l.")} AS k_s1, ${knot("(sp + 2)", "l.")} AS k_s2
+       |    FROM (SELECT *, greatest(2, least(n - 1, i)) AS sp FROM sq_sm) sm
+       |    JOIN sq_l l USING (user_id)))),
+       | sp_sys AS MATERIALIZED (SELECT user_id, i AS j, n AS m,
+       |   CASE WHEN i = 1 THEN 0.0 WHEN i = n THEN b1v ELSE b0v END AS av,
+       |   CASE WHEN i = 1 THEN b0v WHEN i = n THEN b2v ELSE b1v END AS bv,
+       |   CASE WHEN i = 1 THEN b1v WHEN i = n THEN 0.0 ELSE b2v END AS cv,
+       |   ${percomp(j => s"c$j AS d$j")}
+       |  FROM (SELECT *,
+       |    r1 * t2 AS b0v, l2 * t2 + r2 * t3 AS b1v, l1 * t3 AS b2v
+       |   FROM (SELECT *,
+       |     (r1 * t1) / (r1 + l2) AS t2, (l1 * t1) / (r2 + l1) AS t3
+       |    FROM sq_bas))),
+       |$thomasCtes,
+       | sq_cl AS MATERIALIZED (SELECT user_id,
+       |   ${percomp(j => s"list(x$j ORDER BY j) AS cl$j")}
+       |  FROM sp_bwd GROUP BY user_id),
+       | sp_q AS ($queriesSql),
+       | sq_span AS (SELECT q.user_id, q.tq,
+       |   least(2 + count(*) FILTER (WHERE m.mj BETWEEN 2 AND l.n - 2
+       |     AND l.ml[m.mj] <= q.tq), l.n - 1) AS sq, l.n AS n
+       |  FROM sp_q q
+       |  JOIN sq_l l USING (user_id)
+       |  LEFT JOIN (SELECT user_id, unnest(generate_series(1, len(ml))) AS mj
+       |    FROM sq_l) m ON m.user_id = q.user_id
+       |  WHERE q.tq >= l.tf AND q.tq <= l.tl
+       |  GROUP BY q.user_id, q.tq, l.n)
+       | SELECT s.user_id, s.tq,
+       |  ${percomp(j => s"b0v * cl$j[sq - 1] + b1v * cl$j[sq] + b2v * cl$j[sq + 1] AS i$j")}
+       | FROM (SELECT *,
+       |   r1 * t2 AS b0v, l2 * t2 + r2 * t3 AS b1v, l1 * t3 AS b2v
+       |  FROM (SELECT *,
+       |    (r1 * t1) / (r1 + l2) AS t2, (l1 * t1) / (r2 + l1) AS t3
+       |   FROM (SELECT *, 1.0 / (r1 + l1) AS t1
+       |    FROM (SELECT *,
+       |      tq - k_s AS l1, k_s1 - tq AS r1, tq - k_sm1 AS l2, k_s2 - tq AS r2
+       |     FROM (SELECT sp.user_id, sp.tq, sp.sq,
+       |       ${knot("(sp.sq - 1)", "l.")} AS k_sm1, ${knot("sp.sq", "l.")} AS k_s,
+       |       ${knot("(sp.sq + 1)", "l.")} AS k_s1, ${knot("(sp.sq + 2)", "l.")} AS k_s2
+       |      FROM sq_span sp JOIN sq_l l USING (user_id)))))) s
+       | JOIN sq_cl cc ON cc.user_id = s.user_id""".stripMargin
+      .replace("\n", " ")
+  }
 }

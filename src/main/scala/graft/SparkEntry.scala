@@ -94,6 +94,25 @@ object SparkEntry {
       (sigma12 <= math.Pi * (1.0 - 6.0 * math.abs(f)))
   }
 
+  // SQL twins of the hyperplane-LSH signature and vector dot products
+  // (shared by the q32/q39 oracle mirrors): plane constants inline at
+  // the exact doubles the kernel uses; dot products as left-fold `+`
+  // chains, so the IEEE adds match the kernel's fold bit for bit.
+  private def dotWSql(vec: String, w: Array[Double]): String =
+    (0 until 64).map(i => s"CAST($vec[${i + 1}] AS DOUBLE)*${fmt(w(i))}")
+      .mkString(" + ")
+  private def dotVVSql(a: String, b: String): String =
+    (0 until 64).map(i =>
+      s"CAST($a[${i + 1}] AS DOUBLE)*CAST($b[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+  private def lshSigSql(vec: String): String = {
+    val planes = (0 until 16).map(b =>
+      graft.operators.Similarity.hyperplane(b, 64))
+    (0 until 16).map(b =>
+      s"(CASE WHEN (${dotWSql(vec, planes(b))}) >= 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -990,6 +1009,73 @@ object SparkEntry {
            | SELECT q_id, rank, d_id, round(cos, 6) AS cosine FROM fin
            | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
       },
+      // full relational mirror of the hyperplane-LSH top-k pipeline
+      // INCLUDING its escalation ladder: exact+hamming-1 probes, then
+      // hamming-2 for queries still short of k candidates, then
+      // half-width (2-bit) re-banding, then a rank-all fallback for
+      // any residual starved query — each stage the same deterministic
+      // integer-count decision the engine makes (Similarity.lshTopK /
+      // escalatedTopK), so the candidate pools match exactly
+      "q32_knn_embedding" -> {
+        val cosPair =
+          """list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))
+            | / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+            |  * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))))"""
+            .stripMargin.replace("\n", " ")
+        // band tags inline as Scala-computed literals: the engine's
+        // (b+1).toLong << 60 silently WRAPS for the 2-bit path's b=7
+        // (8 << 60 = Long.MinValue) where DuckDB's runtime shift
+        // throws an overflow error
+        def bandVals(bands: Int, width: Int): String =
+          (0 until bands).map(b => s"(${width * b}, ${((b + 1).toLong << 60)})")
+            .mkString(",")
+        def probeJoin(src: String, bands: Int, width: Int, flips: Seq[Int],
+                      db: String): String = {
+          val mask = (1 << width) - 1
+          s"""SELECT DISTINCT q.vec_id AS qid, d.did
+             | FROM $src q
+             | CROSS JOIN (VALUES ${bandVals(bands, width)}) b(sh, tag)
+             | CROSS JOIN (VALUES ${flips.map(f => s"($f)").mkString(",")}) f(f)
+             | JOIN $db d ON d.band =
+             |   (xor((q.sig >> b.sh) & $mask, CAST(f.f AS BIGINT)) ${"|"} CAST(b.tag AS BIGINT))""".stripMargin
+        }
+        def starvedOf(pairs: String): String =
+          s"""SELECT vec_id, sig FROM sigq WHERE vec_id NOT IN
+             | (SELECT qid FROM $pairs GROUP BY qid HAVING count(*) >= 5)""".stripMargin
+        val r1 = Seq(0, 1, 2, 4, 8)
+        val r2 = Seq(0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12)
+        s"""WITH allv AS (SELECT vec_id, embedding FROM embeddings),
+           | sigd AS MATERIALIZED (SELECT vec_id, ${lshSigSql("embedding")} AS sig FROM allv),
+           | sigq AS MATERIALIZED (SELECT * FROM sigd WHERE vec_id < 20),
+           | db4 AS MATERIALIZED (SELECT s.vec_id AS did,
+           |   ((s.sig >> b.sh) & 15) | CAST(b.tag AS BIGINT) AS band
+           |  FROM sigd s CROSS JOIN (VALUES ${bandVals(4, 4)}) b(sh, tag)),
+           | db2 AS MATERIALIZED (SELECT s.vec_id AS did,
+           |   ((s.sig >> b.sh) & 3) | CAST(b.tag AS BIGINT) AS band
+           |  FROM sigd s CROSS JOIN (VALUES ${bandVals(8, 2)}) b(sh, tag)),
+           | p1 AS MATERIALIZED (${probeJoin("sigq", 4, 4, r1, "db4")}),
+           | s1 AS MATERIALIZED (${starvedOf("p1")}),
+           | p2 AS MATERIALIZED (SELECT * FROM p1 UNION ${probeJoin("s1", 4, 4, r2, "db4")}),
+           | s2 AS MATERIALIZED (${starvedOf("p2")}),
+           | p3 AS MATERIALIZED (SELECT * FROM p2 UNION ${probeJoin("s2", 8, 2, Seq(0, 1, 2), "db2")}),
+           | s3 AS MATERIALIZED (${starvedOf("p3")}),
+           | fb AS (SELECT qid, did FROM (
+           |   SELECT qid, did, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS r
+           |   FROM (SELECT sq.qid, dd.did, $cosPair AS cos
+           |    FROM (SELECT s3.vec_id AS qid, a.embedding AS qv
+           |      FROM s3 JOIN allv a ON a.vec_id = s3.vec_id) sq
+           |    CROSS JOIN (SELECT vec_id AS did, embedding AS dv FROM allv) dd)
+           |   ) WHERE r <= 5),
+           | pf AS (SELECT * FROM p3 UNION SELECT * FROM fb),
+           | scored AS (SELECT p.qid, p.did, $cosPair AS cos
+           |  FROM pf p
+           |  JOIN (SELECT vec_id, embedding AS qv FROM allv) q ON q.vec_id = p.qid
+           |  JOIN (SELECT vec_id, embedding AS dv FROM allv) d ON d.vec_id = p.did),
+           | ranked AS (SELECT qid, did, cos,
+           |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank FROM scored)
+           | SELECT qid AS q_id, rank, did AS d_id, round(cos, 6) AS cosine
+           | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
+      },
       "q39_embedding_near_dups" -> {
         // full relational mirror of the hyperplane-LSH near-dup
         // pipeline: the 16 x 64 plane constants inline at the exact
@@ -997,18 +1083,8 @@ object SparkEntry {
         // chains (SQL + is left-associative, so the IEEE adds match
         // the kernel's fold bit for bit; measured sign margins are
         // >= 1e-5, five orders above any summation-order wobble)
-        val planes = (0 until 16).map(b =>
-          graft.operators.Similarity.hyperplane(b, 64))
-        def dotW(vec: String, w: Array[Double]): String =
-          (0 until 64).map(i => s"CAST($vec[${i + 1}] AS DOUBLE)*${fmt(w(i))}")
-            .mkString(" + ")
-        def dotVV(a: String, b: String): String =
-          (0 until 64).map(i =>
-            s"CAST($a[${i + 1}] AS DOUBLE)*CAST($b[${i + 1}] AS DOUBLE)")
-            .mkString(" + ")
-        val sigExpr = (0 until 16).map(b =>
-          s"(CASE WHEN (${dotW("embedding", planes(b))}) >= 0 THEN ${1 << b} ELSE 0 END)")
-          .mkString("CAST(", " + ", " AS BIGINT)")
+        def dotVV(a: String, b: String): String = dotVVSql(a, b)
+        val sigExpr = lshSigSql("embedding")
         s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
            | pl AS (SELECT vec_id + 1000000 AS vec_id,
            |   list_transform(embedding, x -> CAST(x * CAST(1.0005 AS FLOAT) AS FLOAT)) AS embedding

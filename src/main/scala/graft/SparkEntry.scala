@@ -58,40 +58,50 @@ object SparkEntry {
     * libm classify every realistic row identically). Must stay
     * formula-for-formula identical to the SQL mirror's inv_base WHERE.
     */
-  private def inverseGeneralGuard(lat1: Column, lon1: Column,
-                                  lat2: Column, lon2: Column): Column = {
+  private def inverseGeneralFilter(df: DataFrame,
+                                   lat1: Column, lon1: Column,
+                                   lat2: Column, lon2: Column): DataFrame = {
     val f = graft.geo.Ellipsoids.WGS84.f
     val e2 = f * (2.0 - f)
     val tiny = graft.geo.Karney.TINY
     def truncC(x: Column): Column =
       when(x === 0.0, lit(0.0))
         .otherwise(when(abs(x) < 0.06, lit(0.06) - (lit(0.06) - x)).otherwise(x))
-    def normC(x: Column): Column = {
-      val twoPi = 2.0 * math.Pi
-      val m = ((x + math.Pi) % twoPi + twoPi) % twoPi - math.Pi
-      when(m <= -math.Pi, math.Pi).otherwise(m)
-    }
-    val blat1r = truncC(atan(lit(1.0 - f) * tan(lat1)))
-    val blat2r = truncC(atan(lit(1.0 - f) * tan(lat2)))
-    val swap = abs(blat1r) < abs(blat2r)
-    val bb1 = when(swap, blat2r).otherwise(blat1r)
-    val bb2 = when(swap, blat1r).otherwise(blat2r)
-    val b1 = when(bb1 > 0, -bb1).otherwise(bb1)
-    val b2 = when(bb1 > 0, -bb2).otherwise(bb2)
-    val lamRaw = truncC(normC(lon2 - lon1))
-    val lam = when(lamRaw < 0, -lamRaw).otherwise(lamRaw)
-    val cbm = (cos(b1) + tiny + (cos(b2) + tiny)) * 0.5
-    val wbar = sqrt(lit(1.0) - lit(e2) * cbm * cbm)
-    val w12 = lam / wbar
-    val cw = cos(w12)
-    val sinA1s = cos(b2) * sin(w12)
-    val cosA1s = cos(b1) * sin(b2) - sin(b1) * cos(b2) * cw
-    val sigma12 = atan2(sqrt(sinA1s * sinA1s + cosA1s * cosA1s),
-      sin(b1) * sin(b2) + cos(b1) * cos(b2) * cw)
-    (abs(sin(lam)) > 1e-6) &&
-      !(abs(b2 - b1) <= 1e-6 && abs(b1) <= 1e-6) &&
-      (wbar * sigma12 >= 1e-3) &&
-      (sigma12 <= math.Pi * (1.0 - 6.0 * math.abs(f)))
+    // each intermediate is STAGED as a named column: a when()-branch
+    // referencing an unstaged Column duplicates its whole subtree, so
+    // the inlined form of this chain is exponential in depth (16 s at
+    // sf0.1 before staging; ~0.5 s after)
+    df
+      .withColumn("__bl1", truncC(atan(lit(1.0 - f) * tan(lat1))))
+      .withColumn("__bl2", truncC(atan(lit(1.0 - f) * tan(lat2))))
+      .withColumn("__swap", abs(col("__bl1")) < abs(col("__bl2")))
+      .withColumn("__bb1", when(col("__swap"), col("__bl2")).otherwise(col("__bl1")))
+      .withColumn("__bb2", when(col("__swap"), col("__bl1")).otherwise(col("__bl2")))
+      .withColumn("__b1", when(col("__bb1") > 0, -col("__bb1")).otherwise(col("__bb1")))
+      .withColumn("__b2", when(col("__bb1") > 0, -col("__bb2")).otherwise(col("__bb2")))
+      .withColumn("__m", {
+        val twoPi = 2.0 * math.Pi
+        ((lon2 - lon1 + math.Pi) % twoPi + twoPi) % twoPi - math.Pi
+      })
+      .withColumn("__lamRaw", truncC(when(col("__m") <= -math.Pi, math.Pi).otherwise(col("__m"))))
+      .withColumn("__lam", when(col("__lamRaw") < 0, -col("__lamRaw")).otherwise(col("__lamRaw")))
+      .withColumn("__cbm", (cos(col("__b1")) + tiny + (cos(col("__b2")) + tiny)) * 0.5)
+      .withColumn("__wbar", sqrt(lit(1.0) - lit(e2) * col("__cbm") * col("__cbm")))
+      .withColumn("__w12", col("__lam") / col("__wbar"))
+      .withColumn("__sinA1s", cos(col("__b2")) * sin(col("__w12")))
+      .withColumn("__cosA1s", cos(col("__b1")) * sin(col("__b2"))
+        - sin(col("__b1")) * cos(col("__b2")) * cos(col("__w12")))
+      .withColumn("__sig12", atan2(
+        sqrt(col("__sinA1s") * col("__sinA1s") + col("__cosA1s") * col("__cosA1s")),
+        sin(col("__b1")) * sin(col("__b2"))
+          + cos(col("__b1")) * cos(col("__b2")) * cos(col("__w12"))))
+      .filter((abs(sin(col("__lam"))) > 1e-6) &&
+        !(abs(col("__b2") - col("__b1")) <= 1e-6 && abs(col("__b1")) <= 1e-6) &&
+        (col("__wbar") * col("__sig12") >= 1e-3) &&
+        (col("__sig12") <= math.Pi * (1.0 - 6.0 * math.abs(f))))
+      .drop("__bl1", "__bl2", "__swap", "__bb1", "__bb2", "__b1", "__b2",
+        "__m", "__lamRaw", "__lam", "__cbm", "__wbar", "__w12",
+        "__sinA1s", "__cosA1s", "__sig12")
   }
 
   // SQL twins of the hyperplane-LSH signature and vector dot products
@@ -432,7 +442,7 @@ object SparkEntry {
     // rows-only (not SQL-expressible): Karney, LSH, images -----------
     "q30_geodesic_inverse" -> ((s, dir) => {
       // general-position rows only (same filter as the DuckDB mirror's
-      // inv_base WHERE — see inverseGeneralGuard): the Newton + hybrid
+      // inv_base WHERE — see inverseGeneralFilter): the Newton + hybrid
       // inverse path is oracle-checked relationally; the excluded
       // special-case branches (meridional, equatorial, short, astroid)
       // keep their GeodSolve golden suites. Rounding: both engines
@@ -440,9 +450,8 @@ object SparkEntry {
       // radian leave >= 1e6x margin against rounding-boundary ties
       // (measured cross-engine deltas at sf0.1: s12 <= 1.2e-8 m,
       // az <= 1.6e-14 rad).
-      custPts(s, dir)
-        .filter(inverseGeneralGuard(col("lat"), col("lon"),
-          lit(OsloLat), lit(OsloLon)))
+      inverseGeneralFilter(custPts(s, dir), col("lat"), col("lon"),
+          lit(OsloLat), lit(OsloLon))
         .withColumn("inv", geo.geodesicInverse(col("lat"), col("lon"),
           lit(OsloLat), lit(OsloLon)))
         .select(col("c_custkey"),
@@ -493,7 +502,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q35_lang_quality" -> ((s, dir) => {
+      // printable-ASCII rows only, same regex filter in the DuckDB
+      // mirror: on ASCII input Java's (?U)\w and RE2's \w token
+      // classes coincide, so the BPE-ish token count is relationally
+      // checkable; non-ASCII documents (none in the synthetic corpus,
+      // but possible at other scales) are excluded identically on
+      // both sides rather than diverging silently
       tSpread(s, dir, "documents")
+        .filter(col("text").rlike("^[\\x20-\\x7e]*$"))
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langGuess(col("text")).as("lang_guess"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
@@ -1008,6 +1024,51 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, d_id) AS rank FROM ccos)
            | SELECT q_id, rank, d_id, round(cos, 6) AS cosine FROM fin
            | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
+      },
+      // relational mirror of the text-analysis kernels: stopword-family
+      // language guess (integer hit counts, max-(hits, code) tie-break),
+      // the quality-score expression chain, and the BPE-ish token count
+      // (#word-runs + #non-space-non-word chars — on the gate's
+      // printable-ASCII rows Java's (?U)\w equals RE2's \w)
+      "q35_lang_quality" -> {
+        val fams = graft.operators.TextAnalysis.StopwordFamilies.toSeq.sortBy(_._1)
+        // rk encodes the code's sort position so the (hits, code)
+        // tie-break packs into one BIGINT for arg_max
+        val famRows = fams.zipWithIndex.map { case ((code, sws), rk) =>
+          s"('$code', $rk, [${sws.map(w => s"'$w'").mkString(", ")}])"
+        }.mkString(", ")
+        s"""WITH docs AS (SELECT doc_id, lang, text FROM documents
+           |   WHERE regexp_matches(text, '^[ -~]*${"$"}')),
+           | ws AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM docs),
+           | fam(code, rk, sws) AS (VALUES $famRows),
+           | hits AS (SELECT ws.doc_id, fam.code, fam.rk,
+           |   len(list_filter(ws.w, x -> list_contains(fam.sws, x))) AS h
+           |  FROM ws CROSS JOIN fam),
+           | guess AS (SELECT doc_id,
+           |   CASE WHEN max(h) >= 1
+           |     THEN arg_max(code, h * 8 + rk) ELSE 'und' END AS lang_guess
+           |  FROM hits GROUP BY doc_id),
+           | q AS (SELECT doc_id,
+           |   CAST(length(text) AS DOUBLE) AS len,
+           |   CASE WHEN length(text) = 0 THEN 0
+           |     ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS wc,
+           |   (CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE)
+           |     / CAST(greatest(length(text), 1) AS DOUBLE)) AS pr,
+           |   CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nospace,
+           |   len(regexp_extract_all(text, '[0-9A-Za-z_]+'))
+           |     + length(regexp_replace(text, '[0-9A-Za-z_ ]', '', 'g')) AS tokens
+           |  FROM docs),
+           | q2 AS (SELECT doc_id, tokens,
+           |   least(len / 200.0, 1.0) * (CASE WHEN len > 20000 THEN 0.5 ELSE 1.0 END)
+           |     * (CASE WHEN pr > 0.2 THEN 0.3 ELSE 1.0 END)
+           |     * (CASE WHEN (nospace / CAST(greatest(wc, 1) AS DOUBLE)) > 15.0
+           |          OR (nospace / CAST(greatest(wc, 1) AS DOUBLE)) < 2.0
+           |        THEN 0.4 ELSE 1.0 END) AS qraw
+           |  FROM q)
+           | SELECT d.doc_id, d.lang, g.lang_guess,
+           |   round(q2.qraw, 4) AS quality, CAST(q2.tokens AS INTEGER) AS tokens
+           | FROM docs d JOIN guess g USING (doc_id) JOIN q2 USING (doc_id)
+           | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
       },
       // full relational mirror of the hyperplane-LSH top-k pipeline
       // INCLUDING its escalation ladder: exact+hamming-1 probes, then

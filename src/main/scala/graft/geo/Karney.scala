@@ -217,7 +217,7 @@ final class Karney private (val a: Double, val f: Double) {
     * not short (s12 >= a*1e-3 vs a*1e-4), not nearly antipodal
     * (sigma12 <= pi*(1 - 6|f|) vs pi*(1 - 3|f|cos^2 b1)). The gate
     * query must apply the SAME filter on the engine side
-    * (SparkEntry.inverseGeneralGuard); excluded branches (astroid,
+    * (SparkEntry.inverseGeneralFilter); excluded branches (astroid,
     * meridional, equatorial, short) keep their golden-value specs.
     * Numerical deltas vs Scala: unrolled Clenshaw, sqrt-of-squares
     * hypot, and independent Newton stopping — all leave the solved

@@ -61,47 +61,16 @@ object SparkEntry {
   private def inverseGeneralFilter(df: DataFrame,
                                    lat1: Column, lon1: Column,
                                    lat2: Column, lon2: Column): DataFrame = {
-    val f = graft.geo.Ellipsoids.WGS84.f
-    val e2 = f * (2.0 - f)
-    val tiny = graft.geo.Karney.TINY
-    def truncC(x: Column): Column =
-      when(x === 0.0, lit(0.0))
-        .otherwise(when(abs(x) < 0.06, lit(0.06) - (lit(0.06) - x)).otherwise(x))
-    // each intermediate is STAGED as a named column: a when()-branch
-    // referencing an unstaged Column duplicates its whole subtree, so
-    // the inlined form of this chain is exponential in depth (16 s at
-    // sf0.1 before staging; ~0.5 s after)
-    df
-      .withColumn("__bl1", truncC(atan(lit(1.0 - f) * tan(lat1))))
-      .withColumn("__bl2", truncC(atan(lit(1.0 - f) * tan(lat2))))
-      .withColumn("__swap", abs(col("__bl1")) < abs(col("__bl2")))
-      .withColumn("__bb1", when(col("__swap"), col("__bl2")).otherwise(col("__bl1")))
-      .withColumn("__bb2", when(col("__swap"), col("__bl1")).otherwise(col("__bl2")))
-      .withColumn("__b1", when(col("__bb1") > 0, -col("__bb1")).otherwise(col("__bb1")))
-      .withColumn("__b2", when(col("__bb1") > 0, -col("__bb2")).otherwise(col("__bb2")))
-      .withColumn("__m", {
-        val twoPi = 2.0 * math.Pi
-        ((lon2 - lon1 + math.Pi) % twoPi + twoPi) % twoPi - math.Pi
-      })
-      .withColumn("__lamRaw", truncC(when(col("__m") <= -math.Pi, math.Pi).otherwise(col("__m"))))
-      .withColumn("__lam", when(col("__lamRaw") < 0, -col("__lamRaw")).otherwise(col("__lamRaw")))
-      .withColumn("__cbm", (cos(col("__b1")) + tiny + (cos(col("__b2")) + tiny)) * 0.5)
-      .withColumn("__wbar", sqrt(lit(1.0) - lit(e2) * col("__cbm") * col("__cbm")))
-      .withColumn("__w12", col("__lam") / col("__wbar"))
-      .withColumn("__sinA1s", cos(col("__b2")) * sin(col("__w12")))
-      .withColumn("__cosA1s", cos(col("__b1")) * sin(col("__b2"))
-        - sin(col("__b1")) * cos(col("__b2")) * cos(col("__w12")))
-      .withColumn("__sig12", atan2(
-        sqrt(col("__sinA1s") * col("__sinA1s") + col("__cosA1s") * col("__cosA1s")),
-        sin(col("__b1")) * sin(col("__b2"))
-          + cos(col("__b1")) * cos(col("__b2")) * cos(col("__w12"))))
-      .filter((abs(sin(col("__lam"))) > 1e-6) &&
-        !(abs(col("__b2") - col("__b1")) <= 1e-6 && abs(col("__b1")) <= 1e-6) &&
-        (col("__wbar") * col("__sig12") >= 1e-3) &&
-        (col("__sig12") <= math.Pi * (1.0 - 6.0 * math.abs(f))))
-      .drop("__bl1", "__bl2", "__swap", "__bb1", "__bb2", "__b1", "__b2",
-        "__m", "__lamRaw", "__lam", "__cbm", "__wbar", "__w12",
-        "__sinA1s", "__cosA1s", "__sig12")
+    // ONE static call (GeoKernels.inverseGeneralPosition): the
+    // equivalent Column chain — staged or not — blows up
+    // exponentially once Catalyst's project collapsing re-inlines the
+    // when() stages (8-16 s at sf0.1 vs ~0.3 s for the kernel)
+    import org.apache.spark.sql.types.{BooleanType, DoubleType}
+    df.filter(org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.functions.GeoKernels"),
+      BooleanType, "inverseGeneralPosition",
+      Seq(lat1, lon1, lat2, lon2, lit(graft.geo.Ellipsoids.WGS84.f)),
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType, DoubleType)))
   }
 
   // SQL twins of the hyperplane-LSH signature and vector dot products

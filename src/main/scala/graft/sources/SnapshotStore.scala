@@ -108,11 +108,23 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * partition index is the one the parquet committer encodes in the
     * part file name, so per-partition lineage costs nothing extra.
     */
-  def commit(name: String, df: DataFrame): Int = {
+  def commit(name: String, df: DataFrame): Int = commit(name, df, None)
+
+  /** Commit with a designated ZONE-MAP column: per-file min/max of
+    * `statsCol` (an integral column, e.g. a cell id) are lifted from
+    * the SAME parquet footers the manifest already reads — still
+    * metadata-only — and recorded per file, so [[readPruned]] can
+    * skip whole files by range without listing or opening them. At
+    * 100 TB with data clustered by cell (the committed layout the
+    * pipeline produces), a tile/AOI-ranged read touches only the
+    * overlapping files — Iceberg's data-skipping story without the
+    * Iceberg jar.
+    */
+  def commit(name: String, df: DataFrame, statsCol: Option[String]): Int = {
     val v = currentVersion.getOrElse(0) + 1
     val out = dataPath(v, name)
     df.write.mode("overwrite").parquet(out) // the only pass over the data
-    val partCounts = fileMetricsOf(out)
+    val partCounts = fileMetricsOf(out, statsCol)
     // a parquet write always leaves at least one part file (possibly
     // 0-row); an empty listing means a committer this store does not
     // understand — fall back to a read-back count rather than
@@ -127,10 +139,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     json.append(s"""  "parent": ${currentVersion.getOrElse(0)},\n""")
     json.append(s"""  "name": "${esc(name)}",\n""")
     json.append(s"""  "rowCount": $rowCount,\n""")
+    statsCol.foreach(c => json.append(s"""  "statsCol": "${esc(c)}",\n"""))
     json.append(s"""  "schema": "${esc(df.schema.json)}",\n""")
     json.append("  \"files\": [\n")
-    json.append(partCounts.map { case (f, p, c) =>
-      s"""    {"path": "${esc(f)}", "partition": $p, "rows": $c}"""
+    json.append(partCounts.map { case (f, p, c, mm) =>
+      val stats = mm.map { case (lo, hi) => s""", "min": $lo, "max": $hi""" }.getOrElse("")
+      s"""    {"path": "${esc(f)}", "partition": $p, "rows": $c$stats}"""
     }.mkString(",\n"))
     json.append("\n  ],\n")
     json.append("  \"lineage\": [")
@@ -150,7 +164,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * partition index the committer encodes in part file names.
     * Hadoop FS API, so the store works on any cluster filesystem.
     */
-  def fileMetricsOf(dir: String): Seq[(String, Int, Long)] = {
+  def fileMetricsOf(dir: String): Seq[(String, Int, Long)] =
+    fileMetricsOf(dir, None).map { case (f, p, r, _) => (f, p, r) }
+
+  def fileMetricsOf(dir: String, statsCol: Option[String]): Seq[(String, Int, Long, Option[(Long, Long)])] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -173,9 +190,78 @@ final class SnapshotStore(spark: SparkSession, root: String) {
           .map(_.group(1).toInt).getOrElse(-1)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf))
-        val rows = try reader.getRecordCount finally reader.close()
-        (s.getPath.toString, part, rows)
+        val (rows, mm) = try {
+          val rc = reader.getRecordCount
+          // integral min/max of statsCol across the file's row groups,
+          // from the column-chunk statistics already in the footer; a
+          // missing column / missing stats / non-integral type yields
+          // None and the file simply stays unpruneable (always read)
+          val stats = statsCol.flatMap { c =>
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            val perBlock = blocks.map { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .map(_.getStatistics)
+                .filter(st => st != null && st.hasNonNullValue)
+                .flatMap { st =>
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (lo: Number, hi: Number)
+                      if !lo.isInstanceOf[java.lang.Double] &&
+                         !lo.isInstanceOf[java.lang.Float] =>
+                      Some((lo.longValue(), hi.longValue()))
+                    case _ => None
+                  }
+                }
+            }
+            if (perBlock.nonEmpty && perBlock.forall(_.isDefined))
+              Some((perBlock.map(_.get._1).min, perBlock.map(_.get._2).max))
+            else None
+          }
+          (rc, stats)
+        } finally reader.close()
+        (s.getPath.toString, part, rows, mm)
       }
+  }
+
+  /** Read `name` restricted to rows whose zone-map column lies in
+    * [lo, hi]: manifest min/max stats select only the OVERLAPPING
+    * data files (files committed without stats are conservatively
+    * included), and the residual exact filter still applies — so the
+    * result equals `read(name).filter(col between lo and hi)` while
+    * scanning a subset of the files. [[prunedFiles]] exposes the
+    * selection for plan/IO assertions.
+    */
+  def readPruned(name: String, lo: Long, hi: Long): DataFrame = {
+    val v = versionOf(name).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot named '$name' in $root"))
+    val s = Files.readString(snapshotJson(v))
+    val statsCol = ("\"statsCol\": \"(" + JsonStr + ")\"").r
+      .findFirstMatchIn(s).map(m => unesc(m.group(1))).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot '$name' v$v was committed without a statsCol"))
+    val keep = prunedFiles(v, lo, hi)
+    val schema = ("\"schema\": \"(" + JsonStr + ")\"").r.findFirstMatchIn(s)
+      .map(m => org.apache.spark.sql.types.DataType.fromJson(unesc(m.group(1)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalStateException(s"no schema in manifest v$v"))
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep: _*)
+    base.filter(col(statsCol).between(lo, hi))
+  }
+
+  /** Data files of version `v` whose zone-map range intersects
+    * [lo, hi]; files without recorded stats are always kept.
+    */
+  def prunedFiles(v: Int, lo: Long, hi: Long): Seq[String] = {
+    val s = Files.readString(snapshotJson(v))
+    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": -?\\d+, \"rows\": \\d+" +
+      "(?:, \"min\": (-?\\d+), \"max\": (-?\\d+))?\\}").r
+      .findAllMatchIn(s)
+      .filter(m => m.group(2) == null ||
+        (m.group(2).toLong <= hi && m.group(3).toLong >= lo))
+      .map(m => unesc(m.group(1))).toSeq
   }
 
   /** Per-partition metrics of a committed snapshot, parsed back from
@@ -183,7 +269,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     */
   def fileMetrics(v: Int): Seq[(Int, Long, String)] = {
     val s = Files.readString(snapshotJson(v))
-    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": (-?\\d+), \"rows\": (\\d+)\\}").r
+    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": (-?\\d+), \"rows\": (\\d+)" +
+      "(?:, \"min\": -?\\d+, \"max\": -?\\d+)?\\}").r
       .findAllMatchIn(s)
       .map(m => (m.group(2).toInt, m.group(3).toLong, unesc(m.group(1)))).toSeq
   }

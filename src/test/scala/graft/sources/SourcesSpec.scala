@@ -71,6 +71,41 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store2.readAt("derived", 2) }
   }
 
+  test("zone-map stats prune files on ranged reads, results stay exact") {
+    val root = Files.newTmp("zonemap")
+    val store = new SnapshotStore(spark, root)
+    // 4 range-partitioned files over a monotone cell column: each
+    // file's footer min/max covers a disjoint quarter of [0, 400)
+    val df = spark.range(0, 400).toDF("cell")
+      .withColumn("payload", col("cell") * 7)
+      .repartitionByRange(4, col("cell"))
+    val v = store.commit("cells", df, Some("cell"))
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_snapshots", s"v$v.json"))
+    assert(json.contains("\"statsCol\": \"cell\""))
+    assert(json.contains("\"min\": "))
+    // manifest back-compat: fileMetrics still parses stats-bearing rows
+    assert(store.fileMetrics(v).map(_._2).sum == 400)
+    // a one-quarter range touches a strict subset of the files...
+    val all = store.prunedFiles(v, Long.MinValue, Long.MaxValue)
+    val some = store.prunedFiles(v, 120, 180)
+    assert(all.size == 4 && some.nonEmpty && some.size < all.size)
+    // ...and the pruned read equals the full-scan filter exactly
+    val pruned = store.readPruned("cells", 120, 180)
+    def norm(p: String) = p.replaceFirst("^file:/+", "/")
+    assert(pruned.inputFiles.map(norm).toSet == some.map(norm).toSet)
+    val expect = store.read("cells")
+      .filter(col("cell").between(120, 180))
+      .collect().map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet == expect)
+    // empty range: no files, empty result, schema preserved
+    val none = store.readPruned("cells", 1000, 2000)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("cell", "payload"))
+    // snapshots without a statsCol refuse ranged reads loudly
+    store.commit("plain", df)
+    intercept[IllegalArgumentException] { store.readPruned("plain", 0, 1) }
+  }
+
   test("compaction rewrites small files, keeps data and history") {
     val root = Files.newTmp("compact")
     val store = new SnapshotStore(spark, root)

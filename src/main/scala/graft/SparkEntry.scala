@@ -464,9 +464,7 @@ object SparkEntry {
       // md5 hash basis (see q33) so signature + fingerprint both get a
       // relational DuckDB mirror
       tSpread(s, dir, "documents")
-        .withColumn("__h", transform(Dedup.shingles(col("text")),
-          x => Dedup.hash60md5(x)))
-        .select(col("doc_id"), Dedup.simHashFromHashes(col("__h")).as("sig"),
+        .select(col("doc_id"), Dedup.simHashMd5(col("text")).as("sig"),
           TextAnalysis.fingerprint(col("text"), basis = "md5").as("fp"))
         .orderBy("doc_id")
     }),
@@ -640,9 +638,7 @@ object SparkEntry {
       // signature) so DuckDB can brute-force the same pair set —
       // the banded join is provably brute-force-equal (pigeonhole).
       val sigs = tSpread(s, dir, "documents")
-        .withColumn("__h", transform(Dedup.shingles(col("text")),
-          x => Dedup.hash60md5(x)))
-        .select(col("doc_id"), Dedup.simHashFromHashes(col("__h")).as("fp"))
+        .select(col("doc_id"), Dedup.simHashMd5(col("text")).as("fp"))
       Dedup.hammingNearDups(sigs, "doc_id", "fp",
           maxDist = 3, bits = 60, bands = 6)
         .orderBy("id_a", "id_b")

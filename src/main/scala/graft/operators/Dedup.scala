@@ -171,6 +171,24 @@ object Dedup {
     * expression tree evaluates its lambdas interpreted and cost ~90x
     * the md5 shingle stage at sf0.1.
     */
+  /** md5-basis SimHash as one fused kernel call (shingle -> 60-bit
+    * md5 hash -> bit votes, [[DedupKernels.simHash60Md5]]) —
+    * value-identical to
+    * `simHashFromHashes(transform(shingles(text), hash60md5))` and
+    * hence to the relational DuckDB mirror, without materializing the
+    * hash array or carrying the per-shingle md5 expression chain
+    * through planning/codegen.
+    */
+  def simHashMd5(text: Column, k: Int = 5, cap: Int = 2048): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.DedupKernels"),
+      org.apache.spark.sql.types.LongType,
+      "simHash60Md5",
+      Seq(text, lit(k), lit(cap)),
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType))
+
   def simHashFromHashes(hashes: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.staticInvoke(
       Class.forName("graft.operators.DedupKernels"),

@@ -88,6 +88,60 @@ object DedupKernels {
     new GenericArrayData(out)
   }
 
+  /** Fused md5-basis SimHash: k-shingles of the lowercased text
+    * (identical to [[Dedup.shingles]]), [[md5Hash60]] per shingle,
+    * then the [[simHashVotes]] bit-vote fold — one pass, no
+    * intermediate hash array. Value-identical to
+    * `simHashVotes(transform(shingles(text), hash60md5))`, which the
+    * DuckDB oracle mirrors relationally; the builtin per-shingle
+    * md5->hex->substr->conv chain both evaluated slower and bloated
+    * planning/codegen (the gate pays cold-plan cost once per query).
+    */
+  def simHash60Md5(text: UTF8String, k: Int, cap: Int): Long = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    val nShingles = math.min(if (n <= k) 1 else n - k + 1, cap)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < nShingles) {
+      val h = md5Hash60(s.substring(i, math.min(i + k, n))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** md5-basis rolling fingerprint ([[TextAnalysis.fingerprint]]
+    * semantics): min [[md5Hash60]] over 8-char windows at stride 4
+    * (first 512 windows) of the text as-is (no lowercasing); text
+    * shorter than 8 chars hashes whole. Value-identical to the
+    * builtin-expression md5 path it replaces.
+    */
+  def fingerprint60Md5(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    if (n < 8)
+      return md5Hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val nWin = math.min((n - 8) / 4 + 1, 512)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < nWin) {
+      val v = md5Hash60(s.substring(i * 4, i * 4 + 8)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (v < min) min = v
+      i += 1
+    }
+    min
+  }
+
   /** SimHash bit-vote fold over an array of shingle hashes: for each
     * of the 64 bit positions, count +1/-1 votes across hashes and set
     * the bit when the vote is non-negative — exactly the semantics of

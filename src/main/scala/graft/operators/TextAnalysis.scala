@@ -91,11 +91,22 @@ object TextAnalysis {
     // is expensive in pure SQL; do one hash per 8-char shingle stride 4.
     // basis "md5" swaps in the 60-bit md5 hash so the oracle gate can
     // mirror the whole fingerprint in DuckDB.
-    val h = (c: Column) =>
-      if (basis == "md5") Dedup.hash60md5(c) else xxhash64(c)
-    val shingles = slice(transform(
-      sequence(lit(0), greatest(floor((length(text) - 8) / 4).cast("int"), lit(0))),
-      i => h(substring(text, i * 4 + 1, lit(8)))), 1, 512)
-    when(length(text) < 8, h(text)).otherwise(array_min(shingles))
+    if (basis == "md5")
+      // fused kernel: the builtin per-window md5->hex->substr->conv
+      // chain evaluated slower and bloated planning/codegen; values
+      // are identical (DedupKernels.fingerprint60Md5 scaladoc)
+      org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+        Class.forName("graft.operators.DedupKernels"),
+        org.apache.spark.sql.types.LongType,
+        "fingerprint60Md5",
+        Seq(text),
+        Seq(org.apache.spark.sql.types.StringType))
+    else {
+      val h = (c: Column) => xxhash64(c)
+      val shingles = slice(transform(
+        sequence(lit(0), greatest(floor((length(text) - 8) / 4).cast("int"), lit(0))),
+        i => h(substring(text, i * 4 + 1, lit(8)))), 1, 512)
+      when(length(text) < 8, h(text)).otherwise(array_min(shingles))
+    }
   }
 }

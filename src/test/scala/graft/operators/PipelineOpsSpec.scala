@@ -42,6 +42,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ham(1, 2) <= 12)
   }
 
+  test("fused md5 simhash/fingerprint kernels equal their expression forms") {
+    // the fused kernels must stay value-identical to the builtin
+    // expression chains the DuckDB oracle mirrors relationally —
+    // cover the edge shapes: shorter than k, shorter than a
+    // fingerprint window, exactly one window, beyond the shingle cap
+    val edge = (docs.select("text") union Seq(
+      "", "a", "abc", "exactly8", "ninechars",
+      "x" * 5000 + " tail beyond the shingle cap",
+      "MiXeD CaSe LoWeRiNg ChEcK 123"
+    ).toDF("text")).withColumnRenamed("text", "t")
+    val cmp = edge.select(
+      Dedup.simHashMd5(col("t")).as("k_sig"),
+      Dedup.simHashFromHashes(transform(Dedup.shingles(col("t")),
+        x => Dedup.hash60md5(x))).as("e_sig"),
+      TextAnalysis.fingerprint(col("t"), basis = "md5").as("k_fp"),
+      when(length(col("t")) < 8, Dedup.hash60md5(col("t")))
+        .otherwise(array_min(slice(transform(
+          sequence(lit(0), greatest(floor((length(col("t")) - 8) / 4).cast("int"), lit(0))),
+          i => Dedup.hash60md5(substring(col("t"), i * 4 + 1, lit(8)))), 1, 512)))
+        .as("e_fp")
+    ).collect()
+    cmp.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash kernel != expression: $r")
+      assert(r.getLong(2) == r.getLong(3), s"fingerprint kernel != expression: $r")
+    }
+  }
+
   test("ngram jaccard") {
     val out = docs.as("a").crossJoin(docs.as("b"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),

@@ -63,8 +63,13 @@ object PipelineMain {
       }.toDF("image_id", "phash", "caption", "verify_ok")
     }
 
-    // stage 3: tile assignment (multi-resolution cell encode)
-    val tiled = store.getOrCompute("tiled") {
+    // stage 3: tile assignment (multi-resolution cell encode),
+    // committed CLUSTERED by tile with zone-map stats in the manifest:
+    // range partitioning gives every data file a tight tile range, so
+    // any later tile/AOI-scoped read (store.readPruned) opens only the
+    // overlapping files — at 10^12 rows that's the difference between
+    // a full-table scan and a few files per tile query
+    val tiled = store.getOrCompute("tiled", statsCol = Some("tile")) {
       verified
         .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
         .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
@@ -73,6 +78,7 @@ object PipelineMain {
         .withColumn("tile", cells.cellAt(col("n"), tileLevel))
         .withColumn("tile_coarse", cells.cellAt(col("n"), math.max(1, tileLevel - 4)))
         .select("image_id", "phash", "verify_ok", "n", "tile", "tile_coarse")
+        .repartitionByRange(col("tile"))
     }
 
     // stage 4: AOI assignment + per-tile statistics (with lineage)

@@ -310,6 +310,22 @@ object SparkEntry {
           round(col("dist_m") / 1000.0, 6).as("dist_km"))
         .orderBy("c_custkey", "rank")
     }),
+    "q46_knn_landmarks" -> ((s, dir) => {
+      // stateless landmark kNN (the streaming kNN path): landmarks on
+      // a deterministic 6x4 degree grid ride as plan literals; one
+      // kernel scan per row, no shuffle — oracle mirrors the grid and
+      // the eq-16 metric relationally
+      val lms = (0 until 24).map { i =>
+        (i.toLong, graft.geo.Gade.latLonToNvec(
+          (-60.0 + 24.0 * (i % 6)) / 180.0 * math.Pi,
+          (-150.0 + 72.0 * (i / 6)) / 180.0 * math.Pi))
+      }
+      SpatialJoins.knnLandmarks(
+          custPts(s, dir).select(col("c_custkey"), col("n")), "n", lms, k = 3)
+        .select(col("c_custkey"), col("rank"), col("lm_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "rank")
+    }),
     // text / dedup ---------------------------------------------------
     "q18_text_stats" -> ((s, dir) => {
       tSpread(s, dir, "documents")
@@ -856,6 +872,18 @@ object SparkEntry {
             |   FROM c CROSS JOIN sp),
             | ranked AS (SELECT k, sk2, d, row_number() OVER (PARTITION BY k ORDER BY d, sk2) AS rank FROM pairs)
             | SELECT k AS c_custkey, rank, sk2 AS s_suppkey, round(d / 1000.0, 6) AS dist_km
+            | FROM ranked WHERE rank <= 3 ORDER BY c_custkey, rank""".stripMargin.replace("\n", " ")),
+      "q46_knn_landmarks" ->
+        (s"""WITH ck AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+            | c AS (SELECT k, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM ck),
+            | lk AS (SELECT t.i AS lm, ((-60.0 + 24.0 * (t.i % 6)) / 180.0) * pi() AS lat,
+            |   ((-150.0 + 72.0 * (t.i // 6)) / 180.0) * pi() AS lon FROM generate_series(0, 23) t(i)),
+            | lp AS (SELECT lm, cos(lat)*cos(lon) AS sx, cos(lat)*sin(lon) AS sy, sin(lat) AS sz FROM lk),
+            | pairs AS (SELECT k, lm, atan2(sqrt((ny*sz - nz*sy)*(ny*sz - nz*sy) + (nz*sx - nx*sz)*(nz*sx - nx*sz)
+            |   + (nx*sy - ny*sx)*(nx*sy - ny*sx)), nx*sx + ny*sy + nz*sz) * ${fmt(R)} AS d
+            |   FROM c CROSS JOIN lp),
+            | ranked AS (SELECT k, lm, d, row_number() OVER (PARTITION BY k ORDER BY d, lm) AS rank FROM pairs)
+            | SELECT k AS c_custkey, rank, lm AS lm_id, round(d / 1000.0, 6) AS dist_km
             | FROM ranked WHERE rank <= 3 ORDER BY c_custkey, rank""".stripMargin.replace("\n", " ")),
       "q24_rasterize" ->
         (ptsSql("customer", "c_custkey") +

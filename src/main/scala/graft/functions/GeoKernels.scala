@@ -49,6 +49,57 @@ object GeoKernels {
     new GenericInternalRow(Array[Any](n.x, n.y, n.z, depth))
   }
 
+  /** Exact great-circle top-k of one point against a small literal
+    * landmark set: scan `flat` (x,y,z triples) once, keep the k best
+    * by (distance, id) — the metric is the same eq-16
+    * `atan2(|n1 x n2|, n1.n2) * radius` as `geo.gcDistance`, ties
+    * broken by id like the kNN join's rank window. Returns
+    * array<struct<lm_id, dist_m>> already rank-ordered.
+    *
+    * The landmark arrays ride as PLAN LITERALS (like the IVF
+    * centroids), so the operator is stateless and shuffle-free: it
+    * runs unchanged over batch frames and `readStream` micro-batches,
+    * which is what makes it the streaming kNN path — per-row map-side
+    * work only, no rank window (unsupported on streams), no state.
+    */
+  def knnLandmarks(px: Double, py: Double, pz: Double,
+                   ids: org.apache.spark.sql.catalyst.util.ArrayData,
+                   flat: org.apache.spark.sql.catalyst.util.ArrayData,
+                   k: Int, radius: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = ids.numElements()
+    val keep = math.min(k, n)
+    val bestD = new Array[Double](keep)
+    val bestId = new Array[Long](keep)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val lx = flat.getDouble(3 * i); val ly = flat.getDouble(3 * i + 1)
+      val lz = flat.getDouble(3 * i + 2)
+      val cx = py * lz - pz * ly; val cy = pz * lx - px * lz; val cz = px * ly - py * lx
+      val d = math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
+        px * lx + py * ly + pz * lz) * radius
+      val id = ids.getLong(i)
+      // insertion into the sorted top-k (k is small; branch-light)
+      if (filled < keep || d < bestD(filled - 1) ||
+          (d == bestD(filled - 1) && id < bestId(filled - 1))) {
+        var j = math.min(filled, keep - 1)
+        while (j > 0 && (bestD(j - 1) > d || (bestD(j - 1) == d && bestId(j - 1) > id))) {
+          bestD(j) = bestD(j - 1); bestId(j) = bestId(j - 1); j -= 1
+        }
+        bestD(j) = d; bestId(j) = id
+        if (filled < keep) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    i = 0
+    while (i < filled) {
+      out(i) = new GenericInternalRow(Array[Any](bestId(i), bestD(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** True when the (lat1,lon1)->(lat2,lon2) inverse problem lies in
     * the GENERAL-POSITION region where [[graft.geo.Karney.inverse]]
     * provably takes the Newton + hybrid path: not meridional /

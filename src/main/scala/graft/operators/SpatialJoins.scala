@@ -300,6 +300,8 @@ object SpatialJoins {
           .join(cand.filter(ok).select(qId), Seq(qId), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
         persisted += next
+        if (sys.env.contains("GRAFT_KNN_DEBUG"))
+          System.err.println(s"KNN_DEBUG step=($l,$r) stragglers=${next.count()}")
         remaining = if (next.isEmpty) null else {
           // stragglers shrink geometrically; once few enough that one
           // wrap-block pass (every data cell probed — still a cell
@@ -319,6 +321,47 @@ object SpatialJoins {
     result.count() // materialize before releasing the intermediates
     persisted.foreach(_.unpersist(blocking = false))
     result
+  }
+
+  /** Exact k-nearest-landmarks for every row, against a SMALL
+    * in-memory landmark set ((id, nvec) pairs — reference points,
+    * beacons, POI anchors): one scalar kernel scan per row
+    * ([[graft.functions.GeoKernels.knnLandmarks]]), landmarks riding
+    * as plan literals. Stateless and shuffle-free — the plan is a
+    * single projection, so it runs unchanged over batch frames AND
+    * `readStream` micro-batches in append mode, which makes it the
+    * STREAMING kNN path (the iterative-escalation [[knnJoin]] needs
+    * driver-side materialization and rank windows, neither of which a
+    * stream supports). Use for |landmarks| up to a few thousand;
+    * beyond that, index the landmark side and use [[knnJoin]].
+    *
+    * Output: input columns + (`rank` 1..k, `lm_id`, distCol), ordered
+    * by (distance, lm_id) per row — identical semantics to
+    * [[knnJoin]] with the same spherical metric and tie-break.
+    */
+  def knnLandmarks(points: DataFrame, nvecCol: String,
+                   landmarks: Seq[(Long, Vec3)], k: Int,
+                   sphereRadius: Double = MeanEarthRadius,
+                   distCol: String = "dist_m"): DataFrame = {
+    require(landmarks.nonEmpty, "landmarks must be non-empty")
+    import org.apache.spark.sql.types._
+    val ids = typedlit(landmarks.map(_._1))
+    val flat = typedlit(landmarks.flatMap { case (_, v) => Seq(v.x, v.y, v.z) })
+    val outType = ArrayType(StructType(Seq(
+      StructField("lm_id", LongType, nullable = false),
+      StructField(distCol, DoubleType, nullable = false))), containsNull = false)
+    val topk = org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.functions.GeoKernels"), outType, "knnLandmarks",
+      Seq(col(nvecCol).getField("x"), col(nvecCol).getField("y"),
+        col(nvecCol).getField("z"), ids, flat, lit(k), lit(sphereRadius)),
+      Seq(DoubleType, DoubleType, DoubleType,
+        ArrayType(LongType, containsNull = false),
+        ArrayType(DoubleType, containsNull = false), IntegerType, DoubleType))
+    points.select(col("*"), posexplode(topk).as(Seq("__pos", "__knn")))
+      .withColumn("rank", col("__pos") + 1)
+      .withColumn("lm_id", col("__knn").getField("lm_id"))
+      .withColumn(distCol, col("__knn").getField(distCol))
+      .drop("__pos", "__knn")
   }
 
   /** Assign points to AOI polygons: cell prefilter (broadcast cover

@@ -280,10 +280,44 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * (so downstream stages always consume the materialized files).
     */
   def getOrCompute(name: String)(compute: => DataFrame): DataFrame =
+    getOrCompute(name, None)(compute)
+
+  /** [[getOrCompute]] that, on the compute path, records zone-map
+    * stats of `statsCol` in the manifest (see the stats-bearing
+    * [[commit]]); the caller is expected to have clustered `compute`'s
+    * output on that column so the per-file ranges are tight.
+    */
+  def getOrCompute(name: String, statsCol: Option[String])(compute: => DataFrame): DataFrame =
     versionOf(name) match {
       case Some(_) => read(name)
-      case None => commit(name, compute); read(name)
+      case None => commit(name, compute, statsCol); read(name)
     }
+
+  /** Expire all but the newest `keepLast` versions of every name
+    * (Iceberg's expire-snapshots): each expired version's manifest
+    * AND its version-scoped data directory are deleted — data dirs
+    * are written fresh per commit, so an expired version's files are
+    * referenced by no retained manifest (nothing orphaned, nothing
+    * shared). Long-running ingest needs this: without retention the
+    * store accretes every superseded version's data forever. The
+    * `current` pointer never moves (the newest version of every name
+    * is always retained), and [[readAt]] time travel keeps working
+    * across the RETAINED versions; reads at expired versions fail
+    * loudly. Returns the expired version numbers.
+    */
+  def expireSnapshots(keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    val conf = spark.sessionState.newHadoopConf()
+    snapshots.groupBy(_._2).toSeq.flatMap { case (name, vs) =>
+      vs.map(_._1).sorted.dropRight(keepLast).map { v =>
+        val dir = new org.apache.hadoop.fs.Path(dataPath(v, name))
+        val fs = dir.getFileSystem(conf)
+        if (fs.exists(dir)) fs.delete(dir, true)
+        Files.deleteIfExists(snapshotJson(v))
+        v
+      }
+    }.sorted
+  }
 
   /** Compact the latest snapshot of `name` into ~`targetBytes` data
     * files (Iceberg's rewrite-data-files action): long-running ingest

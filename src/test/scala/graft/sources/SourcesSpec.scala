@@ -106,6 +106,34 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.readPruned("plain", 0, 1) }
   }
 
+  test("expire-snapshots drops old versions and their files, keeps the rest") {
+    val root = Files.newTmp("expire")
+    val store = new SnapshotStore(spark, root)
+    val v1 = store.commit("t", spark.range(10).toDF("x"))         // will expire
+    val v2 = store.commit("t", spark.range(20).toDF("x"))         // retained
+    val v3 = store.commit("other", spark.range(5).toDF("y"))      // only version
+    val v4 = store.commit("t", spark.range(30).toDF("x"))         // retained (latest)
+    val expired = store.expireSnapshots(keepLast = 2)
+    assert(expired == Seq(v1))
+    // expired version: manifest and data directory both gone
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_snapshots", s"v$v1.json")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store.dataPath(v1, "t"))))
+    // retained versions still read, time travel works across them
+    assert(store.read("t").count() == 30)
+    assert(store.readAt("t", v2).count() == 20)
+    assert(store.read("other").count() == 5)
+    assert(store.currentVersion.contains(v4))
+    // a read that would resolve to the expired version fails loudly
+    intercept[IllegalArgumentException] { store.readAt("t", v1) }
+    // the sole version of a name is never expired, whatever keepLast
+    store.expireSnapshots(keepLast = 1)
+    assert(store.read("other").count() == 5)
+    assert(store.versionOf("t").contains(v4))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_snapshots", s"v$v3.json")))
+  }
+
   test("compaction rewrites small files, keeps data and history") {
     val root = Files.newTmp("compact")
     val store = new SnapshotStore(spark, root)

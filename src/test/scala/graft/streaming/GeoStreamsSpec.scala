@@ -31,6 +31,50 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(ids == Seq("img_a", "img_b", "img_c"))
   }
 
+  test("streaming kNN against literal landmarks matches batch brute force") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SpatialJoins
+    import graft.geo.{Gade, Vec3}
+    val landmarks: Seq[(Long, Vec3)] = (0 until 24).map { i =>
+      (i.toLong, Gade.latLonToNvec(
+        math.toRadians(-60.0 + 24.0 * (i % 6)), math.toRadians(-150.0 + 72.0 * (i / 6))))
+    }
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("pid", "latd", "lond")
+      .withColumn("n", geo.nvecDeg(col("latd"), col("lond")))
+    val knn = SpatialJoins.knnLandmarks(pts, "n", landmarks, k = 3)
+      .select("pid", "rank", "lm_id", "dist_m")
+    val q = knn.writeStream.format("memory").queryName("knn_out")
+      .outputMode("append").start()
+    input.addData((1L, 10.0, 20.0), (2L, -45.0, -100.0))
+    q.processAllAvailable()
+    input.addData((3L, 88.0, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("knn_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    // batch brute force over the same rows: every (point, landmark)
+    // great-circle distance, rank by (dist, id)
+    val ptRows = Seq((1L, 10.0, 20.0), (2L, -45.0, -100.0), (3L, 88.0, 0.0))
+    val expect = ptRows.flatMap { case (pid, la, lo) =>
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      landmarks.map { case (id, lm) =>
+        (pid, id, Gade.greatCircleDistanceRad(p, lm) * graft.geo.Ellipsoids.MeanEarthRadius)
+      }.sortBy { case (_, id, d) => (d, id) }.take(3).zipWithIndex
+        .map { case ((pd, id, d), i) => (pd, i + 1, id, d) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.size == expect.size)
+    got.zip(expect).foreach { case ((gp, gr, gi, gd), (ep, er, ei, ed)) =>
+      assert(gp == ep && gr == er && gi == ei, s"got=($gp,$gr,$gi) expect=($ep,$er,$ei)")
+      assert(math.abs(gd - ed) < 1e-6)
+    }
+    // stateless: the streaming plan must carry no stateful operator
+    val p = knn.queryExecution.analyzed.toString
+    assert(!p.contains("Aggregate") && !p.contains("Window"), p)
+  }
+
   test("streaming AOI assignment (stream-static broadcast PIP)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -251,6 +251,54 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     base.filter(col(statsCol).between(lo, hi))
   }
 
+  /** Read `name` restricted to rows whose zone-map column is one of
+    * `values` — the AOI/disc-cover consumer shape (a cover at the
+    * tile level is a SET of cell ids, not one range). Files are kept
+    * when at least one value lands inside their [min, max]; the exact
+    * `isin` filter still applies, so the result equals
+    * `read(name).filter(col isin values)` over a subset of the files.
+    */
+  def readPrunedIn(name: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "values must be non-empty")
+    val v = versionOf(name).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot named '$name' in $root"))
+    val s = Files.readString(snapshotJson(v))
+    val statsCol = ("\"statsCol\": \"(" + JsonStr + ")\"").r
+      .findFirstMatchIn(s).map(m => unesc(m.group(1))).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot '$name' v$v was committed without a statsCol"))
+    val sorted = values.distinct.sorted.toArray
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      // binary search: first value >= lo, then check it is <= hi
+      var a = 0; var b = sorted.length
+      while (a < b) { val m = (a + b) >>> 1; if (sorted(m) < lo) a = m + 1 else b = m }
+      a < sorted.length && sorted(a) <= hi
+    }
+    val keep = filesWhere(v, anyIn)
+    val schema = ("\"schema\": \"(" + JsonStr + ")\"").r.findFirstMatchIn(s)
+      .map(m => org.apache.spark.sql.types.DataType.fromJson(unesc(m.group(1)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalStateException(s"no schema in manifest v$v"))
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep: _*)
+    base.filter(col(statsCol).isin(values: _*))
+  }
+
+  /** Data files of version `v` kept by a zone-map predicate over
+    * their (min, max); files without recorded stats are always kept.
+    */
+  private def filesWhere(v: Int, overlap: (Long, Long) => Boolean): Seq[String] = {
+    val s = Files.readString(snapshotJson(v))
+    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": -?\\d+, \"rows\": \\d+" +
+      "(?:, \"min\": (-?\\d+), \"max\": (-?\\d+))?\\}").r
+      .findAllMatchIn(s)
+      .filter(m => m.group(2) == null ||
+        overlap(m.group(2).toLong, m.group(3).toLong))
+      .map(m => unesc(m.group(1))).toSeq
+  }
+
   /** Data files of version `v` whose zone-map range intersects
     * [lo, hi]; files without recorded stats are always kept.
     */
@@ -292,6 +340,30 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       case Some(_) => read(name)
       case None => commit(name, compute, statsCol); read(name)
     }
+
+  /** Copy-on-write MERGE (Iceberg `MERGE INTO ... WHEN MATCHED THEN
+    * UPDATE WHEN NOT MATCHED THEN INSERT` semantics): rows of
+    * `updates` replace current rows sharing their `keyCols` and new
+    * keys append; every other current row carries over unchanged. The
+    * result commits as a NEW version of `name` (one write job, like
+    * every commit), so time travel still reads the pre-merge state.
+    * Copy-on-write is the honest 100 TB default here: the carry-over
+    * is one anti-join + union (shuffle on the key), with no delete
+    * files or read-side merge machinery to mis-implement; use
+    * partition-scoped names (or zone-map-pruned inputs) when only a
+    * slice changes. Schemas must match by name.
+    */
+  def merge(name: String, updates: DataFrame, keyCols: Seq[String],
+            statsCol: Option[String] = None): Int = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val cur = read(name)
+    require(cur.columns.sorted.sameElements(updates.columns.sorted),
+      s"merge schema mismatch: table has ${cur.columns.mkString(",")}, " +
+        s"updates have ${updates.columns.mkString(",")}")
+    val kept = cur.join(updates.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+    commit(name, kept.unionByName(updates), statsCol)
+  }
 
   /** Expire all but the newest `keepLast` versions of every name
     * (Iceberg's expire-snapshots): each expired version's manifest

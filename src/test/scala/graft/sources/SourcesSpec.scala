@@ -106,6 +106,46 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.readPruned("plain", 0, 1) }
   }
 
+  test("copy-on-write merge updates matched keys, inserts new, keeps history") {
+    import spark.implicits._
+    val root = Files.newTmp("merge")
+    val store = new SnapshotStore(spark, root)
+    val v1 = store.commit("t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "val"))
+    val v2 = store.merge("t",
+      Seq((2L, "B2"), (4L, "d")).toDF("k", "val"), keyCols = Seq("k"))
+    assert(v2 > v1)
+    val now = store.read("t").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(now == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+    // pre-merge state still time-travels
+    val before = store.readAt("t", v1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(before == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // schema mismatch refuses loudly
+    intercept[IllegalArgumentException] {
+      store.merge("t", Seq((9L, "x", 1)).toDF("k", "val", "extra"), Seq("k"))
+    }
+  }
+
+  test("set-membership pruning reads only files whose range holds a cover cell") {
+    val root = Files.newTmp("zonemap_in")
+    val store = new SnapshotStore(spark, root)
+    val df = spark.range(0, 400).toDF("cell")
+      .withColumn("payload", col("cell") * 3)
+      .repartitionByRange(4, col("cell"))
+    val v = store.commit("cells", df, Some("cell"))
+    // a scattered cover set living entirely in the first + last quarter
+    val cover = Seq(5L, 17L, 42L, 361L, 399L)
+    val pruned = store.readPrunedIn("cells", cover)
+    assert(pruned.inputFiles.length < store.fileMetrics(v).size)
+    val expect = store.read("cells").filter(col("cell").isin(cover: _*))
+      .collect().map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet == expect && expect.size == cover.size)
+    // values all outside any file range: zero files, schema kept
+    val none = store.readPrunedIn("cells", Seq(5000L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("cell", "payload"))
+  }
+
   test("expire-snapshots drops old versions and their files, keeps the rest") {
     val root = Files.newTmp("expire")
     val store = new SnapshotStore(spark, root)

@@ -97,6 +97,43 @@ object GeoStreams {
       }
   }
 
+  /** STREAM-STREAM distance join: all (left, right) pairs within
+    * `radiusMeters` great-circle distance AND `maxTimeDiff` event
+    * time of each other. The batch candidate->verify pattern
+    * ([[graft.operators.SpatialJoins.distanceJoin]]) carries over
+    * unchanged: the left stream probes the 3x3 ring of its cell at a
+    * level whose 1-ring provably covers the radius
+    * (CellIndex.levelForRadiusSafe), the right stream keeps exactly
+    * ONE cell (so no pair dedup is needed), and the equi-join key
+    * plus the two-sided event-time bound is exactly the shape
+    * Spark's stream-stream join needs to bound state: each side's
+    * rows are dropped once the other side's watermark passes
+    * `maxTimeDiff`. Output: left + right columns + `distCol`,
+    * append-mode capable.
+    */
+  def distanceJoinStream(left: DataFrame, right: DataFrame,
+                         leftNvec: String, rightNvec: String,
+                         leftTs: String, rightTs: String,
+                         radiusMeters: Double, watermark: String,
+                         maxTimeDiff: String,
+                         sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius,
+                         distCol: String = "dist_m"): DataFrame = {
+    val level = graft.index.CellIndex.levelForRadiusSafe(
+      radiusMeters / sphereRadius, k = 1)
+    val l = left.withWatermark(leftTs, watermark)
+      .withColumn("__cell",
+        explode(cells.ringCells(cells.cellAt(col(leftNvec), level), 1)))
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumn("__cell_r", cells.cellAt(col(rightNvec), level))
+    l.join(r, col("__cell") === col("__cell_r") &&
+        col(leftTs).between(
+          col(rightTs) - expr(s"INTERVAL $maxTimeDiff"),
+          col(rightTs) + expr(s"INTERVAL $maxTimeDiff")))
+      .withColumn(distCol, geo.gcDistance(col(leftNvec), col(rightNvec), sphereRadius))
+      .filter(col(distCol) <= radiusMeters)
+      .drop("__cell", "__cell_r")
+  }
+
   /** Continuously ingest a deduplicated image stream into the
     * snapshot store: each micro-batch commits a new named snapshot
     * (per-file row counts + lineage recorded), so the table history is

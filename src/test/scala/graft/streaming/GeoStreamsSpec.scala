@@ -31,6 +31,41 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(ids == Seq("img_a", "img_b", "img_c"))
   }
 
+  test("stream-stream distance join pairs within radius and time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val lIn = MemoryStream[(Long, Double, Double, Timestamp)]
+    val rIn = MemoryStream[(Long, Double, Double, Timestamp)]
+    val l = lIn.toDF().toDF("l_id", "l_latd", "l_lond", "l_ts")
+      .withColumn("l_n", geo.nvecDeg(col("l_latd"), col("l_lond")))
+    val r = rIn.toDF().toDF("r_id", "r_latd", "r_lond", "r_ts")
+      .withColumn("r_n", geo.nvecDeg(col("r_latd"), col("r_lond")))
+    val joined = GeoStreams.distanceJoinStream(l, r, "l_n", "r_n",
+        "l_ts", "r_ts", radiusMeters = 50000.0,
+        watermark = "10 minutes", maxTimeDiff = "5 minutes")
+      .select("l_id", "r_id", "dist_m")
+    val q = joined.writeStream.format("memory").queryName("sdj_out")
+      .outputMode("append").start()
+    // r101 is ~22 km from l1 (in radius), r102 ~220 km (out of radius),
+    // r103 in radius but 30 min away (out of time bound); l2 on the
+    // other side of the planet pairs with nothing
+    lIn.addData((1L, 10.0, 20.0, ts(0)), (2L, -40.0, -160.0, ts(1)))
+    rIn.addData((101L, 10.2, 20.0, ts(2)), (102L, 12.0, 20.0, ts(3)),
+      (103L, 10.1, 20.0, ts(30)))
+    q.processAllAvailable()
+    val got = spark.table("sdj_out").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    q.stop()
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 101L)), got.mkString(","))
+    val expect = graft.geo.Gade.greatCircleDistanceRad(
+      graft.geo.Gade.latLonToNvec(math.toRadians(10.0), math.toRadians(20.0)),
+      graft.geo.Gade.latLonToNvec(math.toRadians(10.2), math.toRadians(20.0))) *
+      graft.geo.Ellipsoids.MeanEarthRadius
+    assert(math.abs(got.head._3 - expect) < 1e-6)
+  }
+
   test("streaming kNN against literal landmarks matches batch brute force") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -56,17 +56,25 @@ object DedupKernels {
     * DuckDB-mirrorable gate basis). ~numHashes times fewer hash
     * evaluations than the seeded-permutation signature.
     */
+  /** Code points of `s` — shingle indexing must count CODE POINTS
+    * (what Spark's `length`/`substring` and DuckDB count), not UTF-16
+    * units: indexing a raw Java String would slice surrogate pairs in
+    * half on non-BMP text and diverge from the expression forms the
+    * oracle gates mirror.
+    */
+  private def codePoints(s: String): Array[Int] = s.codePoints().toArray
+
   def onePermMinHash(text: UTF8String, k: Int, cap: Int, numBuckets: Int,
                      basis: UTF8String): GenericArrayData = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val cps = codePoints(text.toString.toLowerCase(java.util.Locale.ROOT))
     val md5 = basis.toString == "md5"
-    val n = s.length
+    val n = cps.length
     val nShingles = math.min(if (n <= k) 1 else n - k + 1, cap)
     val mins = Array.fill(numBuckets)(Long.MaxValue)
     val seen = new Array[Boolean](numBuckets)
     var i = 0
     while (i < nShingles) {
-      val sh = s.substring(i, math.min(i + k, n))
+      val sh = new String(cps, i, math.min(k, n - i))
       val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h = if (md5) md5Hash60(bytes) else fnv64(bytes)
       val b = java.lang.Math.floorMod(h, numBuckets.toLong).toInt
@@ -98,13 +106,13 @@ object DedupKernels {
     * planning/codegen (the gate pays cold-plan cost once per query).
     */
   def simHash60Md5(text: UTF8String, k: Int, cap: Int): Long = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
-    val n = s.length
+    val cps = codePoints(text.toString.toLowerCase(java.util.Locale.ROOT))
+    val n = cps.length
     val nShingles = math.min(if (n <= k) 1 else n - k + 1, cap)
     val votes = new Array[Int](64)
     var i = 0
     while (i < nShingles) {
-      val h = md5Hash60(s.substring(i, math.min(i + k, n))
+      val h = md5Hash60(new String(cps, i, math.min(k, n - i))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var b = 0
       while (b < 64) {
@@ -127,14 +135,15 @@ object DedupKernels {
     */
   def fingerprint60Md5(text: UTF8String): Long = {
     val s = text.toString
-    val n = s.length
+    val cps = codePoints(s)
+    val n = cps.length
     if (n < 8)
       return md5Hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val nWin = math.min((n - 8) / 4 + 1, 512)
     var min = Long.MaxValue
     var i = 0
     while (i < nWin) {
-      val v = md5Hash60(s.substring(i * 4, i * 4 + 8)
+      val v = md5Hash60(new String(cps, i * 4, 8)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (v < min) min = v
       i += 1

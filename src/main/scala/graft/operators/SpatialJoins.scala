@@ -229,13 +229,20 @@ object SpatialJoins {
         (plan.stats.sizeInBytes.min(BigInt(Long.MaxValue)) / width).toLong
       }
     }
+    // stats-derived estimates can sit near Long.MaxValue (sizeInBytes
+    // fallback), so pair budgets must be compared without overflow: a
+    // wrapped product could falsely pass the <= threshold test and
+    // unleash the Q x D path on an enormous side
+    def pairBudgetOk(a: Long, b: Long, budget: Long): Boolean =
+      a <= budget && b <= budget &&
+        (BigInt(math.max(1L, a)) * BigInt(math.max(1L, b))) <= BigInt(budget)
     val dataCount = estRows(data)
     val dataBytes = data.queryExecution.optimizedPlan.stats.sizeInBytes
     // cost guard: a broadcast nested-loop pass materializes Q x D
     // candidate rows — only cheaper than the ring machinery when that
     // product is small (and the data side must fit a broadcast)
     if (dataCount <= 100000 && dataBytes <= (64L << 20) &&
-        dataCount * estRows(queries) <= bruteForceThreshold) {
+        pairBudgetOk(dataCount, estRows(queries), bruteForceThreshold)) {
       return rank(queries.crossJoin(broadcast(data)))
     }
     val lvl =
@@ -310,7 +317,7 @@ object SpatialJoins {
           // the terminal instead of paying the remaining ladder steps'
           // fixed per-step stage cost. count() here is free — isEmpty
           // above already materialized the persisted frame.
-          if (next.count() * math.max(1L, dataCount) <= bruteForceThreshold)
+          if (pairBudgetOk(next.count(), dataCount, bruteForceThreshold))
             stepList = stepList.filter { case (sl, sr) =>
               CellIndex.coverageLowerBound(sl, sr) == math.Pi }
           next
@@ -344,6 +351,7 @@ object SpatialJoins {
                    sphereRadius: Double = MeanEarthRadius,
                    distCol: String = "dist_m"): DataFrame = {
     require(landmarks.nonEmpty, "landmarks must be non-empty")
+    require(k >= 1, s"k must be >= 1 (got $k)")
     import org.apache.spark.sql.types._
     val ids = typedlit(landmarks.map(_._1))
     val flat = typedlit(landmarks.flatMap { case (_, v) => Seq(v.x, v.y, v.z) })

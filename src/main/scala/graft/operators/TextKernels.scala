@@ -19,8 +19,10 @@ object TextKernels {
   private def words(text: UTF8String): Array[String] =
     text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
 
-  private val Stopwords: Array[String] = Array("the", "of", "and", "to",
-    "in", "a", "is", "that", "it", "for", "was", "on", "are", "with", "as")
+  // derived from the PUBLIC TextAnalysis constants (the ones the q35
+  // oracle SQL is generated from) — a second hardcoded copy here
+  // would let the lists drift apart from what the gate checks
+  private val Stopwords: Array[String] = TextAnalysis.EnglishStopwords.toArray
 
   /** Occurrence-counting stopword hit ratio over space-split words. */
   def stopwordRatio(text: UTF8String): Double = {
@@ -39,12 +41,11 @@ object TextKernels {
   }
 
   // sorted by code — ties resolve to the lexicographically greatest
-  // code, matching greatest() over (hits, code) structs
-  private val Families: Array[(String, Array[String])] = Array(
-    "de" -> Array("der", "die", "und", "das", "ist", "nicht"),
-    "en" -> Array("the", "and", "of", "is", "that", "with"),
-    "es" -> Array("el", "la", "de", "que", "los", "es"),
-    "fr" -> Array("le", "la", "et", "les", "des", "est"))
+  // code, matching greatest() over (hits, code) structs; derived from
+  // the public TextAnalysis map the oracle SQL mirrors
+  private val Families: Array[(String, Array[String])] =
+    TextAnalysis.StopwordFamilies.toArray.sortBy(_._1)
+      .map { case (c, ws) => (c, ws.toArray) }
 
   /** Stopword-family language guess; "und" when no family scores. */
   def langGuess(text: UTF8String): UTF8String = {

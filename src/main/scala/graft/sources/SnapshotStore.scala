@@ -302,15 +302,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Data files of version `v` whose zone-map range intersects
     * [lo, hi]; files without recorded stats are always kept.
     */
-  def prunedFiles(v: Int, lo: Long, hi: Long): Seq[String] = {
-    val s = Files.readString(snapshotJson(v))
-    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": -?\\d+, \"rows\": \\d+" +
-      "(?:, \"min\": (-?\\d+), \"max\": (-?\\d+))?\\}").r
-      .findAllMatchIn(s)
-      .filter(m => m.group(2) == null ||
-        (m.group(2).toLong <= hi && m.group(3).toLong >= lo))
-      .map(m => unesc(m.group(1))).toSeq
-  }
+  def prunedFiles(v: Int, lo: Long, hi: Long): Seq[String] =
+    filesWhere(v, (mn, mx) => mn <= hi && mx >= lo)
 
   /** Per-partition metrics of a committed snapshot, parsed back from
     * its manifest (no data access): (partition_id, rows, file).
@@ -396,17 +389,24 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * at 100 TB accretes small files per micro-batch/commit, and scan
     * task count — hence driver scheduling and footer-reading load —
     * grows with file count, not byte count. The data is rewritten in
-    * ONE pass (round-robin repartition to the target file count),
-    * committed as a NEW version of the same name, so history and
-    * [[readAt]] time travel keep working against the old files; the
-    * new manifest's footer-derived rowCount is then checked against
-    * the source manifest and a mismatch rolls the `current` pointer
-    * back and throws — a failed compaction can lose nothing.
+    * ONE pass, committed as a NEW version of the same name, so
+    * history and [[readAt]] time travel keep working against the old
+    * files; the new manifest's footer-derived rowCount is then
+    * checked against the source manifest and a mismatch rolls the
+    * `current` pointer back (also deleting the failed version's
+    * rewritten data — nothing can leak) and throws.
+    *
+    * A zone-map snapshot (committed with a statsCol) keeps its
+    * pruning guarantees: the rewrite RANGE-partitions on the stats
+    * column (round-robin would smear every file's min/max across the
+    * whole keyspace) and the new manifest records fresh stats.
     */
   def compact(name: String, targetBytes: Long = 128L << 20): Int = {
     val v = versionOf(name).getOrElse(
       throw new IllegalArgumentException(s"no snapshot named '$name' in $root"))
     val dir = dataPath(v, name)
+    val statsCol = ("\"statsCol\": \"(" + JsonStr + ")\"").r
+      .findFirstMatchIn(Files.readString(snapshotJson(v))).map(m => unesc(m.group(1)))
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -418,16 +418,25 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     }
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val before = snapshots.find(_._1 == v).map(_._3).getOrElse(0L)
-    val newV = commit(name, spark.read.parquet(dir).repartition(nFiles))
+    val src = spark.read.parquet(dir)
+    val rewritten = statsCol match {
+      case Some(c) => src.repartitionByRange(nFiles, col(c))
+      case None => src.repartition(nFiles)
+    }
+    val newV = commit(name, rewritten, statsCol)
     val after = snapshots.find(_._1 == newV).map(_._3).getOrElse(-1L)
     if (after != before) {
-      // roll the pointer back to the pre-compaction state; the
-      // orphaned files/manifest of newV are unreferenced, not torn
+      // roll the pointer back to the pre-compaction state and remove
+      // the failed version's manifest AND rewritten data — leaving
+      // the directory would orphan a full table copy that
+      // expireSnapshots (manifest-driven) could never reclaim
       val tmp = snapDir.resolve(s".current.tmp.rollback.$v")
       Files.writeString(tmp, (newV - 1).toString)
       Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       Files.deleteIfExists(snapshotJson(newV))
+      val badDir = new org.apache.hadoop.fs.Path(dataPath(newV, name))
+      if (fs.exists(badDir)) fs.delete(badDir, true)
       throw new IllegalStateException(
         s"compaction of '$name' rewrote $after rows, expected $before; rolled back to v${newV - 1}")
     }

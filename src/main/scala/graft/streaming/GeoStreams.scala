@@ -120,6 +120,12 @@ object GeoStreams {
                          distCol: String = "dist_m"): DataFrame = {
     val level = graft.index.CellIndex.levelForRadiusSafe(
       radiusMeters / sphereRadius, k = 1)
+    // the batch join falls back to disc covers / cross join beyond
+    // ring coverage; neither shape is stream-stream joinable, so
+    // refuse loudly instead of building garbage level -1 cells
+    require(level > 0,
+      f"radius ${radiusMeters}%.0f m exceeds what a 1-ring block can provably " +
+        "cover (~1660 km); stream-stream distance joins need the ring regime")
     val l = left.withWatermark(leftTs, watermark)
       .withColumn("__cell",
         explode(cells.ringCells(cells.cellAt(col(leftNvec), level), 1)))

@@ -50,7 +50,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val edge = (docs.select("text") union Seq(
       "", "a", "abc", "exactly8", "ninechars",
       "x" * 5000 + " tail beyond the shingle cap",
-      "MiXeD CaSe LoWeRiNg ChEcK 123"
+      "MiXeD CaSe LoWeRiNg ChEcK 123",
+      // non-BMP code points (surrogate pairs in UTF-16): shingle
+      // indexing must count code points like Spark substring does
+      "rocket 🚀 and globe 🌍 mixed in",
+      "🚀🌍🔥éü ascii tail"
     ).toDF("text")).withColumnRenamed("text", "t")
     val cmp = edge.select(
       Dedup.simHashMd5(col("t")).as("k_sig"),

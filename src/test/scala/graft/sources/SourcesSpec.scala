@@ -196,6 +196,28 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.compact("nope") }
   }
 
+  test("compaction preserves zone-map stats and range-clustered pruning") {
+    val root = Files.newTmp("compact_zm")
+    val store = new SnapshotStore(spark, root)
+    val df = spark.range(0, 4000).toDF("cell")
+      .withColumn("payload", col("cell") * 11)
+      .repartitionByRange(16, col("cell"))
+    store.commit("cells", df, Some("cell"))
+    // tiny target => compaction re-splits into several files; the
+    // rewrite must RANGE-partition on the stats column and re-record
+    // per-file min/max, or pruning would die after routine compaction
+    val v2 = store.compact("cells", targetBytes = 8L << 10)
+    assert(store.fileMetrics(v2).length > 1)
+    val all = store.prunedFiles(v2, Long.MinValue, Long.MaxValue)
+    val some = store.prunedFiles(v2, 100, 300)
+    assert(some.nonEmpty && some.size < all.size,
+      s"post-compaction pruning inert: ${some.size} of ${all.size} files")
+    val got = store.readPruned("cells", 100, 300).collect().map(_.toSeq).toSet
+    val expect = store.read("cells").filter(col("cell").between(100, 300))
+      .collect().map(_.toSeq).toSet
+    assert(got == expect && expect.nonEmpty)
+  }
+
   test("lineage partition metrics and commitWithMetrics") {
     val df = ImageTable.generate(spark, 100, 5)
     val m = Lineage.partitionMetrics(df).collect()

@@ -13,7 +13,7 @@ import graft.sources.{ImageTable, Lineage, SnapshotStore}
   * {{{
   * spark-submit --class graft.PipelineMain envectorspark.jar \
   *   --store /data/graft_store [--generate 1000000] [--images <parquet>] \
-  *   [--tile-level 8] [--salt 8]
+  *   [--tile-level 8] [--salt 8] [--compact <name>] [--expire-keep N]
   * }}}
   *
   * No master/parallelism is hard-coded — cluster size comes entirely
@@ -121,6 +121,13 @@ object PipelineMain {
         .select(col("tile_key"), col("rank"), col("lm_id"),
           round(col("geodesic_m"), 3).as("geodesic_m"))
     }
+    // table maintenance, same spark-submit surface: --compact <name>
+    // rewrites that snapshot to ~128 MB files (zone-map clustering
+    // and stats carry over), --expire-keep N drops all but the newest
+    // N versions per name (long-running ingest must bound history)
+    opts.get("compact").foreach(store.compact(_))
+    opts.get("expire-keep").foreach(n => store.expireSnapshots(n.toInt))
+
     val summary = stats.agg(count(lit(1)).as("tiles"),
       sum("n_imgs").as("assigned"), sum("n_bad").as("bad_payloads")).collect()(0)
     println(s"""{"tiles":${summary.getLong(0)},"assigned":${summary.getLong(1)},""" +

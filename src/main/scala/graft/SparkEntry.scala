@@ -1076,12 +1076,11 @@ object SparkEntry {
             | / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
             |  * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))))"""
             .stripMargin.replace("\n", " ")
-        // band tags inline as Scala-computed literals: the engine's
-        // (b+1).toLong << 60 silently WRAPS for the 2-bit path's b=7
-        // (8 << 60 = Long.MinValue) where DuckDB's runtime shift
-        // throws an overflow error
+        // band tags inline as Scala-computed literals, same
+        // (b+1) << width formula as Similarity.lshBands (the tag sits
+        // just above the slice bits, so it can never wrap)
         def bandVals(bands: Int, width: Int): String =
-          (0 until bands).map(b => s"(${width * b}, ${((b + 1).toLong << 60)})")
+          (0 until bands).map(b => s"(${width * b}, ${((b + 1).toLong << width)})")
             .mkString(",")
         def probeJoin(src: String, bands: Int, width: Int, flips: Seq[Int],
                       db: String): String = {
@@ -1101,12 +1100,16 @@ object SparkEntry {
         s"""WITH allv AS (SELECT vec_id, embedding FROM embeddings),
            | sigd AS MATERIALIZED (SELECT vec_id, ${lshSigSql("embedding")} AS sig FROM allv),
            | sigq AS MATERIALIZED (SELECT * FROM sigd WHERE vec_id < 20),
-           | db4 AS MATERIALIZED (SELECT s.vec_id AS did,
-           |   ((s.sig >> b.sh) & 15) | CAST(b.tag AS BIGINT) AS band
-           |  FROM sigd s CROSS JOIN (VALUES ${bandVals(4, 4)}) b(sh, tag)),
-           | db2 AS MATERIALIZED (SELECT s.vec_id AS did,
-           |   ((s.sig >> b.sh) & 3) | CAST(b.tag AS BIGINT) AS band
-           |  FROM sigd s CROSS JOIN (VALUES ${bandVals(8, 2)}) b(sh, tag)),
+           | db4 AS MATERIALIZED (SELECT did, band FROM (
+           |  SELECT s.vec_id AS did,
+           |   ((s.sig >> b.sh) & 15) | CAST(b.tag AS BIGINT) AS band,
+           |   row_number() OVER (PARTITION BY ((s.sig >> b.sh) & 15) | CAST(b.tag AS BIGINT) ORDER BY s.vec_id) AS rn
+           |  FROM sigd s CROSS JOIN (VALUES ${bandVals(4, 4)}) b(sh, tag)) WHERE rn <= 4096),
+           | db2 AS MATERIALIZED (SELECT did, band FROM (
+           |  SELECT s.vec_id AS did,
+           |   ((s.sig >> b.sh) & 3) | CAST(b.tag AS BIGINT) AS band,
+           |   row_number() OVER (PARTITION BY ((s.sig >> b.sh) & 3) | CAST(b.tag AS BIGINT) ORDER BY s.vec_id) AS rn
+           |  FROM sigd s CROSS JOIN (VALUES ${bandVals(8, 2)}) b(sh, tag)) WHERE rn <= 4096),
            | p1 AS MATERIALIZED (${probeJoin("sigq", 4, 4, r1, "db4")}),
            | s1 AS MATERIALIZED (${starvedOf("p1")}),
            | p2 AS MATERIALIZED (SELECT * FROM p1 UNION ${probeJoin("s1", 4, 4, r2, "db4")}),
@@ -1146,9 +1149,9 @@ object SparkEntry {
            | allv AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
            | sig AS (SELECT vec_id, embedding, $sigExpr AS sig FROM allv),
            | banded AS (
-           |   SELECT vec_id, (sig & 255) | (CAST(1 AS BIGINT) << 60) AS band FROM sig
+           |   SELECT vec_id, (sig & 255) | (CAST(1 AS BIGINT) << 8) AS band FROM sig
            |   UNION ALL
-           |   SELECT vec_id, ((sig >> 8) & 255) | (CAST(2 AS BIGINT) << 60) AS band FROM sig),
+           |   SELECT vec_id, ((sig >> 8) & 255) | (CAST(2 AS BIGINT) << 8) AS band FROM sig),
            | capped AS (SELECT vec_id, band FROM (SELECT vec_id, band,
            |     row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn FROM banded)
            |   WHERE rn <= 4096),

@@ -35,12 +35,19 @@ object CellKernels {
     * ~0 outside. A loop also winds +-2pi around the point's ANTIPODE,
     * so the point must additionally lie on the polygon's hemisphere
     * (dot with the vertex sum > 0) — valid for any polygon, concave
-    * included, that fits inside a hemisphere. Points exactly on the
-    * boundary are undefined at double precision, as in any winding
-    * test.
+    * included, whose vertices AND interior stay within 90 deg of its
+    * vertex centroid (enforced at the Aoi construction sites:
+    * near-hemispheric slivers can put interior points >90 deg from
+    * the centroid, where this disambiguator breaks both ways). Points
+    * exactly on the boundary are undefined at double precision, as in
+    * any winding test.
     */
   def pointInPolygon(px: Double, py: Double, pz: Double, verts: ArrayData): Boolean = {
     val vs = verts.toDoubleArray()
+    if (vs.length % 3 != 0)
+      throw new IllegalArgumentException(
+        s"polygon vertex array length ${vs.length} is not a multiple of 3 " +
+          "(flattened [x0,y0,z0,x1,...] expected)")
     var sx = 0.0; var sy = 0.0; var sz = 0.0
     var i = 0
     while (i < vs.length) { sx += vs(i); sy += vs(i + 1); sz += vs(i + 2); i += 3 }

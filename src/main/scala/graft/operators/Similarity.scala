@@ -32,6 +32,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, data: DataFrame,
                      qVec: String, dVec: String, qId: String, dId: String,
                      k: Int, simCol: String = "cosine"): DataFrame = {
+    requireDisjoint(queries, data)
     val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
     queries.crossJoin(data)
       .withColumn(simCol, cosine(col(qVec), col(dVec)))
@@ -76,9 +77,13 @@ object Similarity {
   def lshBands(sig: Column, bits: Int = 16, bandBits: Int = 4): Column = {
     val mask = (1L << bandBits) - 1
     array((0 until bits / bandBits).map { b =>
-      // tag with band index so different bands never collide
+      // tag with band index so different bands never collide; the tag
+      // sits just ABOVE the slice bits ((b+1) << bandBits), so it
+      // cannot wrap for any realistic band count — a fixed high-bit
+      // tag ((b+1) << 60) silently wrapped to 0 at band 16 and
+      // aliased bands 17+ onto bands 1+, cross-colliding buckets
       shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
-        .bitwiseOR(lit((b + 1).toLong << 60))
+        .bitwiseOR(lit((b + 1).toLong << bandBits))
     }: _*)
   }
 
@@ -220,12 +225,27 @@ object Similarity {
     * Contract: `qS` has columns (__qid, __qvec); stages map a frame
     * with those columns to (__qid, __did) pairs.
     */
+  /** The approximate top-k operators join query and data columns into
+    * one output frame, so shared names would be silently ambiguous;
+    * fail fast with the remedy instead of an AnalysisException deep in
+    * the final re-rank plan (self-kNN: rename one side first, e.g.
+    * `data.toDF(data.columns.map("d_" + _): _*)`).
+    */
+  private def requireDisjoint(queries: DataFrame, data: DataFrame): Unit = {
+    val overlap = queries.columns.toSet intersect data.columns.toSet
+    require(overlap.isEmpty,
+      s"queries and data share column names ${overlap.mkString(", ")}; " +
+        "rename one side before calling (self-kNN: " +
+        "data.toDF(data.columns.map(\"d_\" + _): _*))")
+  }
+
   private def escalatedTopK(queries: DataFrame, data: DataFrame,
                             qVec: String, dVec: String, qId: String, dId: String,
                             k: Int, simCol: String,
                             qS: DataFrame,
                             stages: Seq[DataFrame => DataFrame],
                             opName: String): DataFrame = {
+    requireDisjoint(queries, data)
     val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = {
@@ -236,31 +256,35 @@ object Similarity {
     def starvedAfter(pairs: DataFrame): DataFrame =
       qS.join(pairs.groupBy("__qid").count().filter(col("count") >= k)
         .select("__qid"), Seq("__qid"), "left_anti")
-    var pairs = hold(stages.head(qS))
-    var starved = hold(starvedAfter(pairs))
-    for (stage <- stages.tail if !starved.isEmpty) {
-      pairs = hold(pairs.unionByName(stage(starved)).distinct())
-      starved = hold(starvedAfter(pairs))
-    }
-    if (!starved.isEmpty) {
-      val n = starved.count()
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"$opName: $n queries starved after escalation; " +
-          "running the bounded per-partition local top-k scan for them")
-      pairs = hold(pairs.unionByName(
-        localTopKPairs(starved, data, dVec, dId, k)).distinct())
-    }
-    val result = pairs
-      .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
-      .join(data.withColumnRenamed(dId, "__did"), "__did")
-      .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
-      .withColumn(simCol, cosine(col(qVec), col(dVec)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize before releasing the id-pair stages
-    persisted.foreach(_.unpersist(blocking = false))
-    result
+    // try/finally: a failed stage job must still release the pinned
+    // intermediates — on the success path the finally releases them
+    // only after result.count() has materialized the output
+    try {
+      var pairs = hold(stages.head(qS))
+      var starved = hold(starvedAfter(pairs))
+      for (stage <- stages.tail if !starved.isEmpty) {
+        pairs = hold(pairs.unionByName(stage(starved)).distinct())
+        starved = hold(starvedAfter(pairs))
+      }
+      if (!starved.isEmpty) {
+        val n = starved.count()
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$opName: $n queries starved after escalation; " +
+            "running the bounded per-partition local top-k scan for them")
+        pairs = hold(pairs.unionByName(
+          localTopKPairs(starved, data, dVec, dId, k)).distinct())
+      }
+      val result = pairs
+        .join(queries.withColumnRenamed(qId, "__qid"), "__qid")
+        .join(data.withColumnRenamed(dId, "__did"), "__did")
+        .withColumnRenamed("__qid", qId).withColumnRenamed("__did", dId)
+        .withColumn(simCol, cosine(col(qVec), col(dVec)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count() // materialize before releasing the id-pair stages
+      result
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   /** Train IVF coarse centroids with Lloyd iterations executed as
@@ -277,9 +301,14 @@ object Similarity {
     var centroids: Array[Double] = data
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy("__h").limit(nCentroids)
+      // secondary key: duplicate ids (or 64-bit hash collisions) must
+      // not leave the seed choice to task order — determinism is part
+      // of the contract the oracle mirrors rely on
+      .orderBy(col("__h"), col(idCol)).limit(nCentroids)
       .select(col(vecCol)).collect()
-      .flatMap(_.getSeq[Float](0).map(_.toDouble))
+      // element-type-agnostic: vectors may be array<float> OR
+      // array<double> (both in-contract, see lshSignature)
+      .flatMap(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()))
     require(centroids.length == nCentroids * dim,
       s"need >= $nCentroids rows of dim-$dim vectors to train IVF")
     for (_ <- 1 to iters) {
@@ -337,19 +366,24 @@ object Similarity {
               k: Int, dim: Int, centroidsFlat: Array[Double],
               nProbe: Int = 4, simCol: String = "cosine"): DataFrame = {
     val nCentroids = centroidsFlat.length / dim
+    // one assignment pass, persisted across the up-to-three escalation
+    // stages that probe it (they previously each re-ran the kernel
+    // assignment over the full data set)
     val dLists = data.select(col(dId).as("__did"), col(dVec).as("__dvec"))
       .withColumn("__list", ivfAssign(col("__dvec"), centroidsFlat, dim))
       .select("__list", "__did")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qS = queries.select(col(qId).as("__qid"), col(qVec).as("__qvec"))
     def pairsOf(probes: Int)(qs: DataFrame): DataFrame =
       qs.select(col("__qid"),
           explode(ivfProbes(col("__qvec"), centroidsFlat, dim, probes)).as("__list"))
         .join(dLists, "__list")
         .select("__qid", "__did").distinct()
-    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol, qS,
+    try escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol, qS,
       Seq(pairsOf(nProbe) _, pairsOf(math.min(nCentroids, nProbe * 4)) _,
         pairsOf(nCentroids) _),
       "ivfTopK")
+    finally dLists.unpersist(blocking = false)
   }
 
   /** Query-side multi-probe band keys: each band's exact key plus its
@@ -371,7 +405,7 @@ object Similarity {
     }
     val keys = (0 until bits / bandBits).flatMap { b =>
       val base = shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
-      val tag = lit((b + 1).toLong << 60)
+      val tag = lit((b + 1).toLong << bandBits) // see lshBands tag note
       flips.map(f => base.bitwiseXOR(lit(f)).bitwiseOR(tag))
     }
     array_distinct(array(keys: _*))
@@ -392,13 +426,27 @@ object Similarity {
   def lshTopK(queries: DataFrame, data: DataFrame,
               qVec: String, dVec: String, qId: String, dId: String,
               k: Int, dim: Int, bits: Int = 16, bandBits: Int = 4,
-              simCol: String = "cosine"): DataFrame = {
+              maxBucket: Int = 4096, simCol: String = "cosine"): DataFrame = {
     val dS = Dedup.spreadSmallInput(data)
       .select(col(dId).as("__did"), col(dVec).as("__dvec"))
     val qS = queries.select(col(qId).as("__qid"), col(qVec).as("__qvec"))
 
-    def dBands(bb: Int): DataFrame = dS.select(col("__did"),
-      explode(lshBands(lshSignature(col("__dvec"), dim, bits), bits, bb)).as("__band"))
+    // each band width's data-side frame is built ONCE, capped, and
+    // persisted across the escalation stages that share it (stage 2
+    // previously re-scanned and re-signatured the whole data set to
+    // rebuild the identical frame). The cap bounds boilerplate-flood
+    // buckets exactly like embeddingNearDups' capBuckets: a cluster
+    // of identical vectors shares every band key, and an uncapped
+    // bucket self-join there is quadratic; capped-out members are
+    // still reachable (escalation fills starved queries, ending in
+    // the linear local top-k scan).
+    val bandCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def dBands(bb: Int): DataFrame = bandCache.getOrElseUpdate(bb,
+      capBuckets(dS.select(col("__did"),
+          explode(lshBands(lshSignature(col("__dvec"), dim, bits), bits, bb))
+            .as("__band")),
+        "__did", maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def pairsOf(bb: Int, radius: Int)(qs: DataFrame): DataFrame =
       qs.select(col("__qid"),
           explode(lshProbeBands(lshSignature(col("__qvec"), dim, bits), bits, bb, radius))
@@ -408,9 +456,10 @@ object Similarity {
 
     // escalation ladder: exact+hamming-1 probes, then hamming-2, then
     // half-width re-banding (higher collision probability)
-    escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol, qS,
+    try escalatedTopK(queries, data, qVec, dVec, qId, dId, k, simCol, qS,
       Seq(pairsOf(bandBits, 1) _, pairsOf(bandBits, 2) _,
         pairsOf(math.max(2, bandBits / 2), 1) _),
       "lshTopK")
+    finally bandCache.values.foreach(_.unpersist(blocking = false))
   }
 }

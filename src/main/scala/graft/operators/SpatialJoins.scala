@@ -30,6 +30,19 @@ object SpatialJoins {
     lazy val circumAngle: Double =
       vertsN.map(v => Gade.greatCircleDistanceRad(centroid, v)).max
     def flatVerts: Array[Double] = vertsN.flatMap(v => Array(v.x, v.y, v.z))
+    /** Enforce the winding disambiguator's validity region (see
+      * CellKernels.pointInPolygon): every vertex — hence, for a
+      * geodesically convex cap, the whole boundary and interior —
+      * within 90 deg of the vertex centroid. Near-hemispheric slivers
+      * would get silently wrong containment answers otherwise.
+      */
+    def validated: Aoi = {
+      require(circumAngle < math.Pi / 2,
+        f"AOI '$id' spans $circumAngle%.3f rad from its vertex centroid " +
+          "(>= pi/2): exceeds the winding test's hemisphere contract — " +
+          "split the polygon")
+      this
+    }
   }
 
   /** Distance join: all (left, right) pairs with great-circle distance
@@ -381,6 +394,7 @@ object SpatialJoins {
     val spark = points.sparkSession
     import spark.implicits._
     require(aois.nonEmpty)
+    aois.foreach(_.validated) // hemisphere contract of the winding test
     // exact disc covers: enumerate cells at a level sized so each
     // AOI's cover is ~100 cells and keep those whose safe
     // lower-bound distance to the centroid is inside the circumdisc.

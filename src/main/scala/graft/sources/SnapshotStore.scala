@@ -353,6 +353,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     require(cur.columns.sorted.sameElements(updates.columns.sorted),
       s"merge schema mismatch: table has ${cur.columns.mkString(",")}, " +
         s"updates have ${updates.columns.mkString(",")}")
+    // Iceberg MERGE rejects a source with several rows per key (the
+    // result would depend on row order / silently hold duplicate
+    // keys); one cheap agg over the small updates side enforces that
+    val dup = updates.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has multiple rows for key ${dup.headOption.mkString} — " +
+        "deduplicate updates before merging")
     val kept = cur.join(updates.select(keyCols.map(col): _*).distinct(),
       keyCols, "left_anti")
     commit(name, kept.unionByName(updates), statsCol)

@@ -125,6 +125,10 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       store.merge("t", Seq((9L, "x", 1)).toDF("k", "val", "extra"), Seq("k"))
     }
+    // several source rows per key refuse loudly (order-dependent result)
+    intercept[IllegalArgumentException] {
+      store.merge("t", Seq((7L, "a"), (7L, "b")).toDF("k", "val"), Seq("k"))
+    }
   }
 
   test("set-membership pruning reads only files whose range holds a cover cell") {

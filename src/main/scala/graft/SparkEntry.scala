@@ -605,7 +605,12 @@ object SparkEntry {
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("depth", (col("event_id") % 97).cast("double"))
         .select(col("user_id"), col("tsec"), col("n"), col("depth"))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("user_id")))
+        // DISTINCT-timestamp count: the spline dedups same-t fixes, so
+        // a raw-row filter could keep a track whose knot count is
+        // below the cubic minimum (engine would degrade order, the
+        // mirror would not) — count what the solver actually sees
+        .withColumn("__n",
+          size(collect_set(col("tsec")).over(Window.partitionBy("user_id"))))
         .filter(col("__n") >= 4).drop("__n")
       val qs = t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)
@@ -633,7 +638,8 @@ object SparkEntry {
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("depth", (col("event_id") % 97).cast("double"))
         .select(col("user_id"), col("tsec"), col("n"), col("depth"))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("__n", // distinct-timestamp count, see q41
+          size(collect_set(col("tsec")).over(Window.partitionBy("user_id"))))
         .filter(col("__n") >= 8).drop("__n")
       val qs = t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)

@@ -193,15 +193,24 @@ final case class GeoPath(a: GeoPoint, b: GeoPoint) {
   private def nB = Gade.latLonToNvec(b.lat, b.lon)
   private def meanRadius: Double = (a.toECEF.length + b.toECEF.length) / 2
 
-  def trackDistance(method: String = "greatcircle"): Double = method.head match {
-    case 'g' => Gade.greatCircleDistance(nA, nB, meanRadius)
-    case 'e' => Gade.euclideanDistance(nA, nB, meanRadius)
-    case _ => a.frame.inverse(a, b)._1
-  }
+  /** Path distance; reference dispatch (objects.py:1726-1733):
+    * prefixes "ex"/"el" (exact/ellipsoidal) -> Karney inverse, "eu"
+    * -> euclidean chord, anything else -> great circle. The previous
+    * one-character dispatch sent "ellipsoid"/"exact" down the
+    * euclidean branch silently.
+    */
+  def trackDistance(method: String = "greatcircle"): Double =
+    method.take(2) match {
+      case "ex" | "el" => a.frame.inverse(a, b)._1
+      case "eu" => Gade.euclideanDistance(nA, nB, meanRadius)
+      case _ => Gade.greatCircleDistance(nA, nB, meanRadius)
+    }
 
   def crossTrackDistance(point: GeoPoint, method: String = "greatcircle"): Double =
     Gade.crossTrackDistance(nA, nB, Gade.latLonToNvec(point.lat, point.lon),
-      greatCircle = method.head == 'g', meanRadius)
+      // reference dispatch (core.py:1036): 'e' -> euclidean, anything
+      // else -> great circle
+      greatCircle = method.head.toLower != 'e', meanRadius)
 
   def intersect(other: GeoPath): GeoPoint = {
     val c = Gade.intersect(nA, nB,

@@ -164,13 +164,6 @@ object Dedup {
   def simHash(text: Column, k: Int = 5): Column =
     simHashFromHashes(transform(shingles(text, k), s => xxhash64(s)))
 
-  /** SimHash over an already-materialized shingle-hash array column:
-    * per-bit +-1 votes over the hashes, bit set when the vote is
-    * non-negative. One scalar kernel call
-    * ([[DedupKernels.simHashVotes]]) — the equivalent 64x aggregate()
-    * expression tree evaluates its lambdas interpreted and cost ~90x
-    * the md5 shingle stage at sf0.1.
-    */
   /** md5-basis SimHash as one fused kernel call (shingle -> 60-bit
     * md5 hash -> bit votes, [[DedupKernels.simHash60Md5]]) —
     * value-identical to
@@ -189,6 +182,13 @@ object Dedup {
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.IntegerType))
 
+  /** SimHash over an already-materialized shingle-hash array column:
+    * per-bit +-1 votes over the hashes, bit set when the vote is
+    * non-negative. One scalar kernel call
+    * ([[DedupKernels.simHashVotes]]) — the equivalent 64x aggregate()
+    * expression tree evaluates its lambdas interpreted and cost ~90x
+    * the md5 shingle stage at sf0.1.
+    */
   def simHashFromHashes(hashes: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.staticInvoke(
       Class.forName("graft.operators.DedupKernels"),

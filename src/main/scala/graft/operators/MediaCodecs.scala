@@ -54,8 +54,13 @@ object MediaCodecs {
       val sz = size.toInt
       id match {
         case "fmt " if sz >= 16 =>
-          fmt = Some((u16(bytes, body.toInt), u16(bytes, body.toInt + 2),
-            u32(bytes, body.toInt + 4).toInt, u16(bytes, body.toInt + 14)))
+          // the u32 rate field must be range-checked before narrowing:
+          // a corrupt rate >= 2^31 would wrap negative through .toInt
+          // and be accepted as well-formed
+          val rate = u32(bytes, body.toInt + 4)
+          if (rate > 0 && rate <= Int.MaxValue)
+            fmt = Some((u16(bytes, body.toInt), u16(bytes, body.toInt + 2),
+              rate.toInt, u16(bytes, body.toInt + 14)))
         case "data" => data = Some((body.toInt, sz))
         case _ => ()
       }
@@ -137,8 +142,6 @@ object MediaCodecs {
                     else { j = k; done = true } // next segment marker
                   } else k += 1
                 }
-                if (!done && !broken) () // unreachable
-                else if (end < 0 && !broken) () // continue header loop at j
               }
             case _ => // length-delimited segment (APPn, COM, DQT, ...)
               if (j + 3 >= bytes.length) broken = true

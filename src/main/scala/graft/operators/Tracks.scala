@@ -22,9 +22,11 @@ object Tracks {
     * kind="linear").
     *
     * @param fixes   (trackCol, tCol, nvecCol) rows
-    * @param queries (trackCol, tCol) rows (query times)
-    * @return queries + interpolated `nvecCol` (null outside the
-    *         track's time span)
+    * @param queries (trackCol, tCol) rows (query times); other query
+    *                columns are NOT carried — join results back on
+    *                (trackCol, tCol) if you need them
+    * @return (trackCol, tCol, nvecCol) rows, one per query row
+    *         (`nvecCol` null outside the track's time span)
     */
   def interpolateLinear(fixes: DataFrame, queries: DataFrame,
                         trackCol: String, tCol: String, nvecCol: String): DataFrame = {
@@ -119,25 +121,11 @@ object Tracks {
     Array.tabulate(p, p)((r, c) => a(r)(p + c))
   }
 
-  /** First row of the inverse of a small SPD matrix via Gaussian
-    * elimination on [N | I].
+  /** First row of the inverse of a small SPD matrix (one Gaussian
+    * elimination — the matrices here are tiny, so taking row 0 of the
+    * full inverse costs the same and avoids a duplicated kernel).
     */
-  private def solveRow0(n0: Array[Array[Double]]): Array[Double] = {
-    val p = n0.length
-    val a = Array.tabulate(p, 2 * p)((r, c) =>
-      if (c < p) n0(r)(c) else if (c - p == r) 1.0 else 0.0)
-    for (col0 <- 0 until p) {
-      val piv = (col0 until p).maxBy(r => math.abs(a(r)(col0)))
-      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
-      val d = a(col0)(col0)
-      for (c <- 0 until 2 * p) a(col0)(c) /= d
-      for (r <- 0 until p if r != col0) {
-        val factor = a(r)(col0)
-        for (c <- 0 until 2 * p) a(r)(c) -= factor * a(col0)(c)
-      }
-    }
-    Array.tabulate(p)(j => a(0)(p + j)) // row 0 of the inverse
-  }
+  private def solveRow0(n0: Array[Array[Double]]): Array[Double] = invert(n0)(0)
 
   /** Second derivatives M_i of the NOT-A-KNOT cubic spline through
     * (t_i, y_i) — the boundary condition scipy's
@@ -509,8 +497,9 @@ object Tracks {
     * mapping of the reference `interp_nvectors(kind='cubic')` /
     * `Nvector.interpolate` (z carried as a 4th interpolated row when
     * `zCol` is given, objects.py:945-948). Output: (trackCol, tCol,
-    * nvecCol[, zCol]); queries outside a track's span get NaN
-    * components (reference bounds_error=False semantics).
+    * nvecCol[, zCol]), ONE row per distinct (track, t) query point;
+    * queries outside a track's span get NaN components (reference
+    * bounds_error=False semantics).
     */
   def interpolateSpline(fixes: DataFrame, queries: DataFrame,
                         trackCol: String, tCol: String, nvecCol: String,
@@ -542,7 +531,10 @@ object Tracks {
         }
         b.toArray
       }
-      val ts = qit.map(_._2).toArray.sorted
+      // one output row per DISTINCT query point: the relational
+      // mirrors group by (track, t), so duplicate query rows must not
+      // fan out here (the interpolated value is identical anyway)
+      val ts = qit.map(_._2).toArray.distinct.sorted
       if (fs.isEmpty || ts.isEmpty) Iterator.empty
       else {
         val t = fs.map(_._2)
@@ -763,20 +755,23 @@ object Tracks {
 
   /** Shared mirror prelude: dedup fixes by timestamp (keeping the
     * lexicographically-smallest tuple, like the cogroup path), order
-    * and count per track, drop tracks shorter than `minFixes` RAW
-    * rows (the same integer filter the engine-side gate applies).
+    * and count per track, drop tracks with fewer than `minFixes`
+    * DISTINCT timestamps — the knot count the solver actually sees.
+    * (Filtering on raw rows would let a duplicate-heavy track through
+    * with too few knots: the engine would degrade the spline order
+    * while this mirror still ran the full-order system on NULLs.)
+    * The engine-side gate applies the same distinct-count filter.
     */
   private def orderedCtes(fixesSql: String, minFixes: Int): String =
     s""" sp_fix AS ($fixesSql),
-       | sp_dedup AS (SELECT user_id, t, ${percomp(j => s"c$j")}, nraw FROM (
+       | sp_dedup AS (SELECT user_id, t, ${percomp(j => s"c$j")} FROM (
        |   SELECT *, row_number() OVER (PARTITION BY user_id, t
-       |     ORDER BY c1, c2, c3, c4) AS rn,
-       |    count(*) OVER (PARTITION BY user_id) AS nraw
+       |     ORDER BY c1, c2, c3, c4) AS rn
        |   FROM sp_fix) WHERE rn = 1),
        | sp_ord AS (SELECT *,
        |   row_number() OVER (PARTITION BY user_id ORDER BY t) AS i,
        |   count(*) OVER (PARTITION BY user_id) AS n FROM sp_dedup),
-       | sp_trk AS MATERIALIZED (SELECT * FROM sp_ord WHERE nraw >= $minFixes)""".stripMargin
+       | sp_trk AS MATERIALIZED (SELECT * FROM sp_ord WHERE n >= $minFixes)""".stripMargin
 
   /** Shared Thomas-algorithm CTEs over a system CTE `sp_sys` with
     * columns (user_id, j [1..m], m, av, bv, cv, d1..d4): forward and

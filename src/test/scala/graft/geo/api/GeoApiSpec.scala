@@ -91,6 +91,15 @@ class GeoApiSpec extends AnyFunSuite {
     val b = wgs84.GeoPointDeg(10, 10)
     val path = GeoPath(a, b)
     assert(path.trackDistance("greatcircle") > 500e3)
+    // reference dispatch (objects.py:1726-1733): ex/el -> Karney,
+    // eu -> chord, else great circle — "ellipsoid" must NOT fall into
+    // the euclidean branch (both start with 'e')
+    val exact = path.a.frame.inverse(path.a, path.b)._1
+    assert(path.trackDistance("ellipsoid") == exact)
+    assert(path.trackDistance("exact") == exact)
+    assert(path.trackDistance("euclidean") < path.trackDistance("greatcircle"))
+    assert(math.abs(path.trackDistance("ellipsoid") -
+      path.trackDistance("greatcircle")) < 0.01 * exact)
     val mid = path.interpolate(0.5)
     assert(path.onPath(mid))
     assert(!path.onPath(wgs84.GeoPointDeg(20, 10)))

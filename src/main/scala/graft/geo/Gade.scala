@@ -137,7 +137,11 @@ object Gade {
   }
 
   /** Forward and reverse spherical azimuths from lat/lon
-    * (core.py:1181-1205).
+    * (core.py:1181-1205). NOTE the az2 convention: the reference
+    * returns the azimuth FROM B BACK TO A (sin_az2 = -cos_b1*sin_w),
+    * which differs by pi from the forward-azimuth-at-B convention
+    * Karney.sphereDistanceRad uses internally — pick by convention,
+    * not by whichever function is handy.
     */
   def azimuthSphere(lat1: Double, lon1: Double, lat2: Double, lon2: Double): (Double, Double) = {
     val w = lon2 - lon1

@@ -72,7 +72,7 @@ final class Karney private (val a: Double, val f: Double) {
     (sigma1, w1, cosA0, sinA0)
   }
 
-  /** NEB triangle, direct problem (eqs 12-14): returns (alpha2, blat2, w2). */
+  /** NEB triangle, direct problem (eqs 12-14): returns (blat2, w2, alpha2). */
   private def triangleNEBDirect(sigma2: Double, cosA0: Double, sinA0: Double): (Double, Double, Double) = {
     val cosS2 = cos(sigma2); val sinS2 = sin(sigma2)
     val sinB2 = cosA0 * sinS2

@@ -14,6 +14,22 @@ object CellKernels {
 
   def parent(id: Long, steps: Int): Long = CellIndex.parent(id, steps)
 
+  /** Ancestor at exactly `toLevel` — per-ROW step count, so
+    * mixed-level inputs (multi-resolution encodes) each climb their
+    * own distance; cells already at or coarser than `toLevel` pass
+    * through unchanged.
+    */
+  def parentAt(id: Long, toLevel: Int): Long = {
+    val lvl = CellIndex.levelOf(id)
+    if (lvl <= toLevel) id else CellIndex.parent(id, lvl - toLevel)
+  }
+
+  /** Corner ring of the cell as flat [x0,y0,z0,...] unit n-vectors
+    * (see Raster.cellCornersFlat).
+    */
+  def cornersFlat(id: Long): ArrayData =
+    new GenericArrayData(graft.operators.Raster.cellCornersFlat(id))
+
   def ring(id: Long, k: Int): ArrayData =
     new GenericArrayData(CellIndex.ring(id, k))
 

@@ -41,6 +41,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes, w, h, fmt) =>
           val px = ImageTable.decode(bytes, w, h, fmt)
+          // near-twin of ImageTable.phash64's luma grid but NOT
+          // unifiable: this one uses integer cell boundaries, phash64
+          // uses double boundaries, and phash values are frozen into
+          // generated parquet (a silent boundary change would break
+          // payload verification against existing tables)
           val grid = new Array[Double](64)
           var gi = 0
           while (gi < 64) {

@@ -31,14 +31,21 @@ object Raster {
     * the existing measure columns (e.g. `sum(col("n")).as("n")`).
     * Parent ids are pure bit arithmetic — a single hash aggregation.
     */
-  def downsample(raster: DataFrame, toLevel: Int, measures: Seq[Column]): DataFrame = {
-    val level = CellIndex.levelOf(
-      raster.select("cell").head().getLong(0))
-    require(toLevel <= level, s"cannot downsample $level -> $toLevel")
-    raster.withColumn("cell", cells.parentCell(col("cell"), level - toLevel))
+  def downsample(raster: DataFrame, toLevel: Int, measures: Seq[Column]): DataFrame =
+    // per-ROW ancestor arithmetic (CellKernels.parentAt): no eager
+    // head() job (which also crashed on empty rasters), and
+    // mixed-level rasters — multi-resolution encodes — each climb
+    // their own distance instead of inheriting one sampled row's
+    // level; cells already at or coarser than toLevel pass through
+    raster.withColumn("cell",
+        org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+          Class.forName("graft.index.CellKernels"),
+          org.apache.spark.sql.types.LongType, "parentAt",
+          Seq(col("cell"), lit(toLevel)),
+          Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType)))
       .groupBy("cell")
       .agg(measures.head, measures.tail: _*)
-  }
 
   /** Corner ring of a cell as flat [x0,y0,z0,...] n-vector array —
     * directly consumable by `cells.pointInPolygon`.
@@ -63,20 +70,21 @@ object Raster {
     * the geometry level.
     */
   def vectorize(raster: DataFrame): DataFrame = {
-    val spark = raster.sparkSession
-    import spark.implicits._
-    // per-row corner computation via typed map (pure integer/trig math)
-    val withGeom = raster.select(col("cell")).as[Long].map { id =>
-      val flat = cellCornersFlat(id)
-      val lats = Array.tabulate(4) { i =>
-        math.toDegrees(math.atan2(flat(3 * i + 2),
-          math.hypot(flat(3 * i), flat(3 * i + 1))))
-      }
-      val lons = Array.tabulate(4) { i =>
-        math.toDegrees(math.atan2(flat(3 * i + 1), flat(3 * i)))
-      }
-      (id, lats, lons, flat)
-    }.toDF("cell", "corner_lat_deg", "corner_lon_deg", "ring_nvec_flat")
-    raster.join(withGeom, "cell")
+    // per-row PROJECTION (no join): the previous derive-then-join-back
+    // shape executed the entire upstream raster plan twice and paid a
+    // shuffle for what is pure per-row integer/trig math
+    val ring = org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.index.CellKernels"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false),
+      "cornersFlat", Seq(col("cell")), Seq(org.apache.spark.sql.types.LongType))
+    def cx(i: Column) = element_at(col("ring_nvec_flat"), i * 3 + 1)
+    def cy(i: Column) = element_at(col("ring_nvec_flat"), i * 3 + 2)
+    def cz(i: Column) = element_at(col("ring_nvec_flat"), i * 3 + 3)
+    raster.withColumn("ring_nvec_flat", ring)
+      .withColumn("corner_lat_deg", transform(sequence(lit(0), lit(3)),
+        i => degrees(atan2(cz(i), hypot(cx(i), cy(i))))))
+      .withColumn("corner_lon_deg", transform(sequence(lit(0), lit(3)),
+        i => degrees(atan2(cy(i), cx(i)))))
   }
 }

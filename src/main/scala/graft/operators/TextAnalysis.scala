@@ -21,9 +21,12 @@ object TextAnalysis {
     punct.cast("double") / greatest(length(text), lit(1)).cast("double")
   }
 
-  /** Ratio of uppercase characters. */
+  /** Ratio of ASCII uppercase characters (deliberately [A-Z], not
+    * \p{Lu}: the quality heuristics target the shouting-caps signal
+    * and the relational mirrors use the same ASCII class — accented
+    * uppercase counts as ordinary text).
+    */
   def upperRatio(text: Column): Column = {
-    // chars changed by lower() == uppercase letters
     val uppers = length(text) - length(regexp_replace(text, "[A-Z]", ""))
     uppers.cast("double") / greatest(length(text), lit(1)).cast("double")
   }
@@ -103,9 +106,13 @@ object TextAnalysis {
         Seq(org.apache.spark.sql.types.StringType))
     else {
       val h = (c: Column) => xxhash64(c)
-      val shingles = slice(transform(
-        sequence(lit(0), greatest(floor((length(text) - 8) / 4).cast("int"), lit(0))),
-        i => h(substring(text, i * 4 + 1, lit(8)))), 1, 512)
+      // cap the SEQUENCE bound, not the hashed array: slicing after
+      // transform would still hash (and materialize) every window of
+      // a multi-MB document before discarding all but 512
+      val shingles = transform(
+        sequence(lit(0), least(
+          greatest(floor((length(text) - 8) / 4).cast("int"), lit(0)), lit(511))),
+        i => h(substring(text, i * 4 + 1, lit(8))))
       when(length(text) < 8, h(text)).otherwise(array_min(shingles))
     }
   }

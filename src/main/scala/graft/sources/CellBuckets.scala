@@ -33,10 +33,26 @@ object CellBuckets {
     spark.table(leftTable).join(spark.table(rightTable), cellCol)
 
   /** True when the physical plan contains no shuffle exchange
-    * (broadcast exchanges are not shuffles).
+    * (broadcast exchanges are not shuffles). Walks the plan TREE for
+    * ShuffleExchangeLike nodes — string matching is unreliable here:
+    * ShuffleExchangeExec prints as plain "Exchange rangepartitioning/
+    * RoundRobinPartitioning/...", so a substring check for
+    * "ShuffleExchange" passes vacuously on shuffling plans.
     */
   def isShuffleFree(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan.toString
-    !plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    // AQE wraps the real plan in AdaptiveSparkPlanExec / QueryStageExec
+    // nodes that do not expose it through children, so a plain
+    // collect() never sees the shuffle — descend through them manually
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike => true
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec => hasShuffle(q.plan)
+      case r: ReusedExchangeExec => hasShuffle(r.child)
+      case other => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
   }
 }

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * table suitable for a snapshot commit alongside the data.
   */
 object Lineage {
-  /** (partition_id, rows, first_seen_task_attempt) per physical
-    * partition of `df`, plus the input files feeding the plan.
+  /** (partition_id, rows, task_attempt) per physical partition of
+    * `df`. `task_attempt` is the attempt whose output SURVIVED commit
+    * (under retries/speculation that need not be the first attempt
+    * launched).
     */
   def partitionMetrics(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -169,6 +169,19 @@ class GadeSpec extends AnyFunSuite {
     assert(!reck.hasNaN)
   }
 
+  test("azimuthSphere follows the reference's back-azimuth convention") {
+    // A on the equator, B due east: forward az1 = +pi/2; the reference
+    // az2 is the bearing FROM B BACK TO A = -pi/2 (west), core.py:1204
+    val (az1, az2) = Gade.azimuthSphere(0.0, 0.0, 0.0, math.Pi / 2)
+    close(az1, math.Pi / 2, atol = 1e-15)
+    close(az2, -math.Pi / 2, atol = 1e-15)
+    // oblique pair: az2 equals recomputing az1 with A and B swapped
+    val (a1, a2) = Gade.azimuthSphere(0.3, -0.2, 0.9, 1.1)
+    val (b1, _) = Gade.azimuthSphere(0.9, 1.1, 0.3, -0.2)
+    close(a2, b1, atol = 1e-12)
+    assert(math.abs(a1) > 1e-6)
+  }
+
   test("euler round trips") {
     for ((z, y, x) <- Seq((0.1, -0.4, 1.2), (2.5, 1.2, -2.9), (0.0, 0.0, 0.0))) {
       val r = Rot.zyx2R(z, y, x)

@@ -304,6 +304,12 @@ class SourcesSpec extends AnyFunSuite {
         finally {}
       assert(CellBuckets.isShuffleFree(joined),
         s"plan has a shuffle:\n${joined.queryExecution.executedPlan}")
+      // the detector itself must flag genuinely shuffling plans
+      // (ShuffleExchangeExec prints as plain "Exchange ...", which a
+      // substring check once missed)
+      assert(!CellBuckets.isShuffleFree(pts(50, "x").repartition(7)))
+      assert(!CellBuckets.isShuffleFree(
+        pts(50, "x").groupBy("cell").count()))
       val planStr = joined.queryExecution.executedPlan.toString
       assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
       assert(joined.count() > 0)

@@ -17,7 +17,10 @@ import graft.sources.ImageTable
   *     "images joined+tiled/sec"): read the pre-materialized synthetic
   *     image table, derive positions, multi-resolution cell-encode,
   *     broadcast-PIP against AOI polygons, per-tile aggregation —
-  *     1 warm-up + 3 timed runs, median reported.
+  *     1 warm-up + 5 timed runs (SPARK_GRAFT_BENCH_ITERS); the
+  *     headline images/sec uses the BEST run (the noisy-neighbor VM's
+  *     minimum estimates noise-free capability, BENCH/BASELINE.md),
+  *     with the median reported alongside.
   *
   * The image parquet is materialized once under /tmp and reused, so
   * two invocations at different `SPARK_GRAFT_CPUS` (e.g. 8 then 32)
@@ -99,10 +102,12 @@ object Bench {
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
     // JVM/codegen warm-up so the first timed query doesn't carry JIT
-    // and session-bootstrap cost
+    // and session-bootstrap cost; the parquet-reading warm-up must
+    // honor the skip flag — image-only runs may have no SF data at all
     spark.range(100000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q07_gc_distance")
-      .foreach(fn => fn(spark, sfDir).count())
+    if (!skipQueries)
+      SparkEntry.queries.get("q07_gc_distance")
+        .foreach(fn => fn(spark, sfDir).count())
     // a crashed query must be distinguishable from a fast one in the
     // JSON: record null instead of a normal-looking elapsed time
     val results: Seq[(String, Option[Double])] =
@@ -127,19 +132,24 @@ object Bench {
     // heavy noisy-neighbor CPU variance, so the minimum is the honest
     // capability number and the median is reported alongside
     val images = imageSource(spark, imgRows, math.max(cpus.toInt * 2, 8))
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt)
     imagePipeline(images) // warm-up
     val times = (1 to iters).map { _ =>
       val t0 = System.nanoTime()
       imagePipeline(images)
       (System.nanoTime() - t0) / 1e9
     }.sorted
-    val median = times(times.length / 2)
+    // lower-median for even counts (length/2 alone is the UPPER mid
+    // rank there — biased high); exact median for odd counts
+    val median = times((times.length - 1) / 2)
     val best = times.head
     val imgsPerSec = imgRows / best
 
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma
+    // decimal separator (de_DE etc.) would corrupt the JSON line
+    def num(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", t)
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null")
+      "\"" + k + "\":" + v.map(num).getOrElse("null")
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2).sum + median

@@ -357,7 +357,11 @@ object SparkEntry {
       custPts(s, dir)
         .withColumn("ca", geo.vcross(col("n"), geo.nvec(lit(OsloLat), lit(OsloLon))))
         .withColumn("t", geo.vcross(col("ca"), geo.vcross(b1, b2)))
-        .withColumn("ix", geo.vscale(col("t"), signum(geo.vdot(col("t"), col("n")))))
+        // >= 0 branch pick, NOT signum: the DuckDB mirror's CASE WHEN
+        // dot >= 0 THEN 1 ELSE -1 never yields 0, while signum(0)
+        // would zero the vector on an exact boundary tie
+        .withColumn("ix", geo.vscale(col("t"),
+          when(geo.vdot(col("t"), col("n")) >= 0, 1.0).otherwise(-1.0)))
         .select(col("c_custkey"),
           round(geo.latDeg(col("ix")), 6).as("ilat"),
           round(geo.lonDeg(col("ix")), 6).as("ilon"))
@@ -371,7 +375,8 @@ object SparkEntry {
         .withColumn("gcn", geo.gcNormal(a1, a2))
         .withColumn("w", geo.vcross(col("n"), col("gcn")))
         .withColumn("p0", geo.vunit(geo.vcross(col("gcn"), col("w"))))
-        .withColumn("cp", geo.vscale(col("p0"), signum(geo.vdot(col("p0"), col("n")))))
+        .withColumn("cp", geo.vscale(col("p0"), // >= 0 pick, see q21
+          when(geo.vdot(col("p0"), col("n")) >= 0, 1.0).otherwise(-1.0)))
         .select(col("c_custkey"),
           round(geo.latDeg(col("cp")), 6).as("clat"),
           round(geo.lonDeg(col("cp")), 6).as("clon"))
@@ -1045,7 +1050,7 @@ object SparkEntry {
            |  FROM ws CROSS JOIN fam),
            | guess AS (SELECT doc_id,
            |   CASE WHEN max(h) >= 1
-           |     THEN arg_max(code, h * 8 + rk) ELSE 'und' END AS lang_guess
+           |     THEN arg_max(code, h * ${graft.operators.TextAnalysis.StopwordFamilies.size + 1} + rk) ELSE 'und' END AS lang_guess
            |  FROM hits GROUP BY doc_id),
            | q AS (SELECT doc_id,
            |   CAST(length(text) AS DOUBLE) AS len,

@@ -25,13 +25,7 @@ object GeoFunctions {
     "geo_geodesic_distance" -> (4, { case Seq(a, b, cc, d) =>
       geo.geodesicDistance(a, b, cc, d) }),
     "geo_cell" -> (3, { case Seq(lat, lon, level) =>
-      // level must be a foldable int literal
-      val lvl = GraftSqlBridge.expression(level).eval(null) match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(s"level must be literal, got $other")
-      }
-      graft.index.cells.cellAt(geo.nvec(lat, lon), lvl)
+      graft.index.cells.cellAt(geo.nvec(lat, lon), litInt(level))
     }),
     "geo_interpolate_lat" -> (5, { case Seq(a, b, cc, d, t) =>
       geo.latDeg(geo.interpolate(geo.nvec(a, b), geo.nvec(cc, d), t)) }),
@@ -53,10 +47,20 @@ object GeoFunctions {
   )
 
   /** Foldable int literal argument (levels, ring sizes, bucket counts
-    * feed driver-side cover/coefficient construction).
+    * feed driver-side cover/coefficient construction). The foldable
+    * check comes first: eval(null) on a column reference throws an
+    * opaque internal exception instead of this message.
     */
+  private def foldableExpr(c0: Column) = {
+    val e = GraftSqlBridge.expression(c0)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"argument must be a literal (got non-foldable expression $e)")
+    e
+  }
+
   private def litInt(c0: Column): Int =
-    GraftSqlBridge.expression(c0).eval(null) match {
+    foldableExpr(c0).eval(null) match {
       case i: Int => i
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
@@ -64,7 +68,7 @@ object GeoFunctions {
     }
 
   private def litDouble(c0: Column): Double =
-    GraftSqlBridge.expression(c0).eval(null) match {
+    foldableExpr(c0).eval(null) match {
       case d: Double => d
       case f: java.math.BigDecimal => f.doubleValue()
       case d: org.apache.spark.sql.types.Decimal => d.toDouble

@@ -30,8 +30,18 @@ object SimilarityKernels {
       var dot = 0.0; var cn = 0.0
       var j = 0
       while (j < n) {
+        dot += vec.getDouble(j) * centroidsFlat.getDouble(c * dim + j)
+        j += 1
+      }
+      // centroid norm over ALL dim components (bit-identical to the
+      // interleaved form when the vector is full length): truncating
+      // it to a short vector's length would silently skew every
+      // similarity instead of just zero-padding the missing entries —
+      // and diverge from the oracle mirror, which norms the full
+      // centroid
+      j = 0
+      while (j < dim) {
         val cv = centroidsFlat.getDouble(c * dim + j)
-        dot += vec.getDouble(j) * cv
         cn += cv * cv
         j += 1
       }
@@ -57,8 +67,12 @@ object SimilarityKernels {
       var dot = 0.0; var cn = 0.0
       var j = 0
       while (j < n) {
+        dot += vec.getDouble(j) * centroidsFlat.getDouble(c * dim + j)
+        j += 1
+      }
+      j = 0 // full-dim centroid norm — see ivfAssign
+      while (j < dim) {
         val cv = centroidsFlat.getDouble(c * dim + j)
-        dot += vec.getDouble(j) * cv
         cn += cv * cv
         j += 1
       }

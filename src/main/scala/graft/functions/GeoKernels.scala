@@ -68,6 +68,11 @@ object GeoKernels {
                    k: Int, radius: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = ids.numElements()
     val keep = math.min(k, n)
+    // public codegen entry point: guard k <= 0 here too (the Column
+    // wrapper validates, but a direct StaticInvoke with k=0 would
+    // read bestD(-1) inside generated code)
+    if (keep <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val bestD = new Array[Double](keep)
     val bestId = new Array[Long](keep)
     var filled = 0

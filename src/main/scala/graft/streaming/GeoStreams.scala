@@ -83,12 +83,19 @@ object GeoStreams {
             val sorted = fixes.toArray.sortBy(_.t)
             var last = state.getOption
             val out = sorted.iterator.flatMap { f =>
-              val bearing = last.map { p =>
-                Cog(track, f.t, graft.geo.Gade.azimuth(
-                  graft.geo.Vec3(p.x, p.y, p.z), graft.geo.Vec3(f.x, f.y, f.z)))
+              // cross-batch stragglers: a fix OLDER than the carried
+              // state would emit a reversed-leg bearing and regress
+              // the state — drop it (sorting only orders within the
+              // batch, it cannot see earlier batches)
+              if (last.exists(_.t > f.t)) Iterator.empty
+              else {
+                val bearing = last.map { p =>
+                  Cog(track, f.t, graft.geo.Gade.azimuth(
+                    graft.geo.Vec3(p.x, p.y, p.z), graft.geo.Vec3(f.x, f.y, f.z)))
+                }
+                last = Some(f)
+                bearing
               }
-              last = Some(f)
-              bearing
             }.toVector
             last.foreach(state.update)
             idleTimeout.foreach(state.setTimeoutDuration)
@@ -118,6 +125,14 @@ object GeoStreams {
                          maxTimeDiff: String,
                          sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius,
                          distCol: String = "dist_m"): DataFrame = {
+    require(radiusMeters >= 0, s"radius must be >= 0 m (got $radiusMeters)")
+    // shared names would resolve ambiguously through the join and the
+    // distance projection — fail fast with the remedy (self-proximity:
+    // rename one side, e.g. s.toDF(s.columns.map("r_" + _): _*))
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"left/right streams share column names ${overlap.mkString(", ")}; " +
+        "rename one side before calling")
     val level = graft.index.CellIndex.levelForRadiusSafe(
       radiusMeters / sphereRadius, k = 1)
     // the batch join falls back to disc covers / cross join beyond
@@ -140,24 +155,35 @@ object GeoStreams {
       .drop("__cell", "__cell_r")
   }
 
-  /** Continuously ingest a deduplicated image stream into the
-    * snapshot store: each micro-batch commits a new named snapshot
-    * (per-file row counts + lineage recorded), so the table history is
-    * the stream's checkpoint log and a crashed job resumes from its
-    * streaming checkpoint + last committed snapshot.
+  /** Ingest a deduplicated image stream into the snapshot store:
+    * each micro-batch commits a named snapshot (per-file row counts +
+    * lineage recorded), so the table history is the stream's commit
+    * log and a crashed job resumes from its streaming checkpoint +
+    * last committed snapshot. IDEMPOTENT under micro-batch replay:
+    * foreachBatch can re-deliver a batch whose commit already
+    * succeeded (crash between the data commit and Spark's own offset
+    * commit), so a batch whose batchId-keyed snapshot name already
+    * exists is skipped — without that check a replay would create a
+    * duplicate version and double-count the batch in lineage sums.
+    *
+    * `trigger` defaults to AvailableNow (drain-and-stop — the batch
+    * backfill/test shape); pass `Trigger.ProcessingTime(...)` for a
+    * continuously running ingest.
     */
   def ingestToSnapshots(stream: DataFrame, idCol: String, tsCol: String,
                         watermark: String, store: SnapshotStore,
-                        name: String, checkpointDir: String): StreamingQuery =
+                        name: String, checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     dedupeByIdStream(stream, idCol, tsCol, watermark)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          store.commit(f"$name%s_batch_$batchId%05d", batch)
+        val snapName = f"$name%s_batch_$batchId%05d"
+        if (!batch.isEmpty && store.versionOf(snapName).isEmpty) {
+          store.commit(snapName, batch)
           ()
         }
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }

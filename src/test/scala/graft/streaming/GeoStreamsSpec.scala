@@ -181,8 +181,11 @@ class GeoStreamsSpec extends AnyFunSuite {
     input.addData((1L, 0.0, 10.0, 10.0), (1L, 1.0, 11.0, 10.0), (2L, 0.0, -5.0, 50.0))
     q.processAllAvailable()
     // batch 2: track 1 turns east; track 2 emits its first bearing —
-    // both rely on state carried from batch 1
-    input.addData((1L, 2.0, 11.0, 11.0), (2L, 1.0, -5.0, 51.0))
+    // both rely on state carried from batch 1. The t=0.5 fix is a
+    // cross-batch STRAGGLER (older than track 1's carried t=1 state):
+    // it must be dropped, not emit a reversed-leg bearing or regress
+    // the state the t=2 fix builds on
+    input.addData((1L, 2.0, 11.0, 11.0), (1L, 0.5, 10.5, 10.0), (2L, 1.0, -5.0, 51.0))
     q.processAllAvailable()
     val rows = spark.table("cog_out").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(x => (x._1, x._2))

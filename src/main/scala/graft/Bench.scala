@@ -68,8 +68,8 @@ object Bench {
     // positions derived from the image ordinal (deterministic, SQL-free)
     val pts = verified
       .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
-      .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
-      .withColumn("lon", (((col("ord") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+      .withColumn("lat", SparkEntry.latRad(col("ord"))) // shared overflow-safe position hash
+      .withColumn("lon", SparkEntry.lonRad(col("ord")))
       .withColumn("n", geo.nvec(col("lat"), col("lon")))
       .withColumn("tile", cells.cellAt(col("n"), 8))
       .withColumn("tile_coarse", cells.cellAt(col("n"), 4))

@@ -13,7 +13,7 @@ import graft.sources.{ImageTable, Lineage, SnapshotStore}
   * {{{
   * spark-submit --class graft.PipelineMain envectorspark.jar \
   *   --store /data/graft_store [--generate 1000000] [--images <parquet>] \
-  *   [--tile-level 8] [--salt 8] [--compact <name>] [--expire-keep N]
+  *   [--tile-level 8] [--compact <name>] [--expire-keep N]
   * }}}
   *
   * No master/parallelism is hard-coded — cluster size comes entirely
@@ -26,13 +26,21 @@ import graft.sources.{ImageTable, Lineage, SnapshotStore}
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    // strict pairing: sliding(2,2) silently mispaired or dropped
+    // options when a value was missing or a stray token appeared
+    val opts = args.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.drop(2) -> v
+      case bad => sys.error(
+        s"malformed arguments near '${bad.mkString(" ")}' — expected --flag value pairs")
     }.toMap
     val storeRoot = opts.getOrElse("store",
       sys.error("--store <dir> is required"))
+    // NOTE resume is keyed by snapshot NAME only: re-running an
+    // existing store with different --tile-level/--images/--generate
+    // returns the previously committed stages unchanged — use a fresh
+    // --store (or expire the old snapshots) when parameters change
     val tileLevel = opts.getOrElse("tile-level", "8").toInt
-    val salt = opts.getOrElse("salt", "0").toInt
 
     val spark = SparkSession.builder()
       .appName("graft-image-tile-pipeline")
@@ -72,8 +80,8 @@ object PipelineMain {
     val tiled = store.getOrCompute("tiled", statsCol = Some("tile")) {
       verified
         .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
-        .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
-        .withColumn("lon", (((col("ord") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+        .withColumn("lat", SparkEntry.latRad(col("ord"))) // shared overflow-safe position hash
+        .withColumn("lon", SparkEntry.lonRad(col("ord")))
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("tile", cells.cellAt(col("n"), tileLevel))
         .withColumn("tile_coarse", cells.cellAt(col("n"), math.max(1, tileLevel - 4)))
@@ -121,17 +129,26 @@ object PipelineMain {
         .select(col("tile_key"), col("rank"), col("lm_id"),
           round(col("geodesic_m"), 3).as("geodesic_m"))
     }
+    // coalesce: an empty stats table (tiny --generate, or every point
+    // outside the AOIs) makes the sums null and getLong would throw
+    // at the very last step after all the expensive work succeeded
+    val summary = stats.agg(count(lit(1)).as("tiles"),
+      coalesce(sum("n_imgs"), lit(0L)).as("assigned"),
+      coalesce(sum("n_bad"), lit(0L)).as("bad_payloads")).collect()(0)
+    val nearestRows = nearest.count()
+
     // table maintenance, same spark-submit surface: --compact <name>
     // rewrites that snapshot to ~128 MB files (zone-map clustering
     // and stats carry over), --expire-keep N drops all but the newest
-    // N versions per name (long-running ingest must bound history)
+    // N versions per name (long-running ingest must bound history).
+    // Runs AFTER the summary/nearest actions above: those lazy plans
+    // reference the pre-maintenance versions' files, and expiring
+    // first would delete parquet out from under them
     opts.get("compact").foreach(store.compact(_))
     opts.get("expire-keep").foreach(n => store.expireSnapshots(n.toInt))
 
-    val summary = stats.agg(count(lit(1)).as("tiles"),
-      sum("n_imgs").as("assigned"), sum("n_bad").as("bad_payloads")).collect()(0)
     println(s"""{"tiles":${summary.getLong(0)},"assigned":${summary.getLong(1)},""" +
-      s""""bad_payloads":${summary.getLong(2)},"nearest_rows":${nearest.count()},""" +
+      s""""bad_payloads":${summary.getLong(2)},"nearest_rows":$nearestRows,""" +
       s""""snapshots":${store.snapshots.size}}""")
     spark.stop()
   }

@@ -27,8 +27,8 @@ object PlanAudit {
     img.write.mode("overwrite").parquet("/tmp/audit_img")
     spark.read.parquet("/tmp/audit_img")
       .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
-      .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
-      .withColumn("lon", (((col("ord") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+      .withColumn("lat", SparkEntry.latRad(col("ord"))) // shared overflow-safe position hash
+      .withColumn("lon", SparkEntry.lonRad(col("ord")))
       .select(col("image_id"), cells.cellAt(geo.nvec(col("lat"), col("lon")), 8).as("tile"))
       .explain("formatted")
 

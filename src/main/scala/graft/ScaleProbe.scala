@@ -65,8 +65,8 @@ object ScaleProbe {
       graft.operators.SpatialJoins.aoiJoin(
         images.select("image_id")
           .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
-          .withColumn("lat", asin(((col("ord") * 2654435761L) % 180001L) / 90000.5 - 1.0))
-          .withColumn("lon", (((col("ord") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+          .withColumn("lat", SparkEntry.latRad(col("ord"))) // shared overflow-safe position hash
+          .withColumn("lon", SparkEntry.lonRad(col("ord")))
           .withColumn("n", graft.functions.geo.nvec(col("lat"), col("lon"))),
         "n", Seq(graft.operators.SpatialJoins.Aoi("eq",
           Seq((-25.0, -30.0), (-25.0, 30.0), (25.0, 30.0), (25.0, -30.0)))))

@@ -21,16 +21,24 @@ object SparkEntry {
 
   // ---- shared derived-coordinate helpers ---------------------------
 
-  /** Deterministic latitude [rad] from an integer key (same integer
-    * arithmetic in Spark and DuckDB).
+  /** Deterministic latitude [rad] from a NON-NEGATIVE integer key —
+    * the one synthetic-position formula shared by the gates, the
+    * flagship pipeline, Bench, and the probes (same integer
+    * arithmetic in Spark and DuckDB). Modular form: reducing the key
+    * mod 180001 BEFORE the multiply keeps every intermediate below
+    * 3.3e10, so the formula holds to 10^12-scale keys where the naive
+    * product overflowed Long at k ~ 3.5e9 (ANSI abort, or NaN lat
+    * with ANSI off); values are identical for all non-negative k.
     */
-  private def latRad(k: Column): Column =
-    asin(((k * 2654435761L) % 180001L) / 90000.5 - 1.0)
-  private def lonRad(k: Column): Column =
-    (((k * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi
+  private[graft] def latRad(k: Column): Column =
+    asin((((k % 180001L) * lit(2654435761L % 180001L)) % 180001L) / 90000.5 - 1.0)
+  private[graft] def lonRad(k: Column): Column =
+    ((((k % 360001L) * lit(40503L)) % 360001L) / 180000.5 - 1.0) * math.Pi
 
-  private def latSql(k: String) = s"asin((($k * 2654435761) % 180001) / 90000.5 - 1.0)"
-  private def lonSql(k: String) = s"pi() * (((($k * 40503) % 360001) / 180000.5) - 1.0)"
+  private def latSql(k: String) =
+    s"asin(((($k % 180001) * ${2654435761L % 180001L}) % 180001) / 90000.5 - 1.0)"
+  private def lonSql(k: String) =
+    s"pi() * ((((($k % 360001) * 40503) % 360001) / 180000.5) - 1.0)"
 
   /** SQL CTE producing (k, lat, lon, nx, ny, nz) for a key expression. */
   private def ptsSql(table: String, k: String) =

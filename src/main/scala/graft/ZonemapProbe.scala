@@ -26,8 +26,8 @@ object ZonemapProbe {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val store = new SnapshotStore(spark, root)
     val pts = spark.range(rows)
-      .withColumn("lat", asin(((col("id") * 2654435761L) % 180001L) / 90000.5 - 1.0))
-      .withColumn("lon", (((col("id") * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi)
+      .withColumn("lat", SparkEntry.latRad(col("id"))) // shared overflow-safe position hash
+      .withColumn("lon", SparkEntry.lonRad(col("id")))
       .withColumn("n", geo.nvec(col("lat"), col("lon")))
       .withColumn("tile", cells.cellAt(col("n"), 8))
       .select(col("id"), col("tile"),
@@ -65,7 +65,10 @@ object ZonemapProbe {
         .agg(count(lit(1)), sum("lat")).collect()(0)
       (r.getLong(0), r.getDouble(1))
     }
-    require(nFull == nPruned && nFull > 0 && math.abs(sFull - sPruned) < 1e-6,
+    // relative tolerance: double summation order differs between the
+    // two scans, and the absolute error grows with row count
+    require(nFull == nPruned && nFull > 0 &&
+        math.abs(sFull - sPruned) <= 1e-9 * math.max(1.0, math.abs(sFull)) * math.log(nFull + 2.0),
       s"pruned read ($nPruned rows, sum $sPruned) != full scan ($nFull rows, sum $sFull)")
     println(f"PROBE range=[$qLo,$qHi] rows=$nFull files_full=${allTiles.size} " +
       f"files_pruned=${pruned.size} t_full=${tFull}%.2f t_pruned=${tPruned}%.2f " +

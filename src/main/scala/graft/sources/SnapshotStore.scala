@@ -122,6 +122,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     */
   def commit(name: String, df: DataFrame, statsCol: Option[String]): Int = {
     val v = currentVersion.getOrElse(0) + 1
+    // concurrent-writer detection: two committers on the same root
+    // would both allocate version N+1 and silently clobber each
+    // other's data + manifest, last pointer flip winning. The store
+    // is single-writer by design (one driver owns a root); make a
+    // violation loud instead of a silent lost commit. (Not a full
+    // CAS — a true multi-writer protocol needs an atomic catalog —
+    // but it catches the realistic double-run-of-the-same-job case.)
+    if (Files.exists(snapshotJson(v)))
+      throw new IllegalStateException(
+        s"version $v already has a manifest but the current pointer is at " +
+          s"${currentVersion.getOrElse(0)} — another writer is active on $root " +
+          "(or a crashed commit left a torn manifest; delete it to recover)")
     val out = dataPath(v, name)
     df.write.mode("overwrite").parquet(out) // the only pass over the data
     val partCounts = fileMetricsOf(out, statsCol)
@@ -177,10 +189,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val it = fs.listFiles(p, true)
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     while (it.hasNext) files += it.next()
-    files.toSeq
+    val statuses = files.toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
-      .map { s =>
+    def readOne(s: org.apache.hadoop.fs.FileStatus): (String, Int, Long, Option[(Long, Long)]) = {
         val fname = s.getPath.getName
         // committer naming is "part-NNNNN-uuid..."; anything else
         // (foreign committers, over-long numeric prefixes) degrades
@@ -221,6 +233,19 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         } finally reader.close()
         (s.getPath.toString, part, rows, mm)
       }
+
+    // footer reads are independent filesystem round-trips: run them on
+    // a bounded pool — serially, a large table's footers would make
+    // this "metadata-only" step O(file count) in driver round-trip
+    // latency (order is preserved: futures are collected in order)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, statuses.size)))
+    try statuses.map { s =>
+      pool.submit(new java.util.concurrent.Callable[(String, Int, Long, Option[(Long, Long)])] {
+        override def call(): (String, Int, Long, Option[(Long, Long)]) = readOne(s)
+      })
+    }.map(_.get())
+    finally pool.shutdown()
   }
 
   /** Read `name` restricted to rows whose zone-map column lies in

@@ -106,6 +106,21 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.readPruned("plain", 0, 1) }
   }
 
+  test("concurrent-writer version collision is detected, not clobbered") {
+    val root = Files.newTmp("conflict")
+    val store = new SnapshotStore(spark, root)
+    store.commit("a", spark.range(3).toDF("x"))
+    // simulate a second writer that already wrote the next version's
+    // manifest while our pointer still reads the old version
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_snapshots", "v2.json"), "{}")
+    intercept[IllegalStateException] { store.commit("b", spark.range(3).toDF("x")) }
+    // recovery path: removing the foreign manifest unblocks commits
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_snapshots", "v2.json"))
+    assert(store.commit("b", spark.range(3).toDF("x")) == 2)
+  }
+
   test("copy-on-write merge updates matched keys, inserts new, keeps history") {
     import spark.implicits._
     val root = Files.newTmp("merge")

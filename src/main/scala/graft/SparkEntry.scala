@@ -611,19 +611,21 @@ object SparkEntry {
       // integer count filter in the DuckDB mirror) so every mirrored
       // track provably takes the cubic path at any scale — never the
       // engine's short-track fallback orders.
-      val ev = t(s, dir, "events")
+      val evBase = t(s, dir, "events")
         .withColumn("tsec", col("event_id").cast("double"))
         .withColumn("lat", latRad(col("event_id")))
         .withColumn("lon", lonRad(col("event_id")))
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("depth", (col("event_id") % 97).cast("double"))
         .select(col("user_id"), col("tsec"), col("n"), col("depth"))
-        // DISTINCT-timestamp count: the spline dedups same-t fixes, so
-        // a raw-row filter could keep a track whose knot count is
-        // below the cubic minimum (engine would degrade order, the
-        // mirror would not) — count what the solver actually sees
-        .withColumn("__n",
-          size(collect_set(col("tsec")).over(Window.partitionBy("user_id"))))
+      // DISTINCT-timestamp count: the spline dedups same-t fixes, so a
+      // raw-row filter could keep a track whose knot count is below
+      // the cubic minimum (engine would degrade order, the mirror
+      // would not) — count what the solver actually sees. Aggregate +
+      // join, not a collect_set window (which materializes the full
+      // distinct set once per ROW — O(rows x distinct) on long tracks)
+      val ev = evBase.join(
+        evBase.groupBy("user_id").agg(countDistinct("tsec").as("__n")), "user_id")
         .filter(col("__n") >= 4).drop("__n")
       val qs = t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)
@@ -644,15 +646,15 @@ object SparkEntry {
       // integer filter in the DuckDB mirror), so every mirrored track
       // keeps the full 7-tap window and the quadratic order at any
       // scale — never the window-truncation or short-track fallbacks
-      val ev = t(s, dir, "events")
+      val evBase = t(s, dir, "events")
         .withColumn("tsec", col("event_id").cast("double"))
         .withColumn("lat", latRad(col("event_id")))
         .withColumn("lon", lonRad(col("event_id")))
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("depth", (col("event_id") % 97).cast("double"))
         .select(col("user_id"), col("tsec"), col("n"), col("depth"))
-        .withColumn("__n", // distinct-timestamp count, see q41
-          size(collect_set(col("tsec")).over(Window.partitionBy("user_id"))))
+      val ev = evBase.join( // distinct-timestamp count, see q41
+        evBase.groupBy("user_id").agg(countDistinct("tsec").as("__n")), "user_id")
         .filter(col("__n") >= 8).drop("__n")
       val qs = t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("tsec", col("user_id").cast("double") * 7.0 + 100.0)

@@ -206,10 +206,16 @@ final case class GeoPath(a: GeoPoint, b: GeoPoint) {
       case _ => Gade.greatCircleDistance(nA, nB, meanRadius)
     }
 
+  /** Cross-track distance; the reference supports ONLY 'greatcircle'
+    * and 'euclidean' here (no ellipsoidal variant exists for
+    * cross-track, core.py:1011) and dispatches on the first letter
+    * (core.py:1036) — so, mirroring it, "ellipsoid"/"exact" land on
+    * the euclidean branch. That is reference parity, not an
+    * oversight; see [[trackDistance]] for the method that does have
+    * an ellipsoidal option.
+    */
   def crossTrackDistance(point: GeoPoint, method: String = "greatcircle"): Double =
     Gade.crossTrackDistance(nA, nB, Gade.latLonToNvec(point.lat, point.lon),
-      // reference dispatch (core.py:1036): 'e' -> euclidean, anything
-      // else -> great circle
       greatCircle = method.head.toLower != 'e', meanRadius)
 
   def intersect(other: GeoPath): GeoPoint = {

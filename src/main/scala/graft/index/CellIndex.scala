@@ -180,6 +180,25 @@ object CellIndex {
     dirOf(faceOf(id), u, v)
   }
 
+  /** Corner ring of a cell as flat [x0,y0,z0,...] unit n-vectors
+    * (counter-clockwise) — directly consumable by the
+    * point-in-polygon kernel. Lives here (not in the raster operator)
+    * because it is pure cell geometry; Raster/vectorize delegate.
+    */
+  def cellCornersFlat(id: Long): Array[Double] = {
+    val level = levelOf(id)
+    val scale = 1 << level
+    val step = 2.0 / scale
+    val u0 = iOf(id) * step - 1.0
+    val v0 = jOf(id) * step - 1.0
+    val face = faceOf(id)
+    val corners = Seq((u0, v0), (u0 + step, v0), (u0 + step, v0 + step), (u0, v0 + step))
+    corners.flatMap { case (u, v) =>
+      val c = graft.geo.VecMath.unit(dirOf(face, u, v))
+      Seq(c.x, c.y, c.z)
+    }.toArray
+  }
+
   /** 3D direction through face-local (u, v); valid for |u|,|v| > 1 too
     * (lands on the neighboring face), making ring generation
     * face-crossing-safe.

@@ -25,10 +25,10 @@ object CellKernels {
   }
 
   /** Corner ring of the cell as flat [x0,y0,z0,...] unit n-vectors
-    * (see Raster.cellCornersFlat).
+    * (see CellIndex.cellCornersFlat).
     */
   def cornersFlat(id: Long): ArrayData =
-    new GenericArrayData(graft.operators.Raster.cellCornersFlat(id))
+    new GenericArrayData(CellIndex.cellCornersFlat(id))
 
   def ring(id: Long, k: Int): ArrayData =
     new GenericArrayData(CellIndex.ring(id, k))

@@ -64,17 +64,32 @@ object DedupKernels {
     */
   private def codePoints(s: String): Array[Int] = s.codePoints().toArray
 
+  /** Shingle plan matching the expression form exactly: the COUNT
+    * comes from the PRE-lowercase code-point length (the expression's
+    * `sequence` bound uses `length(text)` before `lower()`), while
+    * the slices index the LOWERCASED code points with substring-style
+    * clamping — lowercasing can change length (U+0130 -> "i" + dot),
+    * and counting the lowered text would shift every shingle versus
+    * the expression/oracle form.
+    */
+  private def shinglePlan(raw: String, k: Int, cap: Int): (Array[Int], Int) = {
+    val preN = raw.codePointCount(0, raw.length)
+    val cps = codePoints(raw.toLowerCase(java.util.Locale.ROOT))
+    (cps, math.min(if (preN <= k) 1 else preN - k + 1, cap))
+  }
+
+  private def shingleAt(cps: Array[Int], i: Int, k: Int): String =
+    if (i >= cps.length) "" else new String(cps, i, math.min(k, cps.length - i))
+
   def onePermMinHash(text: UTF8String, k: Int, cap: Int, numBuckets: Int,
                      basis: UTF8String): GenericArrayData = {
-    val cps = codePoints(text.toString.toLowerCase(java.util.Locale.ROOT))
+    val (cps, nShingles) = shinglePlan(text.toString, k, cap)
     val md5 = basis.toString == "md5"
-    val n = cps.length
-    val nShingles = math.min(if (n <= k) 1 else n - k + 1, cap)
     val mins = Array.fill(numBuckets)(Long.MaxValue)
     val seen = new Array[Boolean](numBuckets)
     var i = 0
     while (i < nShingles) {
-      val sh = new String(cps, i, math.min(k, n - i))
+      val sh = shingleAt(cps, i, k)
       val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h = if (md5) md5Hash60(bytes) else fnv64(bytes)
       val b = java.lang.Math.floorMod(h, numBuckets.toLong).toInt
@@ -106,13 +121,11 @@ object DedupKernels {
     * planning/codegen (the gate pays cold-plan cost once per query).
     */
   def simHash60Md5(text: UTF8String, k: Int, cap: Int): Long = {
-    val cps = codePoints(text.toString.toLowerCase(java.util.Locale.ROOT))
-    val n = cps.length
-    val nShingles = math.min(if (n <= k) 1 else n - k + 1, cap)
+    val (cps, nShingles) = shinglePlan(text.toString, k, cap)
     val votes = new Array[Int](64)
     var i = 0
     while (i < nShingles) {
-      val h = md5Hash60(new String(cps, i, math.min(k, n - i))
+      val h = md5Hash60(shingleAt(cps, i, k)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var b = 0
       while (b < 64) {

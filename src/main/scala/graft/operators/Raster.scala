@@ -48,22 +48,10 @@ object Raster {
       .agg(measures.head, measures.tail: _*)
 
   /** Corner ring of a cell as flat [x0,y0,z0,...] n-vector array —
-    * directly consumable by `cells.pointInPolygon`.
+    * directly consumable by `cells.pointInPolygon` (pure cell
+    * geometry; delegates to the index layer).
     */
-  def cellCornersFlat(id: Long): Array[Double] = {
-    val level = CellIndex.levelOf(id)
-    val scale = 1 << level
-    val step = 2.0 / scale
-    val u0 = CellIndex.iOf(id) * step - 1.0
-    val v0 = CellIndex.jOf(id) * step - 1.0
-    val face = CellIndex.faceOf(id)
-    // counter-clockwise corner order
-    val corners = Seq((u0, v0), (u0 + step, v0), (u0 + step, v0 + step), (u0, v0 + step))
-    corners.flatMap { case (u, v) =>
-      val c = VecMath.unit(CellIndex.dirOf(face, u, v))
-      Seq(c.x, c.y, c.z)
-    }.toArray
-  }
+  def cellCornersFlat(id: Long): Array[Double] = CellIndex.cellCornersFlat(id)
 
   /** Vectorize: cells -> polygon rows (cell, corner lat/lon arrays in
     * degrees + the flat n-vector ring). The inverse of rasterize at

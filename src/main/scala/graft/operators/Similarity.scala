@@ -32,7 +32,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, data: DataFrame,
                      qVec: String, dVec: String, qId: String, dId: String,
                      k: Int, simCol: String = "cosine"): DataFrame = {
-    requireDisjoint(queries, data)
+    requireDisjoint(queries, data, qVec, dVec, qId, dId)
     val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
     queries.crossJoin(data)
       .withColumn(simCol, cosine(col(qVec), col(dVec)))
@@ -225,16 +225,23 @@ object Similarity {
     * Contract: `qS` has columns (__qid, __qvec); stages map a frame
     * with those columns to (__qid, __did) pairs.
     */
-  /** The approximate top-k operators join query and data columns into
-    * one output frame, so shared names would be silently ambiguous;
-    * fail fast with the remedy instead of an AnalysisException deep in
-    * the final re-rank plan (self-kNN: rename one side first, e.g.
-    * `data.toDF(data.columns.map("d_" + _): _*)`).
+  /** The top-k operators REFERENCE the vec/id columns after joining
+    * query and data into one frame, so those four names must be
+    * unambiguous: fail fast with the remedy instead of an
+    * AnalysisException deep in the final re-rank plan (self-kNN:
+    * rename one side first, e.g.
+    * `data.toDF(data.columns.map("d_" + _): _*)`). Unreferenced
+    * passenger columns MAY share names — the output then simply
+    * carries duplicates, as any Spark join does.
     */
-  private def requireDisjoint(queries: DataFrame, data: DataFrame): Unit = {
-    val overlap = queries.columns.toSet intersect data.columns.toSet
+  private def requireDisjoint(queries: DataFrame, data: DataFrame,
+                              qVec: String, dVec: String,
+                              qId: String, dId: String): Unit = {
+    val referenced = Set(qVec, dVec, qId, dId)
+    val overlap = (queries.columns.toSet intersect data.columns.toSet)
+      .intersect(referenced)
     require(overlap.isEmpty,
-      s"queries and data share column names ${overlap.mkString(", ")}; " +
+      s"queries and data share referenced column names ${overlap.mkString(", ")}; " +
         "rename one side before calling (self-kNN: " +
         "data.toDF(data.columns.map(\"d_\" + _): _*))")
   }
@@ -245,7 +252,7 @@ object Similarity {
                             qS: DataFrame,
                             stages: Seq[DataFrame => DataFrame],
                             opName: String): DataFrame = {
-    requireDisjoint(queries, data)
+    requireDisjoint(queries, data, qVec, dVec, qId, dId)
     val w = Window.partitionBy(qId).orderBy(col(simCol).desc, col(dId))
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = {

@@ -126,14 +126,21 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // would both allocate version N+1 and silently clobber each
     // other's data + manifest, last pointer flip winning. The store
     // is single-writer by design (one driver owns a root); make a
-    // violation loud instead of a silent lost commit. (Not a full
-    // CAS — a true multi-writer protocol needs an atomic catalog —
-    // but it catches the realistic double-run-of-the-same-job case.)
-    if (Files.exists(snapshotJson(v)))
-      throw new IllegalStateException(
-        s"version $v already has a manifest but the current pointer is at " +
-          s"${currentVersion.getOrElse(0)} — another writer is active on $root " +
-          "(or a crashed commit left a torn manifest; delete it to recover)")
+    // violation loud instead of a silent lost commit. A manifest for
+    // v carrying the SAME name is this job's own torn commit (crash
+    // between manifest write and pointer flip — streaming replay hits
+    // exactly this window) and is safely re-written; a DIFFERENT name
+    // means a genuinely foreign writer. (Not a full CAS — a true
+    // multi-writer protocol needs an atomic catalog.)
+    if (Files.exists(snapshotJson(v))) {
+      val tornName = ("\"name\": \"(" + JsonStr + ")\"").r
+        .findFirstMatchIn(Files.readString(snapshotJson(v))).map(m => unesc(m.group(1)))
+      if (!tornName.contains(name))
+        throw new IllegalStateException(
+          s"version $v already has a manifest for '${tornName.getOrElse("?")}' but " +
+            s"the current pointer is at ${currentVersion.getOrElse(0)} — another " +
+            s"writer is active on $root")
+    }
     val out = dataPath(v, name)
     df.write.mode("overwrite").parquet(out) // the only pass over the data
     val partCounts = fileMetricsOf(out, statsCol)
@@ -386,9 +393,24 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     require(dup.isEmpty,
       s"merge source has multiple rows for key ${dup.headOption.mkString} — " +
         "deduplicate updates before merging")
+    // zone-map continuity (same contract as compact): unless the
+    // caller overrides, inherit the table's statsCol from the current
+    // manifest and keep the output range-clustered on it — otherwise
+    // a routine merge would silently strip pruning from the table
+    val effStats = statsCol.orElse {
+      val v = versionOf(name).get
+      ("\"statsCol\": \"(" + JsonStr + ")\"").r
+        .findFirstMatchIn(Files.readString(snapshotJson(v)))
+        .map(m => unesc(m.group(1)))
+    }
     val kept = cur.join(updates.select(keyCols.map(col): _*).distinct(),
       keyCols, "left_anti")
-    commit(name, kept.unionByName(updates), statsCol)
+    val merged = kept.unionByName(updates)
+    val out = effStats match {
+      case Some(c) => merged.repartitionByRange(col(c))
+      case None => merged
+    }
+    commit(name, out, effStats)
   }
 
   /** Expire all but the newest `keepLast` versions of every name

@@ -83,11 +83,13 @@ object GeoStreams {
             val sorted = fixes.toArray.sortBy(_.t)
             var last = state.getOption
             val out = sorted.iterator.flatMap { f =>
-              // cross-batch stragglers: a fix OLDER than the carried
-              // state would emit a reversed-leg bearing and regress
-              // the state — drop it (sorting only orders within the
-              // batch, it cannot see earlier batches)
-              if (last.exists(_.t > f.t)) Iterator.empty
+              // cross-batch stragglers: a fix at or before the carried
+              // state's time is either a reversed leg (older) or an
+              // at-least-once redelivery (equal t — emitting it would
+              // produce a bogus zero-distance bearing); drop both
+              // (sorting only orders within the batch, it cannot see
+              // earlier batches)
+              if (last.exists(_.t >= f.t)) Iterator.empty
               else {
                 val bearing = last.map { p =>
                   Cog(track, f.t, graft.geo.Gade.azimuth(

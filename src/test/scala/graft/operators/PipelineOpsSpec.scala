@@ -54,7 +54,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       // non-BMP code points (surrogate pairs in UTF-16): shingle
       // indexing must count code points like Spark substring does
       "rocket 🚀 and globe 🌍 mixed in",
-      "🚀🌍🔥éü ascii tail"
+      "🚀🌍🔥éü ascii tail",
+      // U+0130: lowercasing EXPANDS it to two code points, so the
+      // shingle count must come from the pre-lowercase length (the
+      // expression form's sequence bound) or every shingle shifts
+      "İstanbul İİ text"
     ).toDF("text")).withColumnRenamed("text", "t")
     val cmp = edge.select(
       Dedup.simHashMd5(col("t")).as("k_sig"),

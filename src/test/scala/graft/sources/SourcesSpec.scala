@@ -119,6 +119,14 @@ class SourcesSpec extends AnyFunSuite {
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(root, "_snapshots", "v2.json"))
     assert(store.commit("b", spark.range(3).toDF("x")) == 2)
+    // a torn manifest from OUR OWN crashed commit (same name, pointer
+    // not flipped — the streaming-replay window) self-heals: the
+    // re-commit overwrites it instead of refusing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_snapshots", "v3.json"),
+      """{ "version": 3, "name": "c", "rowCount": 0, "files": [], "lineage": [] }""")
+    assert(store.commit("c", spark.range(4).toDF("x")) == 3)
+    assert(store.read("c").count() == 4)
   }
 
   test("copy-on-write merge updates matched keys, inserts new, keeps history") {

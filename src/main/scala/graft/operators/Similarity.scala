@@ -156,18 +156,54 @@ object Similarity {
     * local top-k provably contains the global top-k under the final
     * exact re-rank.
     */
-  private def localTopKPairs(starved: DataFrame, data: DataFrame,
-                             dVec: String, dId: String, k: Int): DataFrame = {
+  private[operators] def localTopKPairs(starved: DataFrame, data: DataFrame,
+                                        dVec: String, dId: String, k: Int,
+                                        chunkSize: Int = 10000): DataFrame = {
     val spark = data.sparkSession
-    def toDoubles(s: Seq[Any]): Array[Double] =
-      s.iterator.map(x => x.asInstanceOf[Number].doubleValue()).toArray
-    val qVecs: Array[(Any, Array[Double])] = starved.select("__qid", "__qvec")
-      .collect().map(r => (r.get(0), toDoubles(r.getSeq[Any](1))))
-    val bc = spark.sparkContext.broadcast(qVecs)
+    require(chunkSize >= 1, s"chunkSize must be >= 1 (got $chunkSize)")
     val dFull = data.select(col(dId).as("__did"), col(dVec).as("__dvec"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__qid", starved.schema("__qid").dataType),
       org.apache.spark.sql.types.StructField("__did", dFull.schema("__did").dataType)))
+    // CHUNKED driver pull: |starved| is unbounded in principle (a
+    // pathological embedding distribution can starve every query), so
+    // a single collect() of all starved vectors could OOM the driver.
+    // toLocalIterator streams one partition at a time and each pass
+    // broadcasts at most `chunkSize` vectors (~5 MB at dim 64), at the
+    // cost of one data scan per chunk — the bounded-memory trade this
+    // last-resort path wants. Results union lazily; each chunk's
+    // broadcast stays referenced by its own RDD until the caller's
+    // final materialization, then ContextCleaner reclaims them.
+    val starvedRows = starved.select("__qid", "__qvec").toLocalIterator()
+    var parts: List[DataFrame] = Nil
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def flush(): Unit = if (buf.nonEmpty) {
+      parts ::= localTopKChunk(buf.toArray, dFull, outSchema, k)
+      buf.clear()
+    }
+    while (starvedRows.hasNext) {
+      buf += starvedRows.next()
+      if (buf.size >= chunkSize) flush()
+    }
+    flush()
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** One bounded pass of [[localTopKPairs]]: per-partition heap scan
+    * of the data against <= chunkSize broadcast query vectors.
+    */
+  private def localTopKChunk(rows: Array[org.apache.spark.sql.Row],
+                             dFull: DataFrame,
+                             outSchema: org.apache.spark.sql.types.StructType,
+                             k: Int): DataFrame = {
+    val spark = dFull.sparkSession
+    def toDoubles(s: Seq[Any]): Array[Double] =
+      s.iterator.map(x => x.asInstanceOf[Number].doubleValue()).toArray
+    val qVecs: Array[(Any, Array[Double])] =
+      rows.map(r => (r.get(0), toDoubles(r.getSeq[Any](1))))
+    val bc = spark.sparkContext.broadcast(qVecs)
     def cmpId(x: Any, y: Any): Int = x.asInstanceOf[Comparable[Any]].compareTo(y)
     // max-heap whose head is the WORST kept candidate: smaller cosine
     // (ties: larger id) ranks greater — same total order, negated, as

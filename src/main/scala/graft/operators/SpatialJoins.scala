@@ -66,7 +66,8 @@ object SpatialJoins {
                    distCol: String = "dist_m",
                    broadcastRight: Boolean = false,
                    skewSalt: Int = 0,
-                   hotCellThreshold: Long = 1000000L): DataFrame = {
+                   hotCellThreshold: Long = 1000000L,
+                   sampleCellFraction: Double = 0.001): DataFrame = {
     val angle = radiusMeters / sphereRadius
     require(radiusMeters >= 0 && angle <= math.Pi,
       s"radiusMeters=$radiusMeters out of range for sphereRadius=$sphereRadius")
@@ -108,13 +109,29 @@ object SpatialJoins {
       if (skewSalt <= 1) (probes0.withColumn("__salt", lit(0)),
         build0.withColumn("__salt", lit(0)))
       else {
-        // heavy-hitter pre-pass on the probe side: AQE can split skewed
-        // shuffle partitions but not one giant key, so hot cells get a
-        // per-row salt while the build side replicates only those
-        // cells x skewSalt (north_rule "salted repartitioning of hot
-        // cells")
-        val hot = probes0.groupBy("__cell").count()
-          .filter(col("count") >= hotCellThreshold)
+        // heavy-hitter detection on a BOUNDED SAMPLE of the probe side:
+        // AQE can split skewed shuffle partitions but not one giant
+        // key, so hot cells get a per-row salt while the build side
+        // replicates only those cells x skewSalt (north_rule "salted
+        // repartitioning of hot cells"). Sampling BEFORE the ring
+        // explode keeps the pre-pass a column-pruned 0.1% scan + tiny
+        // agg instead of a full groupBy over every probe row (at
+        // 100 TB the full pre-pass doubled the probe-side scan): a
+        // cell with >= hotCellThreshold rows appears >= threshold *
+        // frac times in expectation, and the detection cut at HALF
+        // that count makes a miss exponentially unlikely (Chernoff:
+        // P[Binomial(1e6, 1e-3) < 500] < 1e-70). Detection only
+        // steers COST (which cells get salted), never correctness —
+        // the join result is identical for any hot set, so sampling
+        // noise can only under- or over-salt a borderline-warm cell.
+        val frac = math.min(1.0, math.max(
+          sampleCellFraction, 1000.0 / math.max(1.0, hotCellThreshold.toDouble)))
+        val sampleCut = math.max(2L, (hotCellThreshold * frac / 2.0).toLong)
+        val hot = left.sample(withReplacement = false, frac, seed = 42L)
+          .select(explode(cells.ringCells(cells.cellAt(col(leftNvec), level), ringK))
+            .as("__cell"))
+          .groupBy("__cell").count()
+          .filter(col("count") >= sampleCut)
           .collect().map(_.getLong(0))
         val hotSet = hot.toSet
         val isHot = (c: Column) =>
@@ -172,25 +189,71 @@ object SpatialJoins {
     val wStat = Window.partitionBy(qId)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
+    // a spherical coverage radius only bounds GEODESIC distances after
+    // deflation: the n-vector angle theta between two points satisfies
+    // theta <= s / R_min (the normal turns at most 1/R_min radians per
+    // meter of path, R_min = min radius of curvature = the meridional
+    // M at the equator = a(1-f)^2), so geodesic s >= theta * a(1-f)^2
+    // = gc_m * (a(1-f)^2 / sphereRadius). The previous factor (1 - f)
+    // alone was NOT a sound bound: R*(1-f) ~ 6349.7 km exceeds
+    // a(1-f)^2 ~ 6335.4 km, so an equatorial meridional near-tie
+    // could beat the certified coverage by up to 0.22%.
+    val covDeflate =
+      if (geodesicReRank) {
+        val e = graft.geo.Ellipsoids.WGS84
+        e.a * (1.0 - e.f) * (1.0 - e.f) / sphereRadius
+      } else 1.0
+
     // candidate selection always uses the spherical metric (the block
     // coverage proof is spherical); with geodesicReRank the final
-    // ordering re-ranks a 3k-deep candidate pool by the exact Karney
-    // ellipsoidal distance (flattening can only reorder near-ties, so
-    // a 3x pool keeps the top-k exact for terrestrial flattenings)
+    // ordering re-ranks by the exact Karney ellipsoidal distance over
+    // a PROVABLY sufficient pool (see reRankGeodesic)
     def rank(cand: DataFrame): DataFrame = {
       val gcRanked = cand
         .withColumn(distCol, geo.gcDistance(col(qNvec), col(dNvec), sphereRadius))
         .withColumn("rank", row_number().over(w))
       if (!geodesicReRank) gcRanked.filter(col("rank") <= k)
-      else {
-        val wG = Window.partitionBy(qId).orderBy(col("geodesic_m"), col(dId))
-        gcRanked.filter(col("rank") <= 3 * k)
-          .withColumn("geodesic_m", geo.geodesicDistance(
-            geo.lat(col(qNvec)), geo.lon(col(qNvec)),
-            geo.lat(col(dNvec)), geo.lon(col(dNvec))))
-          .withColumn("rank", row_number().over(wG))
-          .filter(col("rank") <= k)
-      }
+      else reRankGeodesic(gcRanked)
+    }
+
+    /** Exact ellipsoidal re-rank with a provable pool cut. A geodesic
+      * distance is bounded below by the spherical one deflated by the
+      * flattening (geodesic >= gc * (1 - f), the same bound the ring
+      * coverage test uses), so:
+      *
+      *  1. rank the first 3k spherical candidates by exact geodesic;
+      *     their k-th geodesic `__gk1` is an UPPER bound on the true
+      *     k-th (the pool is a valid candidate set of >= k rows
+      *     whenever the partition has >= k rows);
+      *  2. any candidate with gc * (1 - f) > __gk1 has geodesic
+      *     > __gk1 >= true k-th and is provably outside the top-k;
+      *     every other candidate gets the exact geodesic and enters
+      *     the final rank.
+      *
+      * The second tier is almost always empty (flattening only
+      * reorders near-ties, so the 3k pool already contains the cut),
+      * but the cut is what makes the result EXACT for any
+      * distribution, not heuristic. All windows share the qId hash
+      * partitioning — one exchange, extra sorts only.
+      */
+    def reRankGeodesic(gcRanked: DataFrame): DataFrame = {
+      val geodExpr = geo.geodesicDistance(
+        geo.lat(col(qNvec)), geo.lon(col(qNvec)),
+        geo.lat(col(dNvec)), geo.lon(col(dNvec)))
+      val wG1 = Window.partitionBy(qId)
+        .orderBy(col("__g1").asc_nulls_last, col(dId))
+      val wG = Window.partitionBy(qId)
+        .orderBy(col("geodesic_m").asc_nulls_last, col(dId))
+      gcRanked
+        .withColumn("__g1", when(col("rank") <= 3 * k, geodExpr))
+        .withColumn("__rg1", row_number().over(wG1))
+        .withColumn("__gk1", max(when(col("__rg1") <= k, col("__g1"))).over(wStat))
+        .withColumn("geodesic_m",
+          when(col("__g1").isNotNull, col("__g1"))
+            .otherwise(when(col(distCol) * covDeflate <= col("__gk1"), geodExpr)))
+        .withColumn("rank", row_number().over(wG))
+        .filter(col("rank") <= k && col("geodesic_m").isNotNull)
+        .drop("__g1", "__rg1", "__gk1")
     }
 
     /** rank() plus the per-query satisfaction stats folded into the
@@ -209,26 +272,12 @@ object SpatialJoins {
         .withColumn("__cnt", count(lit(1)).over(wAllOrd))
       val top =
         if (!geodesicReRank) gcRanked.filter(col("rank") <= k)
-        else {
-          val wG = Window.partitionBy(qId).orderBy(col("geodesic_m"), col(dId))
-          gcRanked.filter(col("rank") <= 3 * k)
-            .withColumn("geodesic_m", geo.geodesicDistance(
-              geo.lat(col(qNvec)), geo.lon(col(qNvec)),
-              geo.lat(col(dNvec)), geo.lon(col(dNvec))))
-            .withColumn("rank", row_number().over(wG))
-            .filter(col("rank") <= k)
-        }
+        else reRankGeodesic(gcRanked)
       // child is already hash-partitioned and qId-clustered: no
       // exchange, no sort for the unordered stats window
       top.withColumn("__kth",
         max(col(if (geodesicReRank) "geodesic_m" else distCol)).over(wStat))
     }
-
-    // a spherical coverage radius only bounds GEODESIC distances after
-    // deflating by the flattening: an unprobed point just outside the
-    // block has geodesic distance >= coverage * R * (1 - f)
-    val covDeflate =
-      if (geodesicReRank) 1.0 - math.abs(graft.geo.Ellipsoids.WGS84.f) else 1.0
 
     // Size estimates from catalyst statistics — metadata only, never a
     // job over the data (a count() pre-pass would add a full-table

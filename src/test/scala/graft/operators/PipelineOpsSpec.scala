@@ -226,6 +226,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"rank ${r.getInt(1)} of query ${r.getLong(0)} is d_id ${r.getLong(2)}"))
   }
 
+  test("localTopKPairs chunks the starved-query collect, result unchanged") {
+    import spark.implicits._
+    // 53 starved queries with chunkSize 7 => 8 bounded passes; the
+    // union of per-pass results must equal the single-pass result and
+    // contain the global brute-force top-k ids of every query
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 64.0 + i + 1.0).toFloat)
+    val starved = (0 until 53).map(i => (i.toLong, vec(i).map(_.toDouble)))
+      .toDF("__qid", "__qvec")
+    val data = (0 until 400).map(i => (i.toLong, vec(1000 + i))).toDF("d_id", "d_vec")
+    val k = 3
+    def pairsWith(chunk: Int): Set[(Long, Long)] =
+      Similarity.localTopKPairs(starved, data, "d_vec", "d_id", k, chunkSize = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chunked = pairsWith(7)
+    val onePass = pairsWith(100000)
+    assert(chunked == onePass, "chunking changed the candidate pair set")
+    // local top-k per partition is a superset of the global top-k
+    val queries = starved.select(col("__qid").as("q_id"), col("__qvec").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(queries, data, "q_vec", "d_vec",
+        "q_id", "d_id", k)
+      .select("q_id", "d_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(chunked),
+      s"missing global top-k pairs: ${(brute -- chunked).take(5)}")
+  }
+
   test("IVF top-k: trained lists, probe recall vs brute force, exact k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val data = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))

@@ -126,6 +126,60 @@ class SpatialJoinsSpec extends AnyFunSuite {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("knn geodesic re-rank provable cut: near-tie outside the 3k pool") {
+    // adversarial construction: the true GEODESIC nearest neighbor is
+    // only 6th by spherical distance (outside the 3k = 3 pool at
+    // k = 1). Five candidates due EAST of an equatorial query at ~1
+    // deg (geodesic = a * angle, the longest meters-per-normal-angle
+    // direction) and one due NORTH at 1.0005 deg (meridional arc
+    // ~ a(1-f)^2-ish * angle, ~0.6% shorter) — the spherical order
+    // puts every east point first, the geodesic order puts north
+    // first. The provable pool cut (gc * a(1-f)^2/R <= pool k-th
+    // geodesic) must pull the north candidate in; the old fixed 3k
+    // pool returned an east point here.
+    import spark.implicits._
+    val q = Seq((0L, 0.0, 0.0)).toDF("q_id", "q_lat", "q_lon")
+      .withColumn("q_n", geo.nvecDeg(col("q_lat"), col("q_lon")))
+    val east = (0 until 5).map(i => (10L + i, 0.0, 1.0 + i * 0.00001))
+    val north = Seq((5L, 1.0005, 0.0))
+    val d = (east ++ north).toDF("d_id", "d_lat", "d_lon")
+      .withColumn("d_n", geo.nvecDeg(col("d_lat"), col("d_lon")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("g"), col("d_id"))
+    val brute = q.crossJoin(d)
+      .withColumn("g", geo.geodesicDistance(
+        geo.lat(col("q_n")), geo.lon(col("q_n")),
+        geo.lat(col("d_n")), geo.lon(col("d_n"))))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
+      .select("q_id", "d_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute == Set((0L, 5L, 1)), s"test construction broken: $brute")
+    for (thresh <- Seq(2000000L, 0L)) { // broadcast shortcut AND ring path
+      val got = SpatialJoins.knnJoin(q, d, "q_n", "d_n", "q_id", "d_id", 1,
+          bruteForceThreshold = thresh, geodesicReRank = true)
+        .select("q_id", "d_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"threshold=$thresh: got $got, want $brute")
+    }
+  }
+
+  test("salted join with production-scale threshold samples, stays exact") {
+    // hotCellThreshold at the 1M production default: the 0.1% sample
+    // of a small input finds no hot cells, so nothing salts — the
+    // result must still be exact (detection is cost-only)
+    val a = pointsDf(300, "a", 13)
+    val b = pointsDf(200, "b", 14)
+    val radius = 600e3
+    val salted = SpatialJoins.distanceJoin(a, b, "a_n", "b_n", radius,
+      skewSalt = 4, hotCellThreshold = 1000000L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.crossJoin(b)
+      .withColumn("d", geo.gcDistance(col("a_n"), col("b_n")))
+      .filter(col("d") <= radius)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && salted == brute)
+  }
+
   test("knn small-build shortcut equals ring path") {
     val q = pointsDf(60, "q", 21)
     val d = pointsDf(300, "d", 22)

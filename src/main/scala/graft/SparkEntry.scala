@@ -344,7 +344,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q19_dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
+      // the synthetic corpus has no exact duplicates at gate SFs, so
+      // the gate PLANTS a deterministic duplicate set inside the query
+      // (every 10th doc re-appears under a shifted id) — the oracle
+      // then compares a non-empty dedup result instead of being
+      // trivially satisfied by two empty frames
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      d.unionByName(planted)
         .groupBy(md5(col("text")).as("digest"))
         .agg(count(lit(1)).as("cnt"), min("doc_id").as("keeper"))
         .filter(col("cnt") > 1)
@@ -468,6 +476,44 @@ object SparkEntry {
           // the two engines agree to ~1e-12 deg, not bit-exactly
           round(degrees(col("fwd.lat2")), 6).as("dlat"),
           round(degrees(col("fwd.lon2")), 6).as("dlon"))
+        .orderBy("c_custkey")
+    }),
+    "q47_geodesic_meridional" -> ((s, dir) => {
+      // same-longitude pairs: the inverse solver's MERIDIONAL branch
+      // (alpha1 = 0, hybrid I1 along the meridian) — oracle-checked
+      // via Karney.meridionalSqlMirror. The |dlat| >= 0.01 filter
+      // (identical expression both sides) keeps every row >= 1e6 ULPs
+      // clear of the short-distance branch; |dlat| <= 0.985 by
+      // construction keeps it clear of the nearly-antipodal one.
+      custPts(s, dir)
+        .withColumn("lat2", col("lat") * 0.5 + 0.2)
+        .filter(abs(col("lat") * 0.5 + lit(0.2) - col("lat")) >= 0.01)
+        .withColumn("inv", geo.geodesicInverse(col("lat"), col("lon"),
+          col("lat2"), col("lon")))
+        .select(col("c_custkey"),
+          round(col("inv.s12"), 2).as("s12_m"),
+          round(col("inv.az1"), 7).as("az1"),
+          round(col("inv.az2"), 7).as("az2"))
+        .orderBy("c_custkey")
+    }),
+    "q48_geodesic_equatorial" -> ((s, dir) => {
+      // equator-to-equator pairs with lamda12 in ~[1.0, 3.0) rad
+      // (< (1-f)*pi): the solver's EQUATORIAL branch keeps the
+      // Vincenty-start distance s12 = a * wbar * sigma12 and pins
+      // azimuths at pi/2 — oracle-checked via
+      // Karney.equatorialSqlMirror. The pi/3.15 factor de-aligns the
+      // grid from the 2-dp rounding boundary: a plain k/1000 grid
+      // times the INTEGER equatorial radius a = 6378137 m lands s12
+      // exactly on x.xx5 meters for k = 5 mod 10, where 1-ulp
+      // cross-engine atan2 deltas flip the rounded cent
+      val lam = ((col("c_custkey") % 2000).cast("double") / 1000.0 + 1.0) *
+        math.Pi / 3.15
+      t(s, dir, "customer")
+        .withColumn("inv", geo.geodesicInverse(lit(0.0), lit(0.0), lit(0.0), lam))
+        .select(col("c_custkey"),
+          round(col("inv.s12"), 2).as("s12_m"),
+          round(col("inv.az1"), 7).as("az1"),
+          round(col("inv.az2"), 7).as("az2"))
         .orderBy("c_custkey")
     }),
     "q32_knn_embedding" -> ((s, dir) => {
@@ -976,8 +1022,10 @@ object SparkEntry {
           | length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS punct,
           | n_chars FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q19_dedup_exact" ->
-        """SELECT md5(text) AS digest, count(*) AS cnt, min(doc_id) AS keeper
-          | FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY digest""".stripMargin.replace("\n", " "),
+        """WITH docs AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+          | SELECT md5(text) AS digest, count(*) AS cnt, min(doc_id) AS keeper
+          | FROM docs GROUP BY md5(text) HAVING count(*) > 1 ORDER BY digest""".stripMargin.replace("\n", " "),
       "q20_embed_norm" ->
         """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
           | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))::DOUBLE, 4) AS l2, label
@@ -1332,6 +1380,28 @@ object SparkEntry {
              | ${lonSql("c_custkey")} AS azi FROM customer)""".stripMargin.replace("\n", " ")
         "SELECT c_custkey, round(degrees(lat2), 6) AS dlat, round(degrees(lon2), 6) AS dlon FROM (" +
           graft.geo.Karney(wa, wf).directSqlMirror(from, "c_custkey") +
+          ") ORDER BY c_custkey"
+      },
+      // closed-form mirrors of the inverse solver's MERIDIONAL and
+      // EQUATORIAL special branches (Karney.meridionalSqlMirror /
+      // equatorialSqlMirror) — closes the last oracle asymmetry on
+      // the numerical core: q30 gates the Newton+hybrid general path,
+      // these gate the two branches it excludes (the astroid and
+      // short-distance branches keep their GeodSolve golden suites)
+      "q47_geodesic_meridional" -> {
+        val from =
+          s"""(SELECT c_custkey, ${latSql("c_custkey")} AS lat1,
+             | ${latSql("c_custkey")} * 0.5 + 0.2 AS lat2 FROM customer
+             | WHERE abs((${latSql("c_custkey")} * 0.5 + 0.2) - ${latSql("c_custkey")}) >= 0.01)""".stripMargin.replace("\n", " ")
+        "SELECT c_custkey, round(s12, 2) AS s12_m, round(az1, 7) AS az1, round(az2, 7) AS az2 FROM (" +
+          graft.geo.Karney(wa, wf).meridionalSqlMirror(from, "c_custkey") +
+          ") ORDER BY c_custkey"
+      },
+      "q48_geodesic_equatorial" -> {
+        val from =
+          "(SELECT c_custkey, ((c_custkey % 2000) / 1000.0 + 1.0) * pi() / 3.15 AS lam0 FROM customer)"
+        "SELECT c_custkey, round(s12, 2) AS s12_m, round(az1, 7) AS az1, round(az2, 7) AS az2 FROM (" +
+          graft.geo.Karney(wa, wf).equatorialSqlMirror(from, "c_custkey") +
           ") ORDER BY c_custkey"
       },
       "q37_course_over_ground" ->

@@ -394,6 +394,84 @@ final class Karney private (val a: Double, val f: Double) {
   /** Astroid starting azimuth for nearly-antipodal pairs
     * (Karney eqs 55-57, table 4); oblate and prolate branches.
     */
+  /** ANSI-SQL mirror of [[inverse]] for MERIDIONAL pairs (lon1 ==
+    * lon2 EXACTLY, so lamda12 = 0): the solver sets alpha1 =
+    * signum(dblat) * 0 = 0 and runs only the hybrid distance
+    * (table 6) along the meridian, where alpha0 = 0 makes epsilon a
+    * per-ellipsoid CONSTANT — the I1 integral collapses to a closed
+    * form DuckDB evaluates directly (no Newton, no recursion).
+    * Azimuths restore to exactly 0 (northward) or pi (southward);
+    * the canonicalization (swap to |b1| >= |b2|, negate to b1 <= 0)
+    * is mirrored op-for-op because the sigma values feed
+    * transcendental functions where argument signs matter at the
+    * last ulp. I1's Clenshaw sum is unrolled like the other mirrors
+    * (deltas ~1e-15 relative — round s12 to <= 2 dp of a meter).
+    *
+    * `from` must provide ($key, lat1, lat2) [radians] with
+    * 0.01 <= |lat2 - lat1| <= 2.0 — the caller applies that filter
+    * on BOTH sides, keeping every row >= 1e6 ULPs clear of the
+    * short-distance (s12 < a*1e-4) and nearly-antipodal branch
+    * thresholds so the engines classify identically. Emits
+    * ($key, s12, az1, az2). Mirrors [[inverse]] lines 515-545 for
+    * meridional && !equatorial (reference: karney.py:849-877).
+    */
+  def meridionalSqlMirror(from: String, key: String): String = {
+    // alpha0 = 0 => k2 = e'^2: epsilon, A1 and the C1 rows are plain
+    // ellipsoid constants, computed with the solver's own arrays
+    val k2 = e2m
+    val eps = k2 / math.pow(sqrt(1.0 + k2) + 1.0, 2)
+    val a1c = polyval(A1Coefficients, eps * eps) / (1.0 - eps)
+    val c1x = evalCij(C1Coefficients, eps, squared = true)
+    def i1(sig: String): String =
+      s"${L(a1c)} * ($sig + ${c1x.zipWithIndex.map { case (c, i) =>
+        s"${L(c)} * sin(${2 * (i + 1)} * $sig)" }.mkString(" + ")})"
+    s"""SELECT $key,
+       | ${L(b)} * abs((${i1("s2")}) - (${i1("s1")})) AS s12,
+       | CASE WHEN lat2 > lat1 THEN 0.0 ELSE ${L(Pi)} END AS az1,
+       | CASE WHEN lat2 > lat1 THEN 0.0 ELSE ${L(Pi)} END AS az2
+       | FROM (SELECT $key, lat1, lat2,
+       |   atan2(sin(b1c), cos(b1c)) AS s1,
+       |   atan2(sin(b2c), sqrt(cos(b1c)*cos(b1c) + (cos(b2c)*cos(b2c) - cos(b1c)*cos(b1c)))) AS s2
+       |  FROM (SELECT $key, lat1, lat2,
+       |    CASE WHEN bs1 > 0 THEN -bs1 ELSE bs1 END AS b1c,
+       |    CASE WHEN bs1 > 0 THEN -bs2 ELSE bs2 END AS b2c
+       |   FROM (SELECT $key, lat1, lat2,
+       |     CASE WHEN abs(b1) >= abs(b2) THEN b1 ELSE b2 END AS bs1,
+       |     CASE WHEN abs(b1) >= abs(b2) THEN b2 ELSE b1 END AS bs2
+       |    FROM (SELECT $key, lat1, lat2,
+       |      ${trunc(s"atan(${L(1.0 - f)} * tan(lat1))")} AS b1,
+       |      ${trunc(s"atan(${L(1.0 - f)} * tan(lat2))")} AS b2
+       |     FROM $from))))""".stripMargin.replace("\n", " ")
+  }
+
+  /** ANSI-SQL mirror of [[inverse]] for EQUATORIAL pairs (lat1 =
+    * lat2 = 0 exactly, 0.06 < lamda12 < (1-f)*pi with margin): the
+    * solver fixes alpha1 = alpha2 = pi/2 and KEEPS the
+    * Vincenty-start distance — neither Newton nor the hybrid stage
+    * executes — so s12 = a * wbar * sigma12 with wbar = sqrt(1 - e2)
+    * (cbm = 1 at the equator; the TINY guard vanishes in double) and
+    * sigma12 = atan2(|sin w12|, cos w12), w12 = lamda12 / wbar: the
+    * geodesic runs along the equator itself (s12 ~ a * lamda12).
+    * normalizeAngle's fmod chain is mirrored so lamda12 matches the
+    * solver's to the last ulp.
+    *
+    * `from` must provide ($key, lam0) with lam0 = lon2 - lon1 in
+    * (0.06, (1-f)*pi - margin]. Emits ($key, s12, az1, az2).
+    * Mirrors [[inverse]] lines 503-524 for equatorial pairs
+    * (reference: karney.py:855-860).
+    */
+  def equatorialSqlMirror(from: String, key: String): String = {
+    val wbar = sqrt(1.0 - e2)
+    // a * wbar pre-multiplied in Scala: matches the solver's
+    // left-associated a * wbar * sigma12 bit-for-bit AND keeps DuckDB
+    // from overflowing DECIMAL x DECIMAL literal arithmetic
+    s"""SELECT $key,
+       | ${L(a * wbar)} * atan2(abs(sin(lam / ${L(wbar)})), cos(lam / ${L(wbar)})) AS s12,
+       | ${L(Pi / 2)} AS az1, ${L(Pi / 2)} AS az2
+       | FROM (SELECT $key, ${normCase("mm")} AS lam
+       |  FROM (SELECT $key, ${normMod("lam0")} AS mm FROM $from))""".stripMargin.replace("\n", " ")
+  }
+
   private def solveAstroid(blat1: Double, blat2: Double, lamda12: Double,
                            cosB1: Double): Double = {
     val delta = if (f == 0.0) 1.0 else abs(f * Pi * cosB1 * cosB1)

@@ -109,23 +109,42 @@ object Bench {
       SparkEntry.queries.get("q07_gc_distance")
         .foreach(fn => fn(spark, sfDir).count())
     // a crashed query must be distinguishable from a fast one in the
-    // JSON: record null instead of a normal-looking elapsed time
-    val results: Seq[(String, Option[Double])] =
+    // JSON: record null instead of a normal-looking elapsed time.
+    // REPEAT PROTOCOL (round 4): the host VM's noisy neighbors swing
+    // single-shot times ~1.5x, so each query runs up to
+    // SPARK_GRAFT_QUERY_REPEATS times (default 3), stopping early
+    // once the observed spread is small; the headline per-query
+    // number is the MIN (the capability estimate under load noise),
+    // with the first (cold) run and every repeat recorded alongside
+    // so rounds stay comparable on both methodologies.
+    val maxRepeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt)
+    val stableSpread = 0.15 // (max-min)/min below this => stop early
+    val results: Seq[(String, Seq[Double], Boolean)] =
       (if (skipQueries) Seq() else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          // noop sink, not count(): count() lets Catalyst prune every
-          // column the row count doesn't need, so projection-heavy
-          // queries (signatures, azimuth chains) would time at near
-          // zero while a real consumer pays full price. The noop
-          // writer materializes every output column and discards it.
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH QUERY FAILED: $name: $e")
-            name -> None
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        var i = 0
+        while (i < maxRepeats && !failed &&
+               (runs.size < 2 ||
+                 (runs.max - runs.min) / runs.min > stableSpread)) {
+          val t0 = System.nanoTime()
+          try {
+            // noop sink, not count(): count() lets Catalyst prune every
+            // column the row count doesn't need, so projection-heavy
+            // queries (signatures, azimuth chains) would time at near
+            // zero while a real consumer pays full price. The noop
+            // writer materializes every output column and discards it.
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            runs += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH QUERY FAILED: $name: $e")
+              failed = true
+          }
+          i += 1
         }
+        (name, runs.toSeq, failed && runs.isEmpty)
       }
 
     // flagship image pipeline: 1 warm-up + 5 timed; the host VM has
@@ -148,12 +167,22 @@ object Bench {
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma
     // decimal separator (de_DE etc.) would corrupt the JSON line
     def num(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", t)
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(num).getOrElse("null")
+    // headline per-query = min over repeats; queries_cold = first
+    // (cold) run for like-for-like vs pre-repeat rounds; queries_runs
+    // = every repeat, so the spread is in the artifact, not prose
+    val qs = results.map { case (k, runs, _) =>
+      "\"" + k + "\":" + (if (runs.isEmpty) "null" else num(runs.min))
+    }.mkString("{", ",", "}")
+    val qsCold = results.map { case (k, runs, _) =>
+      "\"" + k + "\":" + runs.headOption.map(num).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val qsRuns = results.map { case (k, runs, _) =>
+      "\"" + k + "\":[" + runs.map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
-    val total = results.flatMap(_._2).sum + median
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round}}"""
+    val total = results.flatMap(r => r._2.minOption).sum + median
+    val totalCold = results.flatMap(_._2.headOption).sum + median
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_runs":$qsRuns,"query_repeats":$maxRepeats,"total_cold":${num(totalCold)},"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round}}"""
     println(json)
     // the console line lands inside sbt [info] noise; also write it
     // machine-readably where the driver and later rounds can parse it

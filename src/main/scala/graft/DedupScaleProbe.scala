@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Large-scale LLM-dedup probe (VERDICT r3 item 5): run the two
+  * banded near-dup joins — `Dedup.minHashPairs` (text MinHash/LSH)
+  * and `Dedup.hammingNearDups` (fingerprint multi-index hashing) — at
+  * 4M/16M/64M rows over a synthetic corpus with planted duplicate
+  * clusters AND a degenerate flood, and record wall time per size so
+  * BENCH/BASELINE.md can state measured near-linearity instead of a
+  * design argument.
+  *
+  * Corpus shape (deterministic, id-derived):
+  *  - clusters of 5 docs: members 0-3 share the exact text (exercises
+  *    the star-encoding path), member 4 differs in one word of ~18
+  *    (a genuine near-dup for the banding path);
+  *  - every 1000th cluster reuses ONE shared seed — a 0.1% identical-
+  *    text flood (the pathological bucket the caps exist for);
+  *  - fingerprints: 60-bit cluster hash with 0-2 member-dependent bit
+  *    flips (pairwise hamming <= 3 inside a cluster) plus an all-zero
+  *    fp on the flood rows (the "blank frame" phash case).
+  *
+  * Inputs are materialized to /tmp parquet once per size so the
+  * timings measure the OPERATORS, not row generation; each operator
+  * timing is min of SPARK_GRAFT_PROBE_ITERS runs (default 2) after a
+  * warm-up.
+  */
+object DedupScaleProbe {
+  def corpus(spark: SparkSession, rows: Long, parts: Int): DataFrame = {
+    val words = 18
+    val base = spark.range(0, rows, 1, parts)
+      .withColumn("cluster",
+        when((col("id") / 5 % 1000) === 0, 0L).otherwise(col("id") / 5))
+      .withColumn("member", col("id") % 5)
+    // 18 hash-derived words of ~6 chars; member 4 swaps word 7
+    val wordCols = (0 until words).map { w =>
+      val seed =
+        if (w == 7) when(col("member") === 4, xxhash64(col("cluster"), lit(w), lit(991)))
+          .otherwise(xxhash64(col("cluster"), lit(w)))
+        else xxhash64(col("cluster"), lit(w))
+      conv(pmod(seed, lit(56800235584L)).cast("string"), 10, 36)
+    }
+    base.select(col("id"),
+      concat_ws(" ", wordCols: _*).as("text"),
+      // 60-bit fingerprint: flood rows all-zero, else cluster hash
+      // with member-dependent flips (hamming <= 3 pairwise)
+      when(col("cluster") === 0, 0L).otherwise(
+        pmod(xxhash64(col("cluster"), lit("fp")), lit(1L << 60))
+          .bitwiseXOR(
+            when(col("member") === 1, 1L)
+              .when(col("member") === 2, 1L << 20)
+              .when(col("member") === 3, (1L << 40) | (1L << 41))
+              .when(col("member") === 4, 1L << 59)
+              .otherwise(0L))).as("fp"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS", "4000000,16000000")
+      .split(',').map(_.trim.toLong)
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "2").toInt)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Long): (Long, Double) = {
+      f // warm
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+      }
+      (ts.head._1, ts.map(_._2).min)
+    }
+    for (rows <- sizes) {
+      val path = s"/tmp/graft_dedup_probe_$rows"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        corpus(spark, rows, cpus.toInt * 4).write.mode("overwrite")
+          .option("compression", "none").parquet(path)
+      val df = spark.read.parquet(path)
+      val (mhPairs, mhSec) = time {
+        Dedup.minHashPairs(df, "id", "text", threshold = 0.35).count()
+      }
+      println(f"PROBE minhash rows=$rows pairs=$mhPairs sec=$mhSec%.2f krows_per_sec=${rows / mhSec / 1000}%.0f")
+      val (hdPairs, hdSec) = time {
+        Dedup.hammingNearDups(df, "id", "fp", maxDist = 3).count()
+      }
+      println(f"PROBE hamming rows=$rows pairs=$hdPairs sec=$hdSec%.2f krows_per_sec=${rows / hdSec / 1000}%.0f")
+    }
+    spark.stop()
+  }
+}

@@ -72,21 +72,25 @@ object PipelineMain {
     }
 
     // stage 3: tile assignment (multi-resolution cell encode),
-    // committed CLUSTERED by tile with zone-map stats in the manifest:
-    // range partitioning gives every data file a tight tile range, so
-    // any later tile/AOI-scoped read (store.readPruned) opens only the
-    // overlapping files — at 10^12 rows that's the difference between
-    // a full-table scan and a few files per tile query
-    val tiled = store.getOrCompute("tiled", statsCol = Some("tile")) {
+    // committed CLUSTERED by (coarse tile, tile) with zone-map stats
+    // on the COARSE tile in the manifest: range partitioning gives
+    // every data file a tight coarse-tile range (and, within it, tile
+    // clustering), so any later AOI/tile-scoped read
+    // (store.readPrunedIn over a disc cover at the coarse level)
+    // opens only the overlapping files — at 10^12 rows that's the
+    // difference between a full-table scan and a few files per query
+    val coarseLevel = math.max(1, tileLevel - 4)
+    val tiledName = "tiled"
+    store.getOrCompute(tiledName, statsCol = Some("tile_coarse")) {
       verified
         .withColumn("ord", substring(col("image_id"), 5, 12).cast("long"))
         .withColumn("lat", SparkEntry.latRad(col("ord"))) // shared overflow-safe position hash
         .withColumn("lon", SparkEntry.lonRad(col("ord")))
         .withColumn("n", geo.nvec(col("lat"), col("lon")))
         .withColumn("tile", cells.cellAt(col("n"), tileLevel))
-        .withColumn("tile_coarse", cells.cellAt(col("n"), math.max(1, tileLevel - 4)))
+        .withColumn("tile_coarse", cells.cellAt(col("n"), coarseLevel))
         .select("image_id", "phash", "verify_ok", "n", "tile", "tile_coarse")
-        .repartitionByRange(col("tile"))
+        .repartitionByRange(col("tile_coarse"), col("tile"))
     }
 
     // stage 4: AOI assignment + per-tile statistics (with lineage)
@@ -97,7 +101,22 @@ object PipelineMain {
       Aoi("sb", Seq((-65.0, -120.0), (-65.0, 0.0), (-35.0, 0.0), (-35.0, -120.0))))
     val statsName = "tile_stats"
     if (store.versionOf(statsName).isEmpty) {
-      val assigned = SpatialJoins.aoiJoin(tiled, "n", aois)
+      // ZONE-MAP-PRUNED input: the AOI join can only match points
+      // inside some AOI's circumdisc, and a complete disc cover at
+      // the committed coarse level (CellIndex.capCells — every cell
+      // whose lower-bound distance to the centroid is inside the
+      // disc) lists exactly the coarse tiles such points can occupy.
+      // readPrunedIn opens only data files whose coarse-tile range
+      // holds a cover cell, so the AOI stage reads a few files of the
+      // range-clustered snapshot instead of scanning the table; the
+      // residual isin + exact winding filter keep the result
+      // IDENTICAL to aoiJoin over the full read (spec-pinned).
+      val cover = aois.flatMap { a =>
+        graft.index.CellIndex.capCells(a.centroid.x, a.centroid.y,
+          a.centroid.z, coarseLevel, a.circumAngle)
+      }.distinct
+      val tiledPruned = store.readPrunedIn(tiledName, cover)
+      val assigned = SpatialJoins.aoiJoin(tiledPruned, "n", aois)
       val stats = assigned.groupBy("aoi_id", "tile")
         .agg(count(lit(1)).as("n_imgs"),
           geo.meanPosition(col("n")).as("mean_n"),

@@ -465,6 +465,18 @@ object Similarity {
     * column-pruned linear pass over the data for a residual query
     * set, never a quadratic join. Candidate pairs travel as ids only;
     * vectors are joined back once for the final exact re-rank.
+    *
+    * `maxBucket` (default 4096) caps each data-side band bucket
+    * deterministically (lowest ids kept) so a degenerate corpus — a
+    * boilerplate flood sharing one signature — cannot make the bucket
+    * self-join quadratic. The cap COSTS RECALL on such corpora: a
+    * query that already has >= k candidates is never rescued by
+    * escalation, so true neighbors that were capped out of a
+    * >maxBucket-member bucket (and collide in no other band) are
+    * lost to it. Pass `maxBucket = Int.MaxValue` to restore uncapped
+    * candidate generation (pre-cap behavior) when the corpus is known
+    * to be flood-free and exact LSH recall matters more than the
+    * worst-case bound.
     */
   def lshTopK(queries: DataFrame, data: DataFrame,
               qVec: String, dVec: String, qId: String, dId: String,
@@ -480,9 +492,12 @@ object Similarity {
     // rebuild the identical frame). The cap bounds boilerplate-flood
     // buckets exactly like embeddingNearDups' capBuckets: a cluster
     // of identical vectors shares every band key, and an uncapped
-    // bucket self-join there is quadratic; capped-out members are
-    // still reachable (escalation fills starved queries, ending in
-    // the linear local top-k scan).
+    // bucket self-join there is quadratic. RECALL CAVEAT (see the
+    // scaladoc): escalation only rescues STARVED queries, so for a
+    // NON-starved query whose true neighbors sit beyond position
+    // `maxBucket` of a hot bucket, those neighbors are simply not
+    // candidates — the cap trades bounded recall loss on degenerate
+    // buckets for a hard quadratic-blowup guarantee.
     val bandCache = scala.collection.mutable.Map.empty[Int, DataFrame]
     def dBands(bb: Int): DataFrame = bandCache.getOrElseUpdate(bb,
       capBuckets(dS.select(col("__did"),

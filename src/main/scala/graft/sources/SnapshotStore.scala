@@ -27,6 +27,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   private val snapDir = Paths.get(root, "_snapshots")
   Files.createDirectories(snapDir)
 
+  /** Identifies THIS store instance's writes in manifests it commits,
+    * so a torn-commit self-heal (same version, same name) can tell
+    * "my own crashed attempt" from "a live foreign writer that chose
+    * the same name" — the latter is logged loudly instead of silently
+    * absorbed. Deliberately NOT used to refuse the overwrite: crash
+    * resume re-runs in a NEW process (new id), and refusing would
+    * break the exact recovery path the self-heal exists for.
+    */
+  private val writerId = java.util.UUID.randomUUID().toString
+
   private def currentPath = snapDir.resolve("current")
 
   def currentVersion: Option[Int] =
@@ -133,13 +143,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // means a genuinely foreign writer. (Not a full CAS — a true
     // multi-writer protocol needs an atomic catalog.)
     if (Files.exists(snapshotJson(v))) {
+      val torn = Files.readString(snapshotJson(v))
       val tornName = ("\"name\": \"(" + JsonStr + ")\"").r
-        .findFirstMatchIn(Files.readString(snapshotJson(v))).map(m => unesc(m.group(1)))
+        .findFirstMatchIn(torn).map(m => unesc(m.group(1)))
       if (!tornName.contains(name))
         throw new IllegalStateException(
           s"version $v already has a manifest for '${tornName.getOrElse("?")}' but " +
             s"the current pointer is at ${currentVersion.getOrElse(0)} — another " +
             s"writer is active on $root")
+      val tornWriter = ("\"writerId\": \"(" + JsonStr + ")\"").r
+        .findFirstMatchIn(torn).map(m => unesc(m.group(1)))
+      if (!tornWriter.contains(writerId))
+        // a DIFFERENT writer id on the same name is either this
+        // store's previous incarnation recovering after a crash (the
+        // path self-heal exists for) or a foreign writer racing on
+        // the same name — indistinguishable without an atomic
+        // catalog, so heal but say so loudly
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"commit('$name'): overwriting a torn v$v manifest written by " +
+            s"${tornWriter.getOrElse("a pre-writerId store")} (this writer: " +
+            s"$writerId) — expected after crash resume; if another job is " +
+            s"live on $root, its commit is being discarded")
     }
     val out = dataPath(v, name)
     df.write.mode("overwrite").parquet(out) // the only pass over the data
@@ -157,6 +181,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     json.append(s"""  "version": $v,\n""")
     json.append(s"""  "parent": ${currentVersion.getOrElse(0)},\n""")
     json.append(s"""  "name": "${esc(name)}",\n""")
+    json.append(s"""  "writerId": "${esc(writerId)}",\n""")
     json.append(s"""  "rowCount": $rowCount,\n""")
     statsCol.foreach(c => json.append(s"""  "statsCol": "${esc(c)}",\n"""))
     json.append(s"""  "schema": "${esc(df.schema.json)}",\n""")
@@ -199,7 +224,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val statuses = files.toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
-    def readOne(s: org.apache.hadoop.fs.FileStatus): (String, Int, Long, Option[(Long, Long)]) = {
+    def readOne(s: org.apache.hadoop.fs.FileStatus,
+                conf: org.apache.hadoop.conf.Configuration): (String, Int, Long, Option[(Long, Long)]) = {
         val fname = s.getPath.getName
         // committer naming is "part-NNNNN-uuid..."; anything else
         // (foreign committers, over-long numeric prefixes) degrades
@@ -244,14 +270,25 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // footer reads are independent filesystem round-trips: run them on
     // a bounded pool — serially, a large table's footers would make
     // this "metadata-only" step O(file count) in driver round-trip
-    // latency (order is preserved: futures are collected in order)
+    // latency (order is preserved: futures are collected in order).
+    // Each task gets its OWN Configuration copy (Hadoop Configuration
+    // is not documented thread-safe — a lazy-init inside one reader
+    // could race another's), and ExecutionException is unwrapped so
+    // commit's failure surface stays the underlying IOException.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, statuses.size)))
     try statuses.map { s =>
       pool.submit(new java.util.concurrent.Callable[(String, Int, Long, Option[(Long, Long)])] {
-        override def call(): (String, Int, Long, Option[(Long, Long)]) = readOne(s)
+        override def call(): (String, Int, Long, Option[(Long, Long)]) =
+          readOne(s, new org.apache.hadoop.conf.Configuration(conf))
       })
-    }.map(_.get())
+    }.map { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }
     finally pool.shutdown()
   }
 
@@ -318,17 +355,38 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     base.filter(col(statsCol).isin(values: _*))
   }
 
+  /** Number of file entries a manifest declares — counted by the
+    * `"path":` key alone (appears once per file object and nowhere
+    * else: lineage entries are plain strings). The file-entry parsers
+    * below cross-check their exact-spacing regex against this count
+    * and THROW on mismatch: a drifted manifest format must fail
+    * loudly, not silently drop files from pruned reads (which would
+    * return partial data) or from per-partition metrics.
+    */
+  private def fileEntryCount(s: String): Int =
+    "\"path\":".r.findAllMatchIn(s).size
+
+  private def checkFileParse(parsed: Int, s: String, what: String): Unit = {
+    val declared = fileEntryCount(s)
+    if (parsed != declared)
+      throw new IllegalStateException(
+        s"$what parsed $parsed of $declared file entries — manifest format " +
+          "drift; refusing to return a partial file list")
+  }
+
   /** Data files of version `v` kept by a zone-map predicate over
     * their (min, max); files without recorded stats are always kept.
     */
   private def filesWhere(v: Int, overlap: (Long, Long) => Boolean): Seq[String] = {
     val s = Files.readString(snapshotJson(v))
-    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": -?\\d+, \"rows\": \\d+" +
+    val entries = ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": -?\\d+, \"rows\": \\d+" +
       "(?:, \"min\": (-?\\d+), \"max\": (-?\\d+))?\\}").r
-      .findAllMatchIn(s)
+      .findAllMatchIn(s).toSeq
+    checkFileParse(entries.size, s, s"filesWhere(v$v)")
+    entries
       .filter(m => m.group(2) == null ||
         overlap(m.group(2).toLong, m.group(3).toLong))
-      .map(m => unesc(m.group(1))).toSeq
+      .map(m => unesc(m.group(1)))
   }
 
   /** Data files of version `v` whose zone-map range intersects
@@ -342,10 +400,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     */
   def fileMetrics(v: Int): Seq[(Int, Long, String)] = {
     val s = Files.readString(snapshotJson(v))
-    ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": (-?\\d+), \"rows\": (\\d+)" +
+    val entries = ("\\{\"path\": \"(" + JsonStr + ")\", \"partition\": (-?\\d+), \"rows\": (\\d+)" +
       "(?:, \"min\": -?\\d+, \"max\": -?\\d+)?\\}").r
-      .findAllMatchIn(s)
-      .map(m => (m.group(2).toInt, m.group(3).toLong, unesc(m.group(1)))).toSeq
+      .findAllMatchIn(s).toSeq
+    checkFileParse(entries.size, s, s"fileMetrics(v$v)")
+    entries.map(m => (m.group(2).toInt, m.group(3).toLong, unesc(m.group(1))))
   }
 
   /** Resumable checkpoint: if a committed snapshot named `name`

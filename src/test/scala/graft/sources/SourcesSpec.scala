@@ -127,6 +127,28 @@ class SourcesSpec extends AnyFunSuite {
       """{ "version": 3, "name": "c", "rowCount": 0, "files": [], "lineage": [] }""")
     assert(store.commit("c", spark.range(4).toDF("x")) == 3)
     assert(store.read("c").count() == 4)
+    // manifests carry the committing store's writerId (torn-commit
+    // self-heal distinguishes own vs foreign writes and logs foreign)
+    val m3 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_snapshots", "v3.json"))
+    assert(m3.contains("\"writerId\""), "manifest should record writerId")
+  }
+
+  test("manifest format drift fails loudly, never a partial file list") {
+    val root = Files.newTmp("drift")
+    val store = new SnapshotStore(spark, root)
+    val v = store.commit("t", spark.range(10).toDF("x"), Some("x"))
+    assert(store.fileMetrics(v).nonEmpty)
+    // corrupt ONE file entry's spacing so the exact-spacing parser
+    // misses it: both the metrics and the pruning parsers must throw
+    // (silently dropping the file would make readPruned return
+    // partial data)
+    val mPath = java.nio.file.Paths.get(root, "_snapshots", s"v$v.json")
+    val drifted = java.nio.file.Files.readString(mPath)
+      .replaceFirst("\\{\"path\": ", "{\"path\":  ")
+    java.nio.file.Files.writeString(mPath, drifted)
+    intercept[IllegalStateException] { store.fileMetrics(v) }
+    intercept[IllegalStateException] { store.prunedFiles(v, 0L, 5L) }
   }
 
   test("copy-on-write merge updates matched keys, inserts new, keeps history") {
@@ -171,6 +193,43 @@ class SourcesSpec extends AnyFunSuite {
     // values all outside any file range: zero files, schema kept
     val none = store.readPrunedIn("cells", Seq(5000L))
     assert(none.count() == 0 && none.columns.toSeq == Seq("cell", "payload"))
+  }
+
+  test("AOI stage over a pruned snapshot equals the full-scan AOI join") {
+    // the PipelineMain stage-4 pattern: tiled table committed
+    // range-clustered by coarse tile with zone-map stats, AOI join
+    // fed by readPrunedIn over the AOIs' coarse disc covers — must
+    // read fewer files AND return exactly the full-scan result
+    import graft.functions.geo
+    import graft.index.{cells, CellIndex}
+    import graft.operators.SpatialJoins
+    import graft.operators.SpatialJoins.Aoi
+    val root = Files.newTmp("aoi_pruned")
+    val store = new SnapshotStore(spark, root)
+    val coarseLevel = 4
+    val pts = spark.range(0, 20000).toDF("id")
+      .withColumn("lat", graft.SparkEntry.latRad(col("id")))
+      .withColumn("lon", graft.SparkEntry.lonRad(col("id")))
+      .withColumn("n", geo.nvec(col("lat"), col("lon")))
+      .withColumn("tile", cells.cellAt(col("n"), 8))
+      .withColumn("tile_coarse", cells.cellAt(col("n"), coarseLevel))
+      .select("id", "n", "tile", "tile_coarse")
+      .repartitionByRange(16, col("tile_coarse"), col("tile"))
+    val v = store.commit("tiled", pts, Some("tile_coarse"))
+    val aois = Seq(
+      Aoi("box", Seq((-12.0, -12.0), (-12.0, 12.0), (12.0, 12.0), (12.0, -12.0))),
+      Aoi("north", (0 until 8).map(i => (62.0, -180.0 + 45.0 * i))))
+    val cover = aois.flatMap(a => CellIndex.capCells(
+      a.centroid.x, a.centroid.y, a.centroid.z, coarseLevel, a.circumAngle)).distinct
+    val pruned = store.readPrunedIn("tiled", cover)
+    assert(pruned.inputFiles.length < store.fileMetrics(v).size,
+      s"expected pruning: ${pruned.inputFiles.length} of ${store.fileMetrics(v).size} files")
+    val got = SpatialJoins.aoiJoin(pruned, "n", aois)
+      .select("id", "aoi_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val full = SpatialJoins.aoiJoin(store.read("tiled"), "n", aois)
+      .select("id", "aoi_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(full.nonEmpty && got == full,
+      s"missing=${(full -- got).take(5)} extra=${(got -- full).take(5)}")
   }
 
   test("expire-snapshots drops old versions and their files, keeps the rest") {

@@ -120,7 +120,7 @@ object Bench {
     val maxRepeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt)
     val stableSpread = 0.15 // (max-min)/min below this => stop early
-    val results: Seq[(String, Seq[Double], Boolean)] =
+    val results: Seq[(String, Seq[Double])] =
       (if (skipQueries) Seq() else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
         val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
         var failed = false
@@ -144,7 +144,7 @@ object Bench {
           }
           i += 1
         }
-        (name, runs.toSeq, failed && runs.isEmpty)
+        (name, runs.toSeq)
       }
 
     // flagship image pipeline: 1 warm-up + 5 timed; the host VM has
@@ -170,13 +170,13 @@ object Bench {
     // headline per-query = min over repeats; queries_cold = first
     // (cold) run for like-for-like vs pre-repeat rounds; queries_runs
     // = every repeat, so the spread is in the artifact, not prose
-    val qs = results.map { case (k, runs, _) =>
+    val qs = results.map { case (k, runs) =>
       "\"" + k + "\":" + (if (runs.isEmpty) "null" else num(runs.min))
     }.mkString("{", ",", "}")
-    val qsCold = results.map { case (k, runs, _) =>
+    val qsCold = results.map { case (k, runs) =>
       "\"" + k + "\":" + runs.headOption.map(num).getOrElse("null")
     }.mkString("{", ",", "}")
-    val qsRuns = results.map { case (k, runs, _) =>
+    val qsRuns = results.map { case (k, runs) =>
       "\"" + k + "\":[" + runs.map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)

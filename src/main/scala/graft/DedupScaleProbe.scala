@@ -18,9 +18,9 @@ import graft.operators.Dedup
   *    (a genuine near-dup for the banding path);
   *  - every 1000th cluster reuses ONE shared seed — a 0.1% identical-
   *    text flood (the pathological bucket the caps exist for);
-  *  - fingerprints: 60-bit cluster hash with 0-2 member-dependent bit
-  *    flips (pairwise hamming <= 3 inside a cluster) plus an all-zero
-  *    fp on the flood rows (the "blank frame" phash case).
+  *  - fingerprints: 60-bit cluster hash, members 3/4 one bit flipped
+  *    (hamming-1 near-dups for the banding path) plus an all-zero fp
+  *    on the flood rows (the "blank frame" phash case).
   *
   * Inputs are materialized to /tmp parquet once per size so the
   * timings measure the OPERATORS, not row generation; each operator
@@ -31,8 +31,11 @@ object DedupScaleProbe {
   def corpus(spark: SparkSession, rows: Long, parts: Int): DataFrame = {
     val words = 18
     val base = spark.range(0, rows, 1, parts)
+      // integer cluster ordinal (col / 5 alone is DOUBLE division in
+      // the Column DSL — the first probe run planted no clusters)
+      .withColumn("cluster0", floor(col("id") / 5).cast("long"))
       .withColumn("cluster",
-        when((col("id") / 5 % 1000) === 0, 0L).otherwise(col("id") / 5))
+        when(col("cluster0") % 1000 === 0, 0L).otherwise(col("cluster0")))
       .withColumn("member", col("id") % 5)
     // 18 hash-derived words of ~6 chars; member 4 swaps word 7
     val wordCols = (0 until words).map { w =>
@@ -44,14 +47,14 @@ object DedupScaleProbe {
     }
     base.select(col("id"),
       concat_ws(" ", wordCols: _*).as("text"),
-      // 60-bit fingerprint: flood rows all-zero, else cluster hash
-      // with member-dependent flips (hamming <= 3 pairwise)
+      // 60-bit fingerprint: flood rows all-zero (one giant identical
+      // group -> star path), else cluster hash with member-dependent
+      // single-bit flips (members 3 and 4 are hamming-1 from the
+      // rep, hamming-2 from each other)
       when(col("cluster") === 0, 0L).otherwise(
         pmod(xxhash64(col("cluster"), lit("fp")), lit(1L << 60))
           .bitwiseXOR(
-            when(col("member") === 1, 1L)
-              .when(col("member") === 2, 1L << 20)
-              .when(col("member") === 3, (1L << 40) | (1L << 41))
+            when(col("member") === 3, 1L << 20)
               .when(col("member") === 4, 1L << 59)
               .otherwise(0L))).as("fp"))
   }
@@ -85,8 +88,15 @@ object DedupScaleProbe {
         Dedup.minHashPairs(df, "id", "text", threshold = 0.35).count()
       }
       println(f"PROBE minhash rows=$rows pairs=$mhPairs sec=$mhSec%.2f krows_per_sec=${rows / mhSec / 1000}%.0f")
+      // maxDist = 1 over the 60-bit fp: auto-banding picks 2 bands of
+      // 30 bits, so the random-collision candidate floor
+      // (bands * n^2 / 2^31) stays sub-dominant through 64M rows and
+      // the timing measures the MACHINERY's growth, not an inherent
+      // quadratic floor (see hammingNearDups' sizing-rule scaladoc —
+      // maxDist 3 over 64-bit fingerprints stops being an all-pairs
+      // problem past ~10M rows no matter the plan)
       val (hdPairs, hdSec) = time {
-        Dedup.hammingNearDups(df, "id", "fp", maxDist = 3).count()
+        Dedup.hammingNearDups(df, "id", "fp", maxDist = 1, bits = 60).count()
       }
       println(f"PROBE hamming rows=$rows pairs=$hdPairs sec=$hdSec%.2f krows_per_sec=${rows / hdSec / 1000}%.0f")
     }

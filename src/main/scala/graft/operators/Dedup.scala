@@ -228,15 +228,33 @@ object Dedup {
     * id; candidate pairs travel as ids only and fingerprints
     * re-attach once after pair dedup. Returns
     * (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * CANDIDATE FLOOR (sizing rule): on fingerprints with ~uniform
+    * segments, each band bucket holds ~n / 2^(bits/bands) reps, so
+    * the self-join generates ~bands * n^2 / 2^(bits/bands + 1)
+    * candidates even when NO real near-dups exist. Fewer, WIDER
+    * bands are therefore strictly better (the pigeonhole only needs
+    * bands > maxDist), which is what `bands = 0` (auto — the
+    * smallest divisor of `bits` above `maxDist`) picks; the old
+    * fixed default of 8 bands made the floor n^2/2^9 at bits = 64
+    * and OOM'd a 4M-row probe. The floor still grows quadratically:
+    * past n >> 2^(bits/(maxDist+1)) (e.g. ~10M rows for 64-bit
+    * fingerprints at maxDist 3), lower maxDist, shard the corpus
+    * (per tile / per source), or use a longer fingerprint — an
+    * all-pairs hamming join below the fingerprint's collision
+    * entropy returns a quadratic OUTPUT no plan can make linear.
     */
   def hammingNearDups(df: DataFrame, idCol: String, fpCol: String,
-                      maxDist: Int = 3, bits: Int = 64, bands: Int = 8,
+                      maxDist: Int = 3, bits: Int = 64, bands: Int = 0,
                       maxBucket: Int = 4096): DataFrame = {
-    require(bands > maxDist,
-      s"pigeonhole exactness needs bands > maxDist (got $bands <= $maxDist)")
-    require(bits > 0 && bits <= 64 && bits % bands == 0,
-      s"bits must divide into equal-width bands (bits=$bits, bands=$bands)")
-    val width = bits / bands
+    val nBands =
+      if (bands > 0) bands
+      else (maxDist + 1 to bits).find(b => bits % b == 0).getOrElse(bits)
+    require(nBands > maxDist,
+      s"pigeonhole exactness needs bands > maxDist (got $nBands <= $maxDist)")
+    require(bits > 0 && bits <= 64 && bits % nBands == 0,
+      s"bits must divide into equal-width bands (bits=$bits, bands=$nBands)")
+    val width = bits / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     // materialize the (id, fingerprint) pairs through one exchange:
     // the plan below fans out into 5 branches (star window, banding,
@@ -256,7 +274,7 @@ object Dedup {
     val reps = tagged.filter(col("__id") === col("__rep")).select("__id", "__fp")
     // band key = segment index in the bits above the segment value
     val banded = reps.select(col("__id"),
-      explode(array((0 until bands).map { b =>
+      explode(array((0 until nBands).map { b =>
         lit(b.toLong << width).bitwiseOR(
           shiftrightunsigned(col("__fp"), b * width).bitwiseAND(lit(mask)))
       }: _*)).as("__band"))

@@ -120,7 +120,7 @@ object Bench {
     val maxRepeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt)
     val stableSpread = 0.15 // (max-min)/min below this => stop early
-    val results: Seq[(String, Seq[Double])] =
+    val results: Seq[(String, Seq[Double], Boolean)] =
       (if (skipQueries) Seq() else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
         val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
         var failed = false
@@ -144,7 +144,12 @@ object Bench {
           }
           i += 1
         }
-        (name, runs.toSeq)
+        // a crash on ANY run poisons the query: a flaky/crashing
+        // query must never be published as a clean success with the
+        // min of its surviving runs — the headline becomes null and
+        // the query counts as failed; surviving runs stay in
+        // queries_runs for diagnosis
+        (name, runs.toSeq, failed)
       }
 
     // flagship image pipeline: 1 warm-up + 5 timed; the host VM has
@@ -170,18 +175,18 @@ object Bench {
     // headline per-query = min over repeats; queries_cold = first
     // (cold) run for like-for-like vs pre-repeat rounds; queries_runs
     // = every repeat, so the spread is in the artifact, not prose
-    val qs = results.map { case (k, runs) =>
-      "\"" + k + "\":" + (if (runs.isEmpty) "null" else num(runs.min))
+    val qs = results.map { case (k, runs, bad) =>
+      "\"" + k + "\":" + (if (bad || runs.isEmpty) "null" else num(runs.min))
     }.mkString("{", ",", "}")
-    val qsCold = results.map { case (k, runs) =>
-      "\"" + k + "\":" + runs.headOption.map(num).getOrElse("null")
+    val qsCold = results.map { case (k, runs, bad) =>
+      "\"" + k + "\":" + (if (bad) "null" else runs.headOption.map(num).getOrElse("null"))
     }.mkString("{", ",", "}")
-    val qsRuns = results.map { case (k, runs) =>
+    val qsRuns = results.map { case (k, runs, _) =>
       "\"" + k + "\":[" + runs.map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val failed = results.count(_._2.isEmpty)
-    val total = results.flatMap(r => r._2.minOption).sum + median
-    val totalCold = results.flatMap(_._2.headOption).sum + median
+    val failed = results.count(r => r._3 || r._2.isEmpty)
+    val total = results.collect { case (_, runs, false) if runs.nonEmpty => runs.min }.sum + median
+    val totalCold = results.collect { case (_, runs, false) if runs.nonEmpty => runs.head }.sum + median
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_runs":$qsRuns,"query_repeats":$maxRepeats,"total_cold":${num(totalCold)},"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round}}"""
     println(json)
     // the console line lands inside sbt [info] noise; also write it

@@ -79,7 +79,11 @@ object DedupScaleProbe {
       (ts.head._1, ts.map(_._2).min)
     }
     for (rows <- sizes) {
-      val path = s"/tmp/graft_dedup_probe_$rows"
+      // cache key carries a corpus VERSION: keyed by row count alone,
+      // a corpus() change would silently re-benchmark stale parquet
+      // from an earlier code version (the v1 corpus planted no
+      // clusters — exactly that class of measurement error)
+      val path = s"/tmp/graft_dedup_probe_v2_$rows"
       if (!new java.io.File(path + "/_SUCCESS").exists())
         corpus(spark, rows, cpus.toInt * 4).write.mode("overwrite")
           .option("compression", "none").parquet(path)

@@ -111,9 +111,25 @@ object PipelineMain {
       // range-clustered snapshot instead of scanning the table; the
       // residual isin + exact winding filter keep the result
       // IDENTICAL to aoiJoin over the full read (spec-pinned).
+      // the cover MUST be built at the level the committed snapshot's
+      // tile_coarse cells actually carry: a rerun on an existing
+      // store with a different --tile-level resumes the OLD snapshot
+      // (resume is keyed by name), and cell ids at different levels
+      // never match — the isin filter would silently commit an EMPTY
+      // tile_stats. Read the level back from the data itself.
+      val committedCoarseLevel = {
+        val sample = store.read(tiledName).select("tile_coarse").limit(1).collect()
+        if (sample.isEmpty) coarseLevel
+        else graft.index.CellIndex.levelOf(sample(0).getLong(0))
+      }
+      if (committedCoarseLevel != coarseLevel)
+        System.err.println(s"[pipeline] WARNING: committed 'tiled' snapshot " +
+          s"is at coarse level $committedCoarseLevel but --tile-level implies " +
+          s"$coarseLevel — resuming with the committed level (use a fresh " +
+          "--store to change tiling parameters)")
       val cover = aois.flatMap { a =>
         graft.index.CellIndex.capCells(a.centroid.x, a.centroid.y,
-          a.centroid.z, coarseLevel, a.circumAngle)
+          a.centroid.z, committedCoarseLevel, a.circumAngle)
       }.distinct
       val tiledPruned = store.readPrunedIn(tiledName, cover)
       val assigned = SpatialJoins.aoiJoin(tiledPruned, "n", aois)

@@ -168,12 +168,18 @@ object Similarity {
     // CHUNKED driver pull: |starved| is unbounded in principle (a
     // pathological embedding distribution can starve every query), so
     // a single collect() of all starved vectors could OOM the driver.
-    // toLocalIterator streams one partition at a time and each pass
-    // broadcasts at most `chunkSize` vectors (~5 MB at dim 64), at the
-    // cost of one data scan per chunk — the bounded-memory trade this
-    // last-resort path wants. Results union lazily; each chunk's
-    // broadcast stays referenced by its own RDD until the caller's
-    // final materialization, then ContextCleaner reclaims them.
+    // toLocalIterator streams one partition at a time; each pass
+    // broadcasts at most `chunkSize` vectors (~5 MB at dim 64),
+    // materializes its (disk-backed) result EAGERLY, and then drops
+    // the broadcast's executor copies — so executor broadcast
+    // residency is ~one chunk at a time, at the cost of one data scan
+    // per chunk (inherent to a bounded last-resort path). Honest
+    // remaining bound: the driver still retains one qVecs array per
+    // chunk through each RDD's closure (one copy of every starved
+    // vector in total — half the old collect+broadcast double copy),
+    // released by ContextCleaner once the caller drops the result.
+    // The union is built as a balanced tree so |starved|/chunkSize
+    // chunks cost log-depth analysis, not a left-deep recursion.
     val starvedRows = starved.select("__qid", "__qvec").toLocalIterator()
     var parts: List[DataFrame] = Nil
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -186,9 +192,17 @@ object Similarity {
       if (buf.size >= chunkSize) flush()
     }
     flush()
+    @scala.annotation.tailrec
+    def unionBalanced(dfs: List[DataFrame]): DataFrame = dfs match {
+      case single :: Nil => single
+      case _ => unionBalanced(dfs.grouped(2).map {
+        case a :: b :: Nil => a.unionByName(b)
+        case single => single.head
+      }.toList)
+    }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    else parts.reduce(_ unionByName _)
+    else unionBalanced(parts)
   }
 
   /** One bounded pass of [[localTopKPairs]]: per-partition heap scan
@@ -243,7 +257,14 @@ object Similarity {
         h.iterator.map(e => org.apache.spark.sql.Row(qs(qi)._1, e._2))
       }
     }
-    spark.createDataFrame(pairRdd, outSchema)
+    // materialize NOW (disk-backed) and release the broadcast's
+    // executor blocks — an evicted partition re-broadcasts from the
+    // driver-retained value automatically, so this is safe
+    val out = spark.createDataFrame(pairRdd, outSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bc.unpersist(blocking = false)
+    out
   }
 
   /** Shared starvation-escalation scaffold for the approximate top-k

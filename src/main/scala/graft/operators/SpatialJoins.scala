@@ -217,15 +217,16 @@ object SpatialJoins {
     }
 
     /** Exact ellipsoidal re-rank with a provable pool cut. A geodesic
-      * distance is bounded below by the spherical one deflated by the
-      * flattening (geodesic >= gc * (1 - f), the same bound the ring
-      * coverage test uses), so:
+      * distance is bounded below by the deflated spherical one
+      * (geodesic >= gc * covDeflate with covDeflate = a(1-f)^2 / R —
+      * see covDeflate's derivation; NOT the naive (1 - f), which is
+      * unsound), the same bound the ring coverage test uses, so:
       *
       *  1. rank the first 3k spherical candidates by exact geodesic;
       *     their k-th geodesic `__gk1` is an UPPER bound on the true
       *     k-th (the pool is a valid candidate set of >= k rows
       *     whenever the partition has >= k rows);
-      *  2. any candidate with gc * (1 - f) > __gk1 has geodesic
+      *  2. any candidate with gc * covDeflate > __gk1 has geodesic
       *     > __gk1 >= true k-th and is provably outside the top-k;
       *     every other candidate gets the exact geodesic and enters
       *     the final rank.

@@ -156,9 +156,16 @@ object Similarity {
     * local top-k provably contains the global top-k under the final
     * exact re-rank.
     */
+  /** @param onChunk called with each chunk's PERSISTED result frame —
+    *   the caller owns their release (Dataset.persist entries are
+    *   held by CacheManager until an explicit unpersist; nothing is
+    *   reclaimed automatically). [[escalatedTopK]] registers them in
+    *   its try/finally alongside its other pinned intermediates.
+    */
   private[operators] def localTopKPairs(starved: DataFrame, data: DataFrame,
                                         dVec: String, dId: String, k: Int,
-                                        chunkSize: Int = 10000): DataFrame = {
+                                        chunkSize: Int = 10000,
+                                        onChunk: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = data.sparkSession
     require(chunkSize >= 1, s"chunkSize must be >= 1 (got $chunkSize)")
     val dFull = data.select(col(dId).as("__did"), col(dVec).as("__dvec"))
@@ -171,20 +178,25 @@ object Similarity {
     // toLocalIterator streams one partition at a time; each pass
     // broadcasts at most `chunkSize` vectors (~5 MB at dim 64),
     // materializes its (disk-backed) result EAGERLY, and then drops
-    // the broadcast's executor copies — so executor broadcast
-    // residency is ~one chunk at a time, at the cost of one data scan
-    // per chunk (inherent to a bounded last-resort path). Honest
-    // remaining bound: the driver still retains one qVecs array per
-    // chunk through each RDD's closure (one copy of every starved
-    // vector in total — half the old collect+broadcast double copy),
-    // released by ContextCleaner once the caller drops the result.
-    // The union is built as a balanced tree so |starved|/chunkSize
-    // chunks cost log-depth analysis, not a left-deep recursion.
+    // the broadcast's cluster-executor copies (a local[N] no-op —
+    // see localTopKChunk) — so per-pass work and cluster broadcast
+    // residency are chunk-bounded, at the cost of one data scan per
+    // chunk (inherent to a bounded last-resort path). Honest
+    // remaining bound: the driver retains one qVecs array per chunk
+    // through each RDD's closure (one copy of every starved vector
+    // in total — half the old collect+broadcast double copy), and
+    // each chunk's persisted frame lives until the CALLER unpersists
+    // it via `onChunk` registration — CacheManager never reclaims
+    // persist entries on its own. The union is built as a balanced
+    // tree so |starved|/chunkSize chunks cost log-depth analysis,
+    // not a left-deep recursion.
     val starvedRows = starved.select("__qid", "__qvec").toLocalIterator()
     var parts: List[DataFrame] = Nil
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     def flush(): Unit = if (buf.nonEmpty) {
-      parts ::= localTopKChunk(buf.toArray, dFull, outSchema, k)
+      val part = localTopKChunk(buf.toArray, dFull, outSchema, k)
+      onChunk(part)
+      parts ::= part
       buf.clear()
     }
     while (starvedRows.hasNext) {
@@ -257,9 +269,13 @@ object Similarity {
         h.iterator.map(e => org.apache.spark.sql.Row(qs(qi)._1, e._2))
       }
     }
-    // materialize NOW (disk-backed) and release the broadcast's
-    // executor blocks — an evicted partition re-broadcasts from the
-    // driver-retained value automatically, so this is safe
+    // materialize NOW (disk-backed) so chunk scans run one at a time
+    // instead of piling into the caller's first action, then release
+    // the broadcast's remote copies. The unpersist only frees blocks
+    // on CLUSTER executors (local[N]'s single driver block manager is
+    // skipped by removeBroadcast) — in local mode the win is the
+    // serialized scans; an evicted partition re-broadcasts from the
+    // driver-retained value automatically, so this is safe either way
     val out = spark.createDataFrame(pairRdd, outSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
@@ -336,7 +352,8 @@ object Similarity {
           s"$opName: $n queries starved after escalation; " +
             "running the bounded per-partition local top-k scan for them")
         pairs = hold(pairs.unionByName(
-          localTopKPairs(starved, data, dVec, dId, k)).distinct())
+          localTopKPairs(starved, data, dVec, dId, k,
+            onChunk = persisted += _)).distinct())
       }
       val result = pairs
         .join(queries.withColumnRenamed(qId, "__qid"), "__qid")

@@ -237,11 +237,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toDF("__qid", "__qvec")
     val data = (0 until 400).map(i => (i.toLong, vec(1000 + i))).toDF("d_id", "d_vec")
     val k = 3
+    val held = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
     def pairsWith(chunk: Int): Set[(Long, Long)] =
-      Similarity.localTopKPairs(starved, data, "d_vec", "d_id", k, chunkSize = chunk)
+      Similarity.localTopKPairs(starved, data, "d_vec", "d_id", k,
+          chunkSize = chunk, onChunk = held += _)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val chunked = pairsWith(7)
     val onePass = pairsWith(100000)
+    // chunk frames are persisted; their release is the caller's job
+    held.foreach(_.unpersist(blocking = false))
     assert(chunked == onePass, "chunking changed the candidate pair set")
     // local top-k per partition is a superset of the global top-k
     val queries = starved.select(col("__qid").as("q_id"), col("__qvec").as("q_vec"))

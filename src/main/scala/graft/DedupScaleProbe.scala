@@ -103,6 +103,19 @@ object DedupScaleProbe {
         Dedup.hammingNearDups(df, "id", "fp", maxDist = 1, bits = 60).count()
       }
       println(f"PROBE hamming rows=$rows pairs=$hdPairs sec=$hdSec%.2f krows_per_sec=${rows / hdSec / 1000}%.0f")
+      // cluster resolution over the materialized pair list (the step
+      // a real dedup pipeline runs after either pair operator)
+      val pairs = Dedup.hammingNearDups(df, "id", "fp", maxDist = 1, bits = 60)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      val (nComp, ccSec) = time {
+        val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val n = comps.select(countDistinct("component")).collect()(0).getLong(0)
+        comps.unpersist(blocking = false)
+        n
+      }
+      pairs.unpersist(blocking = false)
+      println(f"PROBE components rows=$rows edges=$hdPairs clusters=$nComp sec=$ccSec%.2f")
     }
     spark.stop()
   }

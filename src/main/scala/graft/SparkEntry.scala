@@ -478,6 +478,19 @@ object SparkEntry {
           round(degrees(col("fwd.lon2")), 6).as("dlon"))
         .orderBy("c_custkey")
     }),
+    "q49_dedup_components" -> ((s, dir) => {
+      // duplicate-CLUSTER resolution over a pair list (the step after
+      // any near-dup pair operator): min-label propagation vs the
+      // oracle's recursive-CTE reachability closure. Edge pattern
+      // (k, k+1) unless k = 7 mod 8 builds chains of diameter 7, so
+      // the gate exercises genuine multi-round propagation
+      val edges = t(s, dir, "customer")
+        .select(col("c_custkey").as("a"))
+        .filter(col("a") % 8 =!= 7)
+        .withColumn("b", col("a") + 1)
+      Dedup.connectedComponents(edges, "a", "b")
+        .orderBy("node")
+    }),
     "q47_geodesic_meridional" -> ((s, dir) => {
       // same-longitude pairs: the inverse solver's MERIDIONAL branch
       // (alpha1 = 0, hybrid I1 along the meridian) — oracle-checked
@@ -1388,6 +1401,14 @@ object SparkEntry {
       // the numerical core: q30 gates the Newton+hybrid general path,
       // these gate the two branches it excludes (the astroid and
       // short-distance branches keep their GeodSolve golden suites)
+      "q49_dedup_components" ->
+        """WITH RECURSIVE e0 AS (SELECT c_custkey AS a, c_custkey + 1 AS b
+          |   FROM customer WHERE c_custkey % 8 <> 7),
+          | edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+          | reach AS (SELECT src AS node, src AS lab FROM edges
+          |   UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst)
+          | SELECT node, min(lab) AS component FROM reach GROUP BY node
+          | ORDER BY node""".stripMargin.replace("\n", " "),
       "q47_geodesic_meridional" -> {
         val from =
           s"""(SELECT c_custkey, ${latSql("c_custkey")} AS lat1,

@@ -287,6 +287,110 @@ object Dedup {
     pairs.unionByName(starPairs)
   }
 
+  /** Connected components over a near-dup PAIR list — the cluster
+    * resolution step a dedup pipeline needs after [[minHashPairs]] /
+    * [[hammingNearDups]] / `Similarity.embeddingNearDups` (pairs
+    * alone cannot answer "keep one row per duplicate cluster": near-
+    * dup relations chain, A~B~C with A!~C). Returns one row per
+    * graph node: (`node`, `component`) with component = the MINIMUM
+    * node id reachable from it — so the component id doubles as the
+    * deterministic keeper id. The returned frame is persisted and
+    * already materialized (its parents are released before
+    * returning); unpersist it when done — CacheManager holds
+    * Dataset.persist entries until told otherwise.
+    *
+    * Algorithm: min-label propagation with POINTER DOUBLING — each
+    * round takes label(x) = min(label(x), neighbor labels, then
+    * label(label(x))), so the minimum spreads along edges AND jumps
+    * through already-propagated labels: rounds grow with
+    * log(diameter), not diameter (a 41-node chain converges in 6
+    * rounds, spec-pinned). A round is two equi-joins + one map-side-
+    * combined min agg on the node key; nothing ever leaves the
+    * (node, label) shape, so a round shuffles |V| + |E| rows. Each
+    * round's result is persisted, MATERIALIZED by the convergence
+    * count, and re-based as a plan LEAF (createDataFrame over the
+    * cached RDD) — without that, iteration N's Catalyst plan nests
+    * all N-1 predecessors and planning itself blows up (observed as
+    * an AQE explain-string OOM at depth ~40). `maxIters` is a loud
+    * backstop, not a silent cap: if the graph fails to converge the
+    * call THROWS rather than returning partially-merged components.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(lvl)
+    val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      var labels = edges.groupBy(col("src").as("node"))
+        .agg(min("dst").as("__nmin"))
+        .select(col("node"), least(col("node"), col("__nmin")).as("label"))
+        .persist(lvl)
+      retired += labels
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        // 1-hop: min over own + neighbor labels
+        val stepped = edges
+          .join(labels.select(col("node").as("dst"), col("label").as("__dl")), "dst")
+          .groupBy(col("src").as("node")).agg(min("__dl").as("__nl"))
+          .join(labels, "node")
+          .select(col("node"), least(col("label"), col("__nl")).as("label"))
+        // pointer jump: follow the label's own label (left join: a
+        // label is always a node id of the same component, but after
+        // the 1-hop step it may not appear as a key of `stepped` if
+        // it only ever occurs as a destination — keep own label then)
+        val next0 = stepped.join(
+            stepped.select(col("node").as("label"), col("label").as("__ll")),
+            Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+          .persist(lvl)
+        retired += next0
+        val changed = next0.join(
+            labels.select(col("node"), col("label").as("__old")), "node")
+          .filter(col("label") =!= col("__old")).count() // materializes next0
+        // re-base on the cached rows as a LEAF plan: truncates the
+        // per-round Catalyst nesting while staying recomputable
+        // (the RDD still carries lineage, bounded by maxIters)
+        labels = spark.createDataFrame(next0.toDF().rdd, next0.schema)
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds — " +
+            "the pair graph is deeper than any near-dup clustering " +
+            "should be; raise maxIters only if that is expected")
+      val out = labels.withColumnRenamed("label", "component")
+        .persist(lvl)
+      out.count() // materialize before the finally releases parents
+      out
+    } finally {
+      edges.unpersist(blocking = false)
+      retired.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Keep exactly one row per duplicate cluster: rows whose id is its
+    * component's minimum (plus every row in no pair at all). The
+    * companion of [[connectedComponents]] for the standard "drop
+    * near-duplicates" pipeline step — one left-anti join against the
+    * non-keeper nodes, so `df`'s payload columns shuffle at most
+    * once.
+    */
+  def keepComponentRepresentatives(df: DataFrame, idCol: String,
+                                   pairs: DataFrame, aCol: String,
+                                   bCol: String): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity between two text columns
     * (exact, for verification / small candidate sets).
     */

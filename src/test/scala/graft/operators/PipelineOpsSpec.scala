@@ -189,6 +189,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.contains((0L, 9000L, 1)))
   }
 
+  test("connected components equal union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // sparse random graph + a long chain (exercises multi-round
+    // propagation) + isolated self-contained pairs
+    val edges = ((0 until 150).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      ++ (500L until 540L).map(i => (i, i + 1))
+      ++ Seq((900L, 901L))).filter(e => e._1 != e._2)
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map { n =>
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(got == want)
+  }
+
+  test("keepComponentRepresentatives keeps one row per near-dup cluster") {
+    import spark.implicits._
+    // real pipeline shape: minhash pairs over a corpus with planted
+    // near-dup chains -> component keepers
+    // truly distinct texts (hash-derived word soup — shared prefixes
+    // would be legitimate near-dups to a shingle jaccard)
+    val rnd7 = new scala.util.Random(11)
+    val docs = ((0 until 30).map(i => (i.toLong,
+        Seq.fill(12)(java.lang.Long.toString(rnd7.nextLong() & 0x7fffffffL, 36)).mkString(" ")))
+      ++ Seq((100L, "aaaa bbbb cccc dddd eeee"), (101L, "aaaa bbbb cccc dddd eeee"),
+             (102L, "aaaa bbbb cccc dddd eeee ffff"))).toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3)
+    val kept = Dedup.keepComponentRepresentatives(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 100/101 identical, 102 near-dup of them => one keeper (100);
+    // every unique doc survives
+    assert(kept.contains(100L) && !kept.contains(101L) && !kept.contains(102L))
+    assert((0L until 30L).forall(kept.contains))
+  }
+
   test("lshTopK fills starved queries via escalation (exact k per query)") {
     import spark.implicits._
     // orthogonal-ish sparse data: queries far from everything starve at

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.geo
 import graft.index.{CellIndex, cells}
-import graft.operators.{Dedup, Similarity, SpatialJoins, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Similarity, SpatialJoins, TextAnalysis}
 import graft.operators.SpatialJoins.Aoi
 import graft.sources.ImageTable
 
@@ -755,6 +755,53 @@ object SparkEntry {
           round(geo.latDeg(col("n")), 6).as("ilat"),
           round(geo.lonDeg(col("n")), 6).as("ilon"))
         .orderBy("user_id")
+    }),
+    "q50_asof_join" -> ((s, dir) => {
+      // point-in-time join: each click matched to the SAME user's most
+      // recent purchase at-or-before it (event_id as the time axis),
+      // within a 3000-id tolerance. AsOfJoin's single-shuffle
+      // union+window plan vs the oracle's quadratic range-join + rank.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"), col("value"))
+      AsOfJoin.asOfJoin(clicks, purchases, Seq("user_id"),
+          "event_id", "p_event", direction = "backward", tolerance = Some(3000.0))
+        .select(col("event_id"), col("user_id"), col("r_p_event"),
+          round(col("r_value"), 6).as("r_value"))
+        .orderBy("event_id")
+    }),
+    "q51_polygon_area" -> ((s, dir) => {
+      // per-row spherical pentagon (vertices derived from the customer
+      // key): signed fan excess + enclosed area via the van
+      // Oosterom-Strackee solid-angle form (geo.polygonExcess)
+      val verts = (0 until 5).map { j =>
+        val ang = 2.0 * math.Pi * j / 5.0
+        geo.nvec(col("lat") * 0.9 + lit(0.02 * math.cos(ang)),
+          col("lon") * 0.98 + lit(0.02 * math.sin(ang)))
+      }
+      custPts(s, dir).select(col("c_custkey"),
+          round(geo.polygonExcess(verts), 9).as("excess_sr"),
+          round(geo.polygonArea(verts) / 1e6, 3).as("area_km2"))
+        .orderBy("c_custkey")
+    }),
+    "q52_ngram_jaccard" -> ((s, dir) => {
+      // exact word-trigram Jaccard — the verification-stage primitive
+      // behind the LSH estimates — against (a) a 60%-character-prefix
+      // variant of the same doc and (b) the next doc (null for the
+      // last). Values are exact rationals, so the oracle compare is
+      // float-risk-free.
+      val d = t(s, dir, "documents")
+      val trunc = col("text").substr(lit(1),
+        floor(col("n_chars") * 3 / 5).cast("int"))
+      val base = d.select(col("doc_id"), col("text"), trunc.as("ttrunc"))
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("tnext"))
+      base.join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(Dedup.ngramJaccard(col("text"), col("ttrunc")), 6).as("j_trunc"),
+          round(Dedup.ngramJaccard(col("text"), col("tnext")), 6).as("j_next"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1476,7 +1523,70 @@ object SparkEntry {
            | SELECT user_id, tq AS tsec,
            |   round(degrees(atan2(iz, sqrt(ix*ix + iy*iy))), 6) AS ilat,
            |   round(degrees(atan2(iy, ix)), 6) AS ilon
-           | FROM pos ORDER BY user_id""".stripMargin.replace("\n", " ")
+           | FROM pos ORDER BY user_id""".stripMargin.replace("\n", " "),
+      "q50_asof_join" ->
+        """WITH l AS (SELECT event_id, user_id FROM events WHERE event_type = 'click'),
+          | r AS (SELECT event_id AS p_event, user_id, value FROM events WHERE event_type = 'purchase'),
+          | j AS (SELECT l.event_id, l.user_id, r.p_event, r.value,
+          |   row_number() OVER (PARTITION BY l.event_id ORDER BY r.p_event DESC NULLS LAST) AS rn
+          |   FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.p_event <= l.event_id
+          |     AND l.event_id - r.p_event <= 3000)
+          | SELECT event_id, user_id, p_event AS r_p_event, round(value, 6) AS r_value
+          | FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin.replace("\n", " "),
+      "q51_polygon_area" -> {
+        // pentagon vertex offsets at the EXACT doubles the engine
+        // embeds; triangle terms reproduce geo.triangleExcess's
+        // floating-op order (left-assoc sums, same cross/dot layout)
+        val offs = (0 until 5).map { j =>
+          val ang = 2.0 * math.Pi * j / 5.0
+          (fmt(0.02 * math.cos(ang)), fmt(0.02 * math.sin(ang)))
+        }
+        val vcols = offs.zipWithIndex.map { case ((dla, dlo), j) =>
+          s"""cos(lat*0.9 + $dla)*cos(lon*0.98 + $dlo) AS x$j,
+             | cos(lat*0.9 + $dla)*sin(lon*0.98 + $dlo) AS y$j,
+             | sin(lat*0.9 + $dla) AS z$j""".stripMargin.replace("\n", " ")
+        }.mkString(", ")
+        def tri(a: Int, b: Int, c: Int): String =
+          s"""2.0*atan2(x$a*(y$b*z$c - z$b*y$c) + y$a*(z$b*x$c - x$b*z$c) + z$a*(x$b*y$c - y$b*x$c),
+             | 1.0 + (x$a*x$b + y$a*y$b + z$a*z$b) + (x$b*x$c + y$b*y$c + z$b*z$c)
+             | + (x$c*x$a + y$c*y$a + z$c*z$a))""".stripMargin.replace("\n", " ")
+        val r2 = fmt(6371009.0 * 6371009.0)
+        s"""WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat,
+           | ${lonSql("c_custkey")} AS lon FROM customer),
+           | v AS (SELECT k, $vcols FROM keyed),
+           | tri AS (SELECT k, ${tri(0, 1, 2)} + ${tri(0, 2, 3)} + ${tri(0, 3, 4)} AS exc FROM v)
+           | SELECT k AS c_custkey, round(exc, 9) AS excess_sr,
+           |   round(abs(exc) * $r2 / 1000000.0, 3) AS area_km2
+           | FROM tri ORDER BY c_custkey""".stripMargin.replace("\n", " ")
+      },
+      "q52_ngram_jaccard" ->
+        """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          | grams AS (SELECT DISTINCT doc_id, array_to_string(w[t.i+1:t.i+3], ' ') AS g
+          |   FROM words CROSS JOIN generate_series(0, 127) t(i)
+          |   WHERE t.i <= greatest(len(w) - 3, 0)),
+          | twords AS (SELECT doc_id,
+          |   string_split(lower(substr(text, 1, CAST(floor(n_chars * 3 / 5) AS INT))), ' ') AS w
+          |   FROM documents),
+          | tgrams AS (SELECT DISTINCT doc_id, array_to_string(w[t.i+1:t.i+3], ' ') AS g
+          |   FROM twords CROSS JOIN generate_series(0, 127) t(i)
+          |   WHERE t.i <= greatest(len(w) - 3, 0)),
+          | gn AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+          | tn AS (SELECT doc_id, count(*) AS c FROM tgrams GROUP BY doc_id),
+          | it AS (SELECT a.doc_id, count(*) AS c FROM grams a
+          |   JOIN tgrams b ON b.doc_id = a.doc_id AND b.g = a.g GROUP BY a.doc_id),
+          | inx AS (SELECT a.doc_id, count(*) AS c FROM grams a
+          |   JOIN grams b ON b.doc_id = a.doc_id + 1 AND b.g = a.g GROUP BY a.doc_id),
+          | nn AS (SELECT doc_id - 1 AS doc_id, c FROM gn)
+          | SELECT d.doc_id,
+          |   round(CAST(coalesce(it.c, 0) AS DOUBLE) / greatest(gn.c + tn.c - coalesce(it.c, 0), 1), 6) AS j_trunc,
+          |   CASE WHEN nn.c IS NULL THEN NULL ELSE
+          |     round(CAST(coalesce(inx.c, 0) AS DOUBLE) / greatest(gn.c + nn.c - coalesce(inx.c, 0), 1), 6)
+          |   END AS j_next
+          | FROM documents d JOIN gn USING (doc_id) JOIN tn USING (doc_id)
+          | LEFT JOIN it ON it.doc_id = d.doc_id
+          | LEFT JOIN inx ON inx.doc_id = d.doc_id
+          | LEFT JOIN nn ON nn.doc_id = d.doc_id
+          | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
     )
   }
 }

@@ -187,6 +187,52 @@ object geo {
     vadd(vscale(nA, cos(distanceRad)), vscale(d, sin(distanceRad)))
   }
 
+  // ---- spherical polygon area (van Oosterom & Strackee 1983) -------
+
+  /** Signed solid angle [steradians] of spherical triangle (a,b,c):
+    * 2*atan2(a.(b x c), 1 + a.b + b.c + c.a) — positive when (a,b,c)
+    * winds counterclockwise seen from outside the sphere. One atan2,
+    * no per-side arcsines, numerically robust for tiny triangles
+    * (l'Huilier's tan(E/4) form cancels catastrophically there).
+    */
+  def triangleExcess(a: Column, b: Column, c: Column): Column =
+    lit(2.0) * atan2(vdot(a, vcross(b, c)),
+      lit(1.0) + vdot(a, b) + vdot(b, c) + vdot(c, a))
+
+  /** Signed spherical excess [steradians] of the simple polygon with
+    * the given n-vector vertices (fixed arity >= 3), by fan
+    * triangulation from the first vertex. The SIGNED triangle terms
+    * make the fan exact for concave polygons too; the magnitude is
+    * the enclosed solid angle for any simple polygon smaller than a
+    * hemisphere.
+    */
+  def polygonExcess(vertices: Seq[Column]): Column = {
+    require(vertices.length >= 3, "polygon needs >= 3 vertices")
+    (1 until vertices.length - 1)
+      .map(i => triangleExcess(vertices.head, vertices(i), vertices(i + 1)))
+      .reduce(_ + _)
+  }
+
+  /** Polygon area [m^2] on the sphere of the given radius. */
+  def polygonArea(vertices: Seq[Column], radius: Double = MeanEarthRadius): Column =
+    abs(polygonExcess(vertices)) * lit(radius * radius)
+
+  /** Variable-arity variant over an `array<struct<x,y,z>>` column
+    * (e.g. a per-row vertex list built upstream); < 3 vertices yield
+    * 0.0. Higher-order-function form — fine off the hot path; for a
+    * fixed small arity prefer [[polygonExcess]], which stays a flat
+    * codegen'd arithmetic expression.
+    */
+  def polygonExcessArr(vertexArr: Column): Column =
+    when(size(vertexArr) >= 3,
+      aggregate(sequence(lit(2), size(vertexArr) - 1), lit(0.0),
+        (acc, i) => acc + triangleExcess(element_at(vertexArr, lit(1)),
+          element_at(vertexArr, i), element_at(vertexArr, i + 1))))
+      .otherwise(lit(0.0))
+
+  def polygonAreaArr(vertexArr: Column, radius: Double = MeanEarthRadius): Column =
+    abs(polygonExcessArr(vertexArr)) * lit(radius * radius)
+
   // ---- aggregates ---------------------------------------------------
 
   /** Aggregate: unit(sum of n-vectors) — mean horizontal position.

@@ -402,6 +402,9 @@ object Dedup {
     }
     val ga = grams(a); val gb = grams(b)
     val inter = size(array_intersect(ga, gb)).cast("double")
-    inter / greatest(size(array_union(ga, gb)), lit(1)).cast("double")
+    // explicit null propagation: without it a null text slips through
+    // concat_ws as "" and scores 0.0 instead of null
+    when(a.isNotNull && b.isNotNull,
+      inter / greatest(size(array_union(ga, gb)), lit(1)).cast("double"))
   }
 }

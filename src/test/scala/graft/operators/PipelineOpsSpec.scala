@@ -87,6 +87,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out((1L, 3L)) == 0.0)
   }
 
+  test("ngram jaccard propagates null text as null, not 0") {
+    val r = docs.select(
+      Dedup.ngramJaccard(col("text"), lit(null).cast("string")).as("jn"),
+      Dedup.ngramJaccard(col("text"), col("text")).as("js")).collect()
+    assert(r.forall(_.isNullAt(0)))
+    assert(r.forall(_.getDouble(1) == 1.0))
+  }
+
   test("text analysis basics") {
     val r = docs.select(col("doc_id"),
       TextAnalysis.wordCount(col("text")).as("wc"),

@@ -799,8 +799,8 @@ object SparkEntry {
       val nxt = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("tnext"))
       base.join(nxt, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          round(Dedup.ngramJaccard(col("text"), col("ttrunc")), 6).as("j_trunc"),
-          round(Dedup.ngramJaccard(col("text"), col("tnext")), 6).as("j_next"))
+          round(Dedup.ngramJaccardFast(col("text"), col("ttrunc")), 6).as("j_trunc"),
+          round(Dedup.ngramJaccardFast(col("text"), col("tnext")), 6).as("j_next"))
         .orderBy("doc_id")
     })
   )

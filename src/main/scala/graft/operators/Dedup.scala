@@ -407,4 +407,19 @@ object Dedup {
     when(a.isNotNull && b.isNotNull,
       inter / greatest(size(array_union(ga, gb)), lit(1)).cast("double"))
   }
+
+  /** JITed kernel form of [[ngramJaccard]] (StaticInvoke into
+    * `TextKernels.ngramJaccard`; identical values — integer set
+    * arithmetic both ways). Prefer on hot paths: the expression
+    * form's higher-order lambdas evaluate interpreted per element
+    * and get re-inlined by Catalyst's project collapsing (measured
+    * 25 s -> sub-second for the 5000-doc q52 gate at sf0.1).
+    */
+  def ngramJaccardFast(a: Column, b: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.TextKernels"),
+      DoubleType, "ngramJaccard",
+      Seq(a, b, lit(n)), Seq(StringType, StringType, IntegerType))
+  }
 }

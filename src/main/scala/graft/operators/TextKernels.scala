@@ -93,4 +93,40 @@ object TextKernels {
     }
     n
   }
+
+  /** Exact word n-gram Jaccard — kernel form of
+    * [[Dedup.ngramJaccard]]'s column expression: same tokenization
+    * (`split(lower(text), " ")` keeping empties), distinct n-grams
+    * joined by one space, |intersection| / max(|union|, 1). Integer set
+    * arithmetic, so kernel and expression agree bit-for-bit; null
+    * inputs yield null via StaticInvoke's propagateNull.
+    */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    def grams(t: UTF8String): java.util.HashSet[String] = {
+      val ws = words(t)
+      val out = new java.util.HashSet[String]()
+      val m = math.max(ws.length - n, 0)
+      var i = 0
+      while (i <= m) {
+        val sb = new java.lang.StringBuilder()
+        val end = math.min(i + n, ws.length)
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(ws(j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+      out
+    }
+    val ga = grams(a)
+    val gb = grams(b)
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    val union = ga.size + gb.size - inter
+    inter.toDouble / math.max(union, 1).toDouble
+  }
 }

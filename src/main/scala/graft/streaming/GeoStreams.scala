@@ -157,6 +157,126 @@ object GeoStreams {
       .drop("__cell", "__cell_r")
   }
 
+  final case class AsOfEvt(k: Long, ts: java.sql.Timestamp, id: Long,
+                           v: Double, isL: Boolean)
+  final case class AsOfBuf(rights: Vector[(Long, Double)],
+                           pendingLefts: Vector[(Long, Long)])
+  final case class AsOfMatch(id: Long, k: Long, tsMs: Long,
+                             rTsMs: Option[Long], rV: Option[Double])
+
+  /** STREAM-STREAM as-of join, the streaming form of
+    * [[graft.operators.AsOfJoin]]: each left row (keyCol, leftTs,
+    * idCol) is matched to the right row (keyCol, rightTs, valueCol)
+    * nearest at-or-before it (`backward`, optional tolerance) or
+    * nearest at-or-after it (`forward`, tolerance REQUIRED — without
+    * a bound the first later right can arrive arbitrarily far in the
+    * future and nothing could ever be emitted).
+    *
+    * Event-time-correct under out-of-order arrival: left rows are
+    * buffered until the union watermark passes their match horizon
+    * (their own time for backward, time + tolerance for forward), at
+    * which point every right row that could win has provably arrived;
+    * only then is the match emitted. State per key is bounded by the
+    * watermark delay (+ tolerance): rights older than the horizon are
+    * evicted down to a single floor row (the newest right at-or-below
+    * it, which future backward lefts may still need), and emitted
+    * lefts leave the buffer. A quiet key keeps just its floor row —
+    * one row per key ever seen, the same residency class as any
+    * keyed streaming state. Ties at equal right time resolve to the
+    * max value — the same rule as the batch operator's struct-max.
+    * Data later than the watermark is handled best-effort (emitted
+    * immediately against the rights on hand) rather than dropped.
+    *
+    * Emits `AsOfMatch(id, k, tsMs, rTsMs, rV)` in append mode; times
+    * are epoch millis of the timestamp columns.
+    */
+  def asOfJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                     leftTs: String, idCol: String,
+                     rightTs: String, valueCol: String,
+                     watermark: String,
+                     direction: String = "backward",
+                     toleranceMs: Option[Long] = None): Dataset[AsOfMatch] = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward (got $direction)")
+    require(direction != "forward" || toleranceMs.isDefined,
+      "forward as-of needs a tolerance to bound the emit horizon")
+    require(toleranceMs.forall(_ >= 0), "tolerance must be >= 0 ms")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val fwd = direction == "forward"
+    val tol = toleranceMs.getOrElse(0L)
+    val l = left.select(col(keyCol).cast("long").as("k"),
+        col(leftTs).as("ts"), col(idCol).cast("long").as("id"),
+        lit(0.0).as("v"), lit(true).as("isL"))
+      .withWatermark("ts", watermark)
+    val r = right.select(col(keyCol).cast("long").as("k"),
+        col(rightTs).as("ts"), lit(0L).as("id"),
+        col(valueCol).cast("double").as("v"), lit(false).as("isL"))
+      .withWatermark("ts", watermark)
+    // first index with right-time strictly greater than t
+    def upper(rights: Vector[(Long, Double)], t: Long): Int = {
+      var lo = 0; var hi = rights.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (rights(mid)._1 <= t) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    l.unionByName(r).as[AsOfEvt]
+      .groupByKey(_.k)
+      // EventTimeTimeout: a key with pending lefts must flush when the
+      // WATERMARK passes their horizon even if no further data ever
+      // arrives for that key — without a timeout the group function
+      // only runs on keys present in the batch and tail lefts would
+      // hang unmatched forever
+      .flatMapGroupsWithState[AsOfBuf, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: Long, it: Iterator[AsOfEvt], state: GroupState[AsOfBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(AsOfBuf(Vector.empty, Vector.empty))
+          val evts = it.toArray
+          val rights = (st.rights ++ evts.iterator.filterNot(_.isL)
+            .map(e => (e.ts.getTime, e.v))).sorted
+          val lefts = st.pendingLefts ++ evts.iterator.filter(_.isL)
+            .map(e => (e.ts.getTime, e.id))
+          // a left is emittable once no future right can change its
+          // match: its horizon is at-or-below the watermark. Late
+          // lefts (already <= wm on arrival) emit right away too.
+          val horizon = if (fwd) wm - tol else wm
+          val (emit, pend) = lefts.partition(_._1 <= horizon)
+          val out = emit.sorted.map { case (tl, id) =>
+            val m =
+              if (fwd) {
+                val i = upper(rights, tl - 1) // first right with rt >= tl
+                // among equal rt the LAST (max v) should win, like
+                // the batch struct-max rule
+                if (i == rights.length || rights(i)._1 > tl + tol) None
+                else Some(rights(upper(rights, rights(i)._1) - 1))
+              } else {
+                val i = upper(rights, tl)
+                if (i == 0) None
+                else Some(rights(i - 1))
+                  .filter(rr => toleranceMs.forall(t0 => tl - rr._1 <= t0))
+              }
+            AsOfMatch(id, k, tl, m.map(_._1), m.map(_._2))
+          }
+          // evict rights below the horizon down to one floor row
+          val f = upper(rights, horizon)
+          val kept = if (f == 0) rights else rights.drop(f - 1)
+          if (kept.isEmpty && pend.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(kept, pend))
+            if (pend.nonEmpty) {
+              // fire again once the watermark passes the earliest
+              // pending left's horizon (> wm by the partition above)
+              val wake = pend.iterator.map(_._1).min + (if (fwd) tol else 0L)
+              state.setTimeoutTimestamp(wake)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Ingest a deduplicated image stream into the snapshot store:
     * each micro-batch commits a named snapshot (per-file row counts +
     * lineage recorded), so the table history is the stream's commit

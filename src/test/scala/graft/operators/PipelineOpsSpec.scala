@@ -87,6 +87,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out((1L, 3L)) == 0.0)
   }
 
+  test("ngram jaccard kernel equals the expression form") {
+    val cmp = docs.as("a").crossJoin(docs.as("b")).select(
+      Dedup.ngramJaccard(col("a.text"), col("b.text")).as("e"),
+      Dedup.ngramJaccardFast(col("a.text"), col("b.text")).as("k"),
+      Dedup.ngramJaccard(col("a.text"), col("b.text"), n = 2).as("e2"),
+      Dedup.ngramJaccardFast(col("a.text"), col("b.text"), n = 2).as("k2"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"n=3: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"n=2: $r")
+    }
+    // null propagation matches too (kernel via propagateNull)
+    val nn = docs.select(
+      Dedup.ngramJaccardFast(col("text"), lit(null).cast("string"))).collect()
+    assert(nn.forall(_.isNullAt(0)))
+  }
+
   test("ngram jaccard propagates null text as null, not 0") {
     val r = docs.select(
       Dedup.ngramJaccard(col("text"), lit(null).cast("string")).as("jn"),

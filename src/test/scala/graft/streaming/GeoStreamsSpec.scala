@@ -31,6 +31,136 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(ids == Seq("img_a", "img_b", "img_c"))
   }
 
+  test("streaming as-of join: backward matches, watermark-gated emission, tail flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val out = GeoStreams.asOfJoinStream(
+      lIn.toDF().toDF("k", "ts", "id"), rIn.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "id", "ts", "v", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    // batch 1: left @5 arrives BEFORE its best right @4 (next batch) —
+    // emission must wait for the watermark, not match greedily
+    lIn.addData((1L, ts(5), 100L))
+    rIn.addData((1L, ts(0), 10.0))
+    q.processAllAvailable()
+    assert(spark.table("asof_out").count() === 0)
+    // batch 2: the out-of-order better right @4, plus a left @25 and
+    // watermark pushers on another key, BOTH streams (the union
+    // watermark is the min across inputs) -> wm = 55
+    rIn.addData((1L, ts(4), 14.0), (1L, ts(20), 20.0), (9L, ts(60), 0.0))
+    lIn.addData((1L, ts(25), 101L), (9L, ts(60), 999L))
+    q.processAllAvailable()
+    // batch 3: no new key-1 data — the EventTimeTimeout must flush
+    // the pending lefts now that wm=55 has passed them
+    rIn.addData((9L, ts(61), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("asof_out").filter(col("k") === 1)
+      .select("id", "rTsMs", "rV").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getDouble(2)))
+      .toSet
+    q.stop()
+    assert(got === Set(
+      (100L, ts(4).getTime, 14.0),   // left@5 -> right@4 (not the stale @0)
+      (101L, ts(20).getTime, 20.0))) // left@25 -> right@20
+  }
+
+  test("streaming as-of join agrees with the batch operator on replayed data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    def rnd(seed: Long): Double = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val lefts = (0 until 80).map(i =>
+      ((rnd(i * 2L) * 5).toLong, ts((rnd(i * 3L) * 90).toInt), i.toLong))
+    val rights = (0 until 60).map(i =>
+      ((rnd(i * 5L + 1) * 5).toLong, ts((rnd(i * 7L + 1) * 90).toInt), i * 1.0))
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val out = GeoStreams.asOfJoinStream(
+      lIn.toDF().toDF("k", "ts", "id"), rIn.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "id", "ts", "v", watermark = "1 minute",
+      toleranceMs = Some(15L * 60000L))
+    val q = out.writeStream.format("memory").queryName("asof_replay")
+      .outputMode("append").start()
+    // batches honor the watermark contract: arbitrary disorder WITHIN
+    // a batch, but a later batch never carries event times below the
+    // watermark the earlier batch established (feeding genuinely late
+    // rights would be data the watermark already disclaimed — the
+    // stream is then allowed to miss them where batch would not)
+    val cut = ts(45).getTime
+    lIn.addData(lefts.filter(_._2.getTime < cut))
+    rIn.addData(rights.filter(_._2.getTime < cut))
+    q.processAllAvailable()
+    lIn.addData(lefts.filter(_._2.getTime >= cut))
+    rIn.addData(rights.filter(_._2.getTime >= cut))
+    q.processAllAvailable()
+    // pushers on BOTH streams: the union watermark is the min
+    rIn.addData((99L, ts(200), 0.0)); lIn.addData((99L, ts(200), 9999L))
+    q.processAllAvailable()
+    val got = spark.table("asof_replay")
+      .filter(col("k") =!= 99)
+      .select("id", "rTsMs", "rV").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    q.stop()
+    val want = graft.operators.AsOfJoin.asOfJoin(
+      lefts.toDF("k", "ts", "id"), rights.toDF("k", "ts2", "v"),
+      Seq("k"), "ts", "ts2", "backward", tolerance = None)
+      .withColumn("gapOk",
+        col("ts").cast("long") - col("r_ts2").cast("long") <= 15L * 60)
+      .select("id", "r_ts2", "r_v", "gapOk").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1) || !r.getBoolean(3)) None
+        else Some((r.getTimestamp(1).getTime, r.getDouble(2)))))
+      .toMap
+    assert(got === want)
+  }
+
+  test("streaming as-of join: forward direction needs and honors tolerance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    intercept[IllegalArgumentException] {
+      GeoStreams.asOfJoinStream(
+        spark.range(1).select(col("id").as("k"), lit(t0).as("ts"), col("id")),
+        spark.range(1).select(col("id").as("k"), lit(t0).as("ts"), lit(0.0).as("v")),
+        "k", "ts", "id", "ts", "v", "5 minutes", direction = "forward")
+    }
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val out = GeoStreams.asOfJoinStream(
+      lIn.toDF().toDF("k", "ts", "id"), rIn.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "id", "ts", "v", watermark = "2 minutes",
+      direction = "forward", toleranceMs = Some(10L * 60000L))
+    val q = out.writeStream.format("memory").queryName("asof_fwd")
+      .outputMode("append").start()
+    // left@10: next right within 10 min is @14; left@30 has none
+    // (right@45 is beyond tolerance)
+    lIn.addData((1L, ts(10), 1L), (1L, ts(30), 2L))
+    rIn.addData((1L, ts(5), 5.0), (1L, ts(14), 14.0), (1L, ts(45), 45.0))
+    q.processAllAvailable()
+    rIn.addData((9L, ts(60), 0.0)); lIn.addData((9L, ts(60), 999L))
+    q.processAllAvailable()
+    val got = spark.table("asof_fwd").filter(col("k") === 1)
+      .select("id", "rTsMs", "rV").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    q.stop()
+    assert(got === Map(1L -> Some((ts(14).getTime, 14.0)), 2L -> None))
+  }
+
   test("stream-stream distance join pairs within radius and time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -756,6 +756,22 @@ object SparkEntry {
           round(geo.lonDeg(col("n")), 6).as("ilon"))
         .orderBy("user_id")
     }),
+    "q53_cell_compact" -> ((s, dir) => {
+      // compact/uncompact as an oracle gate: level-3 cells of every
+      // 5th customer exploded to level 5 (complete sibling subtrees
+      // by construction) + raw level-5 cells of the rest; compaction
+      // must merge back exactly the complete groups (incl. any
+      // groups the scattered cells happen to complete). The oracle
+      // unrolls the level-by-level merge in plain CTEs.
+      val pts = custPts(s, dir)
+      val fine = graft.index.CellSetOps.uncompact(
+        pts.filter(col("c_custkey") % 5 === 0)
+          .select(cells.cellAt(col("n"), 3).as("cell")), "cell", 5)
+      val scattered = pts.filter(col("c_custkey") % 5 =!= 0)
+        .select(cells.cellAt(col("n"), 5).as("cell"))
+      graft.index.CellSetOps.compact(fine.unionByName(scattered), "cell")
+        .orderBy("cell")
+    }),
     "q50_asof_join" -> ((s, dir) => {
       // point-in-time join: each click matched to the SAME user's most
       // recent purchase at-or-before it (event_id as the time axis),
@@ -1524,6 +1540,55 @@ object SparkEntry {
            |   round(degrees(atan2(iz, sqrt(ix*ix + iy*iy))), 6) AS ilat,
            |   round(degrees(atan2(iy, ix)), 6) AS ilon
            | FROM pos ORDER BY user_id""".stripMargin.replace("\n", " "),
+      "q53_cell_compact" -> {
+        // cell id at `level` from (nx,ny,nz) — the q14 block
+        // parameterized; CTE names suffixed to allow two levels
+        def cellCte(level: Int, sfx: String, src: String): String = {
+          val scale = 1 << level
+          s"""faced$sfx AS (SELECT k, nx, ny, nz,
+             |  CASE WHEN abs(nx) >= abs(ny) AND abs(nx) >= abs(nz) THEN (CASE WHEN nx >= 0 THEN 0 ELSE 1 END)
+             |       WHEN abs(ny) >= abs(nz) THEN (CASE WHEN ny >= 0 THEN 2 ELSE 3 END)
+             |       ELSE (CASE WHEN nz >= 0 THEN 4 ELSE 5 END) END AS face FROM $src),
+             | uv$sfx AS (SELECT k, face,
+             |  CASE face WHEN 0 THEN ny/nx WHEN 1 THEN nz/(-nx) WHEN 2 THEN nz/ny
+             |            WHEN 3 THEN nx/(-ny) WHEN 4 THEN nx/nz ELSE ny/(-nz) END AS u,
+             |  CASE face WHEN 0 THEN nz/nx WHEN 1 THEN ny/(-nx) WHEN 2 THEN nx/ny
+             |            WHEN 3 THEN nz/(-ny) WHEN 4 THEN ny/nz ELSE nx/(-nz) END AS v FROM faced$sfx),
+             | cell$sfx AS (SELECT k, face * 144115188075855872 + $level * 4503599627370496
+             |  + least(${scale - 1}, greatest(0, CAST(floor((u + 1.0) * 0.5 * $scale) AS BIGINT))) * 67108864
+             |  + least(${scale - 1}, greatest(0, CAST(floor((v + 1.0) * 0.5 * $scale) AS BIGINT))) AS cell
+             |  FROM uv$sfx)""".stripMargin.replace("\n", " ")
+        }
+        def parentSql(c: String, l: Int): String =
+          s"($c & 1008806316530991104) + ${(l - 1).toLong * 4503599627370496L} " +
+            s"+ ((($c >> 26) & 67108863) >> 1) * 67108864 + (($c & 67108863) >> 1)"
+        // unrolled bottom-up merge: stage l consumes r{l}, emits
+        // k{l} (kept) and r{l-1} (uncompacted rest + merged parents).
+        // MATERIALIZED: each stage references its predecessor ~3
+        // times; inlined, the base CTE would replicate ~3^5-fold and
+        // OOM the oracle engine
+        val stages = (5 to 1 by -1).map { l =>
+          s""" a$l AS MATERIALIZED (SELECT cell, ${parentSql("cell", l)} AS p FROM r$l WHERE (cell >> 52) & 31 = $l),
+             | p$l AS MATERIALIZED (SELECT p AS cell FROM a$l GROUP BY p HAVING count(*) = 4),
+             | k$l AS MATERIALIZED (SELECT cell FROM a$l WHERE p NOT IN (SELECT cell FROM p$l)),
+             | r${l - 1} AS MATERIALIZED (SELECT cell FROM r$l WHERE (cell >> 52) & 31 <> $l
+             |   UNION ALL SELECT cell FROM p$l)""".stripMargin.replace("\n", " ")
+        }.mkString(",")
+        ptsSql("customer", "c_custkey") +
+          s""", ${cellCte(3, "3", "(SELECT * FROM pts WHERE k % 5 = 0)")},
+             | ${cellCte(5, "5", "(SELECT * FROM pts WHERE k % 5 <> 0)")},
+             | fine AS (SELECT (cell3.cell & 1008806316530991104) + ${5L * 4503599627370496L}
+             |   + (((cell3.cell >> 26) & 67108863) * 4 + (d.d >> 2)) * 67108864
+             |   + ((cell3.cell & 67108863) * 4 + (d.d & 3)) AS cell
+             |   FROM cell3 CROSS JOIN generate_series(0, 15) d(d)),
+             | r5 AS MATERIALIZED (SELECT DISTINCT cell FROM
+             |   (SELECT cell FROM fine UNION ALL SELECT cell FROM cell5)),
+             | $stages
+             | SELECT cell FROM (SELECT cell FROM k5 UNION ALL SELECT cell FROM k4
+             |   UNION ALL SELECT cell FROM k3 UNION ALL SELECT cell FROM k2
+             |   UNION ALL SELECT cell FROM k1 UNION ALL SELECT cell FROM r0)
+             | ORDER BY cell""".stripMargin.replace("\n", " ")
+      },
       "q50_asof_join" ->
         """WITH l AS (SELECT event_id, user_id FROM events WHERE event_type = 'click'),
           | r AS (SELECT event_id AS p_event, user_id, value FROM events WHERE event_type = 'purchase'),

@@ -49,6 +49,37 @@ object cells {
       Seq(geo.vx(n), geo.vy(n), geo.vz(n), lit(level), lit(angleRad)),
       Seq(DoubleType, DoubleType, DoubleType, IntegerType, DoubleType))
 
+  /** Level field of a cell id — pure bitwise Columns (exactly the
+    * CellIndex bit layout), so SQL mirrors reproduce it verbatim.
+    */
+  def cellLevel(cell: Column): Column =
+    shiftright(cell, 52).bitwiseAND(lit(31L))
+
+  /** Array of the cell's descendants AT `targetLevel` (the cell
+    * itself when already at or below that depth — i.e. level >=
+    * targetLevel rows pass through as a 1-element array). Pure
+    * builtin arithmetic (no kernel): per-row child count is
+    * 4^(targetLevel - level), child (i,j) = (i,j) * 2^steps + (di,dj).
+    */
+  def descendantCells(cell: Column, targetLevel: Int): Column = {
+    require(targetLevel >= 0 && targetLevel <= 26, s"bad level $targetLevel")
+    val lvl = cellLevel(cell)
+    val steps = lit(targetLevel) - lvl
+    // 2^steps / 4^steps as exact doubles -> long (steps <= 26)
+    val twoS = pow(lit(2.0), steps).cast("long")
+    val fourS = pow(lit(4.0), steps).cast("long")
+    val face = cell.bitwiseAND(lit(7L << 57))
+    val i = shiftright(cell, 26).bitwiseAND(lit(0x3ffffffL))
+    val j = cell.bitwiseAND(lit(0x3ffffffL))
+    when(lvl >= targetLevel, array(cell)).otherwise(
+      transform(sequence(lit(0L), fourS - 1), d => {
+        val di = floor(d / twoS).cast("long")
+        val dj = pmod(d, twoS)
+        face + shiftleft(lit(targetLevel.toLong), 52) +
+          shiftleft(i * twoS + di, 26) + (j * twoS + dj)
+      }))
+  }
+
   /** Unit n-vector struct of the cell center. */
   def cellCenter(cell: Column): Column = {
     val ret = StructType(Seq(StructField("x", DoubleType, nullable = false),

@@ -1626,15 +1626,15 @@ object SparkEntry {
       },
       "q52_ngram_jaccard" ->
         """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-          | grams AS (SELECT DISTINCT doc_id, array_to_string(w[t.i+1:t.i+3], ' ') AS g
-          |   FROM words CROSS JOIN generate_series(0, 127) t(i)
-          |   WHERE t.i <= greatest(len(w) - 3, 0)),
+          | grams AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS g
+          |   FROM (SELECT doc_id, w,
+          |     unnest(generate_series(0, greatest(len(w) - 3, 0))) AS i FROM words)),
           | twords AS (SELECT doc_id,
           |   string_split(lower(substr(text, 1, CAST(floor(n_chars * 3 / 5) AS INT))), ' ') AS w
           |   FROM documents),
-          | tgrams AS (SELECT DISTINCT doc_id, array_to_string(w[t.i+1:t.i+3], ' ') AS g
-          |   FROM twords CROSS JOIN generate_series(0, 127) t(i)
-          |   WHERE t.i <= greatest(len(w) - 3, 0)),
+          | tgrams AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS g
+          |   FROM (SELECT doc_id, w,
+          |     unnest(generate_series(0, greatest(len(w) - 3, 0))) AS i FROM twords)),
           | gn AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
           | tn AS (SELECT doc_id, count(*) AS c FROM tgrams GROUP BY doc_id),
           | it AS (SELECT a.doc_id, count(*) AS c FROM grams a

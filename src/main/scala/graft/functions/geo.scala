@@ -219,16 +219,18 @@ object geo {
 
   /** Variable-arity variant over an `array<struct<x,y,z>>` column
     * (e.g. a per-row vertex list built upstream); < 3 vertices yield
-    * 0.0. Higher-order-function form — fine off the hot path; for a
-    * fixed small arity prefer [[polygonExcess]], which stays a flat
-    * codegen'd arithmetic expression.
+    * 0.0; a NULL vertex array propagates null ("unknown polygon" must
+    * not read as "zero-area polygon"). Higher-order-function form —
+    * fine off the hot path; for a fixed small arity prefer
+    * [[polygonExcess]], which stays a flat codegen'd arithmetic
+    * expression.
     */
   def polygonExcessArr(vertexArr: Column): Column =
     when(size(vertexArr) >= 3,
       aggregate(sequence(lit(2), size(vertexArr) - 1), lit(0.0),
         (acc, i) => acc + triangleExcess(element_at(vertexArr, lit(1)),
           element_at(vertexArr, i), element_at(vertexArr, i + 1))))
-      .otherwise(lit(0.0))
+      .when(vertexArr.isNotNull, lit(0.0))
 
   def polygonAreaArr(vertexArr: Column, radius: Double = MeanEarthRadius): Column =
     abs(polygonExcessArr(vertexArr)) * lit(radius * radius)

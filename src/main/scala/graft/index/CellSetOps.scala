@@ -65,10 +65,19 @@ object CellSetOps {
         next0.count() // materialize before re-basing
         cur = spark.createDataFrame(next0.toDF().rdd, next0.schema)
       }
-      val out = (cur.select("cell") :: done).reduce(_ unionByName _)
+      // Materialize the final cover at the RDD level rather than
+      // Dataset.persist: CacheManager would pin a Dataset cache until
+      // the caller explicitly unpersists (and compaction callers —
+      // AOI covers, per-snapshot cell lists — loop), whereas RDD
+      // cache blocks are released by the ContextCleaner once the
+      // returned frame becomes unreachable. Count runs before the
+      // finally releases the per-round parents; on executor loss the
+      // blocks recompute through the (bounded-depth) RDD lineage.
+      val outRows = (cur.select("cell") :: done).reduce(_ unionByName _)
         .select(col("cell").as(cellCol))
-        .persist(lvlSt)
-      out.count() // materialize before the finally releases parents
+      val outRdd = outRows.toDF().rdd.persist(lvlSt)
+      val out = spark.createDataFrame(outRdd, outRows.schema)
+      out.count()
       out
     } finally {
       retired.foreach(_.unpersist(blocking = false))

@@ -45,6 +45,18 @@ object AsOfJoin {
       s"direction must be backward|forward|nearest, got $direction")
     require(keyCols.nonEmpty, "asOfJoin needs at least one key column")
     val valueCols = right.columns.filterNot(c => keyCols.contains(c) || c == rightTime)
+    // fail fast on silent column corruption: internal staging names
+    // would be overwritten by withColumn, and a left column equal to
+    // a prefixed output name would duplicate in the final select
+    // (ambiguous far from the call site)
+    val reserved = Seq("__t", "__rv", "__isL", "__pick")
+    val clash = left.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOfJoin: left columns ${clash.mkString(", ")} collide with internal names $reserved")
+    val outClash = (valueCols :+ rightTime).map(rightPrefix + _).filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"asOfJoin: output columns ${outClash.mkString(", ")} already exist on the left side — " +
+        "pass a different rightPrefix")
 
     // right side: keys + unified time + packed carry struct
     val rv = struct(col(rightTime).as("__rt") +: valueCols.map(c => col(c).as(c)): _*)

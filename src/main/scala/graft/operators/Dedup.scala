@@ -333,12 +333,18 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        // 1-hop: min over own + neighbor labels
+        // 1-hop: min over own + neighbor labels. Persisted because the
+        // pointer jump references it TWICE — without the persist the
+        // join+agg subtree would be planned (and possibly executed)
+        // twice per round; as an InMemoryRelation both branches share
+        // one computation.
         val stepped = edges
           .join(labels.select(col("node").as("dst"), col("label").as("__dl")), "dst")
           .groupBy(col("src").as("node")).agg(min("__dl").as("__nl"))
           .join(labels, "node")
           .select(col("node"), least(col("label"), col("__nl")).as("label"))
+          .persist(lvl)
+        retired += stepped
         // pointer jump: follow the label's own label (left join: a
         // label is always a node id of the same component, but after
         // the 1-hop step it may not appear as a key of `stepped` if
@@ -381,13 +387,27 @@ object Dedup {
     * near-duplicates" pipeline step — one left-anti join against the
     * non-keeper nodes, so `df`'s payload columns shuffle at most
     * once.
+    *
+    * Cache discipline: the |V|-row component labelling is released
+    * here (not leaked to the caller); the dropped-id set the returned
+    * plan reads is cached at the RDD level, NOT via Dataset.persist —
+    * CacheManager pins Dataset caches until explicitly released, but
+    * RDD cache blocks are dropped by the ContextCleaner once the
+    * returned frame becomes unreachable, so a per-batch pipeline loop
+    * does not accumulate cache entries across calls.
     */
   def keepComponentRepresentatives(df: DataFrame, idCol: String,
                                    pairs: DataFrame, aCol: String,
                                    bCol: String): DataFrame = {
-    val drop = connectedComponents(pairs, aCol, bCol)
-      .filter(col("node") =!= col("component"))
+    val spark = df.sparkSession
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val drop0 = cc.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
+    val dropRdd = drop0.toDF().rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drop = spark.createDataFrame(dropRdd, drop0.schema)
+    drop.count() // materialize before releasing the component cache
+    cc.unpersist(blocking = false)
     df.join(drop, Seq(idCol), "left_anti")
   }
 

@@ -205,11 +205,20 @@ object GeoStreams {
     import spark.implicits._
     val fwd = direction == "forward"
     val tol = toleranceMs.getOrElse(0L)
-    val l = left.select(col(keyCol).cast("long").as("k"),
+    // null event times cannot participate in watermark accounting:
+    // rights with a null time never match (same as the batch
+    // operator); lefts with a null time are dropped here — the batch
+    // form's "null match" output has no well-defined emit point in a
+    // watermark-driven stream (documented divergence; without the
+    // filter one dirty record would NPE the executor and kill the
+    // whole streaming query)
+    val l = left.filter(col(leftTs).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
         col(leftTs).as("ts"), col(idCol).cast("long").as("id"),
         lit(0.0).as("v"), lit(true).as("isL"))
       .withWatermark("ts", watermark)
-    val r = right.select(col(keyCol).cast("long").as("k"),
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
         col(rightTs).as("ts"), lit(0L).as("id"),
         col(valueCol).cast("double").as("v"), lit(false).as("isL"))
       .withWatermark("ts", watermark)
@@ -240,7 +249,12 @@ object GeoStreams {
           val lefts = st.pendingLefts ++ evts.iterator.filter(_.isL)
             .map(e => (e.ts.getTime, e.id))
           // a left is emittable once no future right can change its
-          // match: its horizon is at-or-below the watermark. Late
+          // match: its horizon is at-or-below the watermark. AT-or-
+          // below is sound because Spark's flatMapGroupsWithState
+          // late filter admits only rows with event time STRICTLY
+          // above the watermark (a row at ts == wm is dropped as late
+          // — pinned by the watermark-boundary spec), so once
+          // tl <= wm no right with rt <= tl can ever arrive. Late
           // lefts (already <= wm on arrival) emit right away too.
           val horizon = if (fwd) wm - tol else wm
           val (emit, pend) = lefts.partition(_._1 <= horizon)

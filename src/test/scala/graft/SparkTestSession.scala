@@ -15,4 +15,15 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Shared deterministic test noise: splitmix64 finalizer mapped to
+    * [0, 1). One definition for every suite — the mixing constants
+    * must stay in lockstep with any fixture pinned on them.
+    */
+  def rnd(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+  }
 }

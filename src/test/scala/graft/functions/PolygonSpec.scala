@@ -63,6 +63,16 @@ class PolygonSpec extends AnyFunSuite {
     }
   }
 
+  test("null vertex array propagates null, never a zero area") {
+    val nullArr = lit(null).cast("array<struct<x:double,y:double,z:double>>")
+    val row = Seq(1).map(Tuple1(_))
+    import spark.implicits._
+    val got = row.toDF("one")
+      .select(geo.polygonExcessArr(nullArr).as("e"), geo.polygonAreaArr(nullArr).as("a"))
+      .collect().head
+    assert(got.isNullAt(0) && got.isNullAt(1))
+  }
+
   test("array variant equals fixed-arity variant; degenerate arities give 0") {
     import spark.implicits._
     val pts = Seq((10.0, 20.0), (12.0, 25.0), (15.0, 24.0), (16.0, 19.0), (12.0, 17.0))

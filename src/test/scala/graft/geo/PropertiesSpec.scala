@@ -2,6 +2,7 @@ package graft.geo
 
 import org.scalatest.funsuite.AnyFunSuite
 import math.{toRadians, toDegrees, Pi}
+import graft.SparkTestSession.rnd
 
 /** Property-based invariants mirroring the reference hypothesis suite
   * (tests/test_util.py:72-90, tests/test_rotation.py:165-177) plus
@@ -9,12 +10,6 @@ import math.{toRadians, toDegrees, Pi}
   * (the offline cache carries no scalatest-scalacheck bridge).
   */
 class PropertiesSpec extends AnyFunSuite {
-  def rnd(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
-  }
   def in(seed: Long, lo: Double, hi: Double): Double = lo + (hi - lo) * rnd(seed)
   val N = 300
 

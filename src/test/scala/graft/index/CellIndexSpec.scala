@@ -3,18 +3,12 @@ package graft.index
 import org.scalatest.funsuite.AnyFunSuite
 import graft.geo.{Gade, Vec3, VecMath}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.SparkTestSession.rnd
 
 class CellIndexSpec extends AnyFunSuite {
   import CellIndex._
 
   /** Deterministic splitmix64-based pseudo-random doubles in [0,1). */
-  def rnd(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
-  }
-
   def randomPoint(i: Long): Vec3 = {
     val lat = math.asin(2 * rnd(i * 2) - 1)
     val lon = math.Pi * (2 * rnd(i * 2 + 1) - 1)

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 import graft.functions.geo
+import graft.SparkTestSession.rnd
 
 /** compact/uncompact over cell covers: round trip, idempotence,
   * full-subtree collapse, and the no-complete-sibling-group
@@ -11,13 +12,6 @@ import graft.functions.geo
   */
 class CellSetOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-
-  def rnd(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
-  }
 
   def cellSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("cell").collect().map(_.getLong(0)).toSet

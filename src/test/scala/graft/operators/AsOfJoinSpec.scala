@@ -3,6 +3,7 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestSession
+import graft.SparkTestSession.rnd
 
 /** AsOfJoin vs a literal brute force over deterministic random
   * key/time data, across all three directions, with and without
@@ -11,13 +12,6 @@ import graft.SparkTestSession
   */
 class AsOfJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-
-  def rnd(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
-  }
 
   // (id, key, t) left rows; (key, t, payload) right rows
   def mkData(nL: Int, nR: Int, nKeys: Int, seed: Int):
@@ -129,5 +123,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"as-of join must not materialize a join:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("reserved and colliding column names fail fast") {
+    import spark.implicits._
+    val r = Seq((1L, 0.5, 2.0)).toDF("k", "rt", "value")
+    val lReserved = Seq((1L, 1.0, 0.0)).toDF("k", "t", "__pick")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(lReserved, r, Seq("k"), "t", "rt")
+    }
+    assert(e1.getMessage.contains("__pick"))
+    // a left column equal to rightPrefix + right column would silently
+    // duplicate in the output select — must throw instead
+    val lClash = Seq((1L, 1.0, 3.0)).toDF("k", "t", "r_value")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(lClash, r, Seq("k"), "t", "rt")
+    }
+    assert(e2.getMessage.contains("r_value"))
+    // a different prefix resolves the clash
+    assert(AsOfJoin.asOfJoin(lClash, r, Seq("k"), "t", "rt",
+      rightPrefix = "x_").columns.contains("x_value"))
   }
 }

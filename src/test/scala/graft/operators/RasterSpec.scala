@@ -6,17 +6,11 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import graft.SparkTestSession
 import graft.functions.geo
 import graft.index.{CellIndex, CellKernels}
+import graft.SparkTestSession.rnd
 
 class RasterSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
-
-  def rnd(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
-  }
 
   lazy val points = (0 until 2000).map { i =>
     val la = math.toDegrees(math.asin(2 * rnd(i * 2L) - 1))

@@ -6,6 +6,7 @@ import graft.SparkTestSession
 import graft.functions.geo
 import graft.geo.Gade
 import graft.operators.SpatialJoins.Aoi
+import graft.SparkTestSession.rnd
 
 /** Join operators must agree with brute force on deterministic random
   * point sets (including near face-edge and polar points).
@@ -22,13 +23,6 @@ class SpatialJoinsSpec extends AnyFunSuite {
       (i.toLong, la, lo)
     }.toDF(s"${name}_id", s"${name}_lat", s"${name}_lon")
       .withColumn(s"${name}_n", geo.nvecDeg(col(s"${name}_lat"), col(s"${name}_lon")))
-  }
-
-  def rnd(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
   }
 
   test("distance join matches brute force") {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
 import graft.SparkTestSession
 import graft.functions.geo
+import graft.SparkTestSession.rnd
 
 class GeoStreamsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -74,12 +75,6 @@ class GeoStreamsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
     def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
-    def rnd(seed: Long): Double = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
-    }
     val lefts = (0 until 80).map(i =>
       ((rnd(i * 2L) * 5).toLong, ts((rnd(i * 3L) * 90).toInt), i.toLong))
     val rights = (0 until 60).map(i =>
@@ -357,5 +352,70 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(big.getAs[Long]("n") == 3)
     assert(math.abs(big.getAs[Double]("mean_lat") - 10.01) < 0.02)
     assert(math.abs(big.getAs[Double]("mean_lon") - 10.0) < 0.02)
+  }
+
+  test("streaming as-of join drops null event times instead of dying") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val out = GeoStreams.asOfJoinStream(
+      lIn.toDF().toDF("k", "ts", "id"), rIn.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "id", "ts", "v", watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("asof_nullts")
+      .outputMode("append").start()
+    // one dirty record per side: the null-time left can never emit, the
+    // null-time right can never match — both must be filtered, not NPE
+    lIn.addData((1L, ts(10), 1L), (1L, null, 2L))
+    rIn.addData((1L, ts(5), 7.0), (1L, null, 99.0))
+    q.processAllAvailable()
+    lIn.addData((9L, ts(500), 900L)); rIn.addData((9L, ts(500), 0.0))
+    q.processAllAvailable()
+    lIn.addData((9L, ts(501), 901L)); rIn.addData((9L, ts(501), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("asof_nullts").filter(col("k") === 1)
+      .select("id", "rV").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    assert(got === Set((1L, 7.0))) // id=2 dropped; v=99 never matched
+  }
+
+  test("watermark boundary: rows at event time == watermark are late-dropped, so emit-at-horizon is safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val out = GeoStreams.asOfJoinStream(
+      lIn.toDF().toDF("k", "ts", "id"), rIn.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "id", "ts", "v", watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("asof_wmedge")
+      .outputMode("append").start()
+    // b1: left@100 plus pushers taking the union watermark to exactly 100
+    lIn.addData((1L, ts(100), 1L), (9L, ts(101), 900L))
+    rIn.addData((1L, ts(0), 1.0), (9L, ts(101), 0.0))
+    q.processAllAvailable()
+    // b2, with wm == 100: a right and a second left at EXACTLY ts(100)
+    // are dropped by Spark's late filter (only ts > wm is admitted) —
+    // which is precisely why emitting pending lefts at tl <= wm cannot
+    // race a future right; the ts(150) right invokes the k=1 group
+    lIn.addData((1L, ts(100), 2L))
+    rIn.addData((1L, ts(100), 2.0), (1L, ts(150), 9.0))
+    q.processAllAvailable()
+    // flush whatever is still pending
+    lIn.addData((9L, ts(300), 901L)); rIn.addData((9L, ts(300), 0.0))
+    q.processAllAvailable()
+    lIn.addData((9L, ts(301), 902L)); rIn.addData((9L, ts(301), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("asof_wmedge").filter(col("k") === 1)
+      .select("id", "rTsMs", "rV").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    // id=1 emitted at the b2 trigger (tl == wm) with the best on-time
+    // right (@0); the ==wm right never matched and the ==wm left id=2
+    // never appeared — both late-dropped by the engine itself
+    assert(got === Set((1L, ts(0).getTime, 1.0)))
   }
 }

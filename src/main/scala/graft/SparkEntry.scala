@@ -772,6 +772,66 @@ object SparkEntry {
       graft.index.CellSetOps.compact(fine.unionByName(scattered), "cell")
         .orderBy("cell")
     }),
+    "q54_sessionize" -> ((s, dir) => {
+      // event-gap sessionization of the user event streams (12 h
+      // gap): one hash shuffle on the key drives the boundary lag,
+      // the running session index AND the per-session aggregate
+      // (plan-asserted in SessionsSpec)
+      graft.operators.Sessions.sessionStats(
+          t(s, dir, "events"), "user_id", "ts", 43200000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_ms"), col("end_ms"), col("duration_ms"))
+        .orderBy("user_id", "session_idx")
+    }),
+    "q55_stratified_sample" -> ((s, dir) => {
+      // deterministic training-data sampling: a 50% hash draw (map-
+      // only, partitioning-independent) then an exact 15-per-(lang,
+      // source) quota by hash rank — the DuckDB oracle re-draws the
+      // identical rows from the identical md5s
+      val half = graft.operators.Sampling.hashSample(
+        t(s, dir, "documents"), "doc_id", 0.5, salt = "g")
+      graft.operators.Sampling.stratifiedSample(
+          half, Seq("lang", "source"), "doc_id", 15, salt = "s")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+    "q56_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals, one JITed kernel
+      // pass per metric (no explode/groupBy — the gram multiplicity
+      // table never leaves the row)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.operators.TextAnalysis.topNgramFrac(col("text"), 2), 6)
+            .as("top2_frac"),
+          round(graft.operators.TextAnalysis.dupNgramFrac(col("text"), 3), 6)
+            .as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+    "q57_staypoints" -> ((s, dir) => {
+      // stay-point anchors over synthetic vehicle tracks (user event
+      // streams with ~200 m jitter around a per-user home and a 5 km
+      // excursion every 11th event): time-bucketed join, never a
+      // whole-track fan-out. 24 h dwell, 1 km radius.
+      val Rm = graft.geo.Ellipsoids.MeanEarthRadius
+      val jScale = 200.0 / Rm
+      val far = 5000.0 / Rm
+      val ev = t(s, dir, "events")
+        .withColumn("tms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("lat",
+          latRad(col("user_id")) * 0.99 +
+            (((col("event_id") * 2654435761L) % 2001L) / 1000.0 - 1.0) * jScale +
+            when(col("event_id") % 11 === 0, far).otherwise(0.0))
+        .withColumn("lon",
+          lonRad(col("user_id")) * 0.99 +
+            (((col("event_id") * 40503L) % 2001L) / 1000.0 - 1.0) * jScale)
+        .withColumn("n", geo.nvec(col("lat"), col("lon")))
+      graft.operators.StayPoints.stayAnchors(
+          ev, "user_id", "event_id", "tms", "n", 1000.0, 86400000L)
+        .select(col("user_id"), col("event_id"), col("n_window"),
+          round(col("max_excursion_m"), 2).as("max_excursion_m"),
+          col("is_stay"))
+        .orderBy("user_id", "event_id")
+    }),
     "q50_asof_join" -> ((s, dir) => {
       // point-in-time join: each click matched to the SAME user's most
       // recent purchase at-or-before it (event_id as the time axis),
@@ -1588,6 +1648,75 @@ object SparkEntry {
              |   UNION ALL SELECT cell FROM k3 UNION ALL SELECT cell FROM k2
              |   UNION ALL SELECT cell FROM k1 UNION ALL SELECT cell FROM r0)
              | ORDER BY cell""".stripMargin.replace("\n", " ")
+      },
+      "q54_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE ts IS NOT NULL),
+          | f AS (SELECT user_id, ms,
+          |   CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+          |     OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 43200000
+          |   THEN 1 ELSE 0 END AS b FROM e),
+          | sx AS (SELECT user_id, ms, CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ms
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+          | SELECT user_id, session_idx, count(*) AS n_events, min(ms) AS start_ms,
+          |   max(ms) AS end_ms, max(ms) - min(ms) AS duration_ms
+          | FROM sx GROUP BY user_id, session_idx
+          | ORDER BY user_id, session_idx""".stripMargin.replace("\n", " "),
+      "q55_stratified_sample" ->
+        """WITH h AS (SELECT doc_id, lang, source,
+          |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':g'), 1, 15)) AS BIGINT)
+          |     / 1152921504606846976.0 AS u FROM documents),
+          | s AS (SELECT doc_id, lang, source FROM h WHERE u < 0.5),
+          | r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source
+          |   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s'), 1, 15)) AS BIGINT)
+          |     / 1152921504606846976.0 ASC, doc_id ASC) AS rn FROM s)
+          | SELECT doc_id, lang, source FROM r WHERE rn <= 15
+          | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q56_repetition" ->
+        """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          | g2 AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g FROM
+          |   (SELECT doc_id, w, unnest(generate_series(0, len(w) - 2)) AS i FROM words)),
+          | c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+          | s2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS topf
+          |   FROM c2 GROUP BY doc_id),
+          | g3 AS (SELECT doc_id, array_to_string(w[i+1:i+3], ' ') AS g FROM
+          |   (SELECT doc_id, w, unnest(generate_series(0, len(w) - 3)) AS i FROM words)),
+          | c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+          | s3 AS (SELECT doc_id, CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS DOUBLE)
+          |   / CAST(sum(c) AS DOUBLE) AS dupf FROM c3 GROUP BY doc_id)
+          | SELECT d.doc_id, round(coalesce(s2.topf, 0.0), 6) AS top2_frac,
+          |   round(coalesce(s3.dupf, 0.0), 6) AS dup3_frac
+          | FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+          | ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      "q57_staypoints" -> {
+        val Rm = graft.geo.Ellipsoids.MeanEarthRadius
+        val jS = fmt(200.0 / Rm)
+        val farS = fmt(5000.0 / Rm)
+        // great-circle distance mirror: identical cross/dot component
+        // and summation order as functions.geo.gcDistance (the q07
+        // contract)
+        val gc =
+          s"""atan2(sqrt((a.ny*b.nz - a.nz*b.ny)*(a.ny*b.nz - a.nz*b.ny)
+             | + (a.nz*b.nx - a.nx*b.nz)*(a.nz*b.nx - a.nx*b.nz)
+             | + (a.nx*b.ny - a.ny*b.nx)*(a.nx*b.ny - a.ny*b.nx)),
+             | a.nx*b.nx + a.ny*b.ny + a.nz*b.nz) * ${fmt(Rm)}""".stripMargin.replace("\n", " ")
+        s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events WHERE ts IS NOT NULL),
+           | p AS (SELECT user_id, event_id, tms,
+           |   ${latSql("user_id")} * 0.99 + (((event_id * 2654435761) % 2001) / 1000.0 - 1.0) * $jS
+           |     + (CASE WHEN event_id % 11 = 0 THEN $farS ELSE 0.0 END) AS lat,
+           |   ${lonSql("user_id")} * 0.99 + (((event_id * 40503) % 2001) / 1000.0 - 1.0) * $jS AS lon
+           |   FROM e),
+           | v AS (SELECT user_id, event_id, tms, cos(lat)*cos(lon) AS nx,
+           |   cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM p),
+           | w AS (SELECT a.user_id, a.event_id, count(b.event_id) AS n_window, max($gc) AS maxd
+           |   FROM v a LEFT JOIN v b ON b.user_id = a.user_id AND b.tms > a.tms
+           |     AND b.tms <= a.tms + 86400000
+           |   GROUP BY a.user_id, a.event_id),
+           | m AS (SELECT user_id, max(tms) AS tmax FROM e GROUP BY user_id)
+           | SELECT e.user_id, e.event_id, w.n_window, round(w.maxd, 2) AS max_excursion_m,
+           |   ((w.maxd IS NULL OR w.maxd <= 1000.0) AND m.tmax >= e.tms + 86400000) AS is_stay
+           | FROM e JOIN w ON w.user_id = e.user_id AND w.event_id = e.event_id
+           | JOIN m ON m.user_id = e.user_id
+           | ORDER BY e.user_id, e.event_id""".stripMargin.replace("\n", " ")
       },
       "q50_asof_join" ->
         """WITH l AS (SELECT event_id, user_id FROM events WHERE event_type = 'click'),

@@ -48,6 +48,31 @@ object TextAnalysis {
       org.apache.spark.sql.types.DoubleType, "stopwordRatio",
       Seq(text), Seq(org.apache.spark.sql.types.StringType))
 
+  /** Gopher-style repetition signals over word n-grams, one JITed
+    * kernel pass per call (no explode/groupBy shuffle — the
+    * multiplicity table lives per row inside the kernel, so the
+    * operator is map-only at any scale): [[topNgramFrac]] = share of
+    * n-grams held by the single most frequent one, [[dupNgramFrac]] =
+    * share of n-grams whose gram occurs >= 2 times. Both 0.0 for
+    * texts shorter than n words; split contract identical to
+    * [[ngramJaccard]] so the DuckDB mirrors share one tokenizer.
+    */
+  def topNgramFrac(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.TextKernels"),
+      org.apache.spark.sql.types.DoubleType, "topNgramFrac",
+      Seq(text, lit(n)),
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+
+  def dupNgramFrac(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.TextKernels"),
+      org.apache.spark.sql.types.DoubleType, "dupNgramFrac",
+      Seq(text, lit(n)),
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+
   /** Heuristic language id from stopword families; returns a code or
     * "und". Cheap n-gram-free heuristic suited to a pre-filter pass.
     */

@@ -129,4 +129,63 @@ object TextKernels {
     val union = ga.size + gb.size - inter
     inter.toDouble / math.max(union, 1).toDouble
   }
+
+  /** Multiplicity table of overlapping word n-grams (same split and
+    * join contract as [[ngramJaccard]]'s gram builder).
+    */
+  private def gramCounts(text: UTF8String, n: Int): java.util.HashMap[String, Int] = {
+    val ws = words(text)
+    val out = new java.util.HashMap[String, Int]()
+    if (ws.length < n) return out
+    var i = 0
+    val m = ws.length - n
+    while (i <= m) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      val k = sb.toString
+      out.put(k, out.getOrDefault(k, 0) + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Fraction of n-grams that are the single most frequent n-gram —
+    * the Gopher-style repetition signal (word-count form). 0.0 when
+    * the text has fewer than n words.
+    */
+  def topNgramFrac(text: UTF8String, n: Int): Double = {
+    val counts = gramCounts(text, n)
+    if (counts.isEmpty) return 0.0
+    var top = 0
+    var total = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      total += c
+      if (c > top) top = c
+    }
+    top.toDouble / total.toDouble
+  }
+
+  /** Fraction of n-grams whose gram occurs at least twice (mass of
+    * duplicated n-grams). 0.0 when the text has fewer than n words.
+    */
+  def dupNgramFrac(text: UTF8String, n: Int): Double = {
+    val counts = gramCounts(text, n)
+    if (counts.isEmpty) return 0.0
+    var dup = 0
+    var total = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      total += c
+      if (c >= 2) dup += c
+    }
+    dup.toDouble / total.toDouble
+  }
 }

@@ -332,6 +332,61 @@ object CellIndex {
     arr
   }
 
+  /** In-memory bottom-up sibling-group compaction of a cell set down
+    * to (but not past) `floor`: every complete 4-sibling group at a
+    * level > floor merges to its parent, recursively. Input must be
+    * distinct and ancestor-free (no cell containing another — the
+    * same precondition as the distributed [[CellSetOps.compact]],
+    * whose per-ancestor-group rounds call this). Output order is
+    * unspecified (callers treat covers as sets).
+    *
+    * Cost: O(n · levels) hash operations, no allocation proportional
+    * to the subtree — safe for the ≤ Σ_{d=1..chunk} 4^d ≈ 87k cells
+    * an ancestor-free group can hold at chunk = 8.
+    */
+  def compactLocal(cs: Array[Long], floor: Int): Array[Long] = {
+    if (cs.length < 4) return cs
+    import scala.collection.mutable
+    // bucket by level; only levels > floor participate in merging
+    val byLevel = Array.fill(MaxLevel + 1)(null: mutable.LongMap[Unit])
+    var maxL = 0
+    var i = 0
+    while (i < cs.length) {
+      val l = levelOf(cs(i))
+      if (byLevel(l) == null) byLevel(l) = mutable.LongMap.empty[Unit]
+      byLevel(l).update(cs(i), ())
+      if (l > maxL) maxL = l
+      i += 1
+    }
+    var l = maxL
+    while (l > floor) {
+      val set = byLevel(l)
+      if (set != null && set.nonEmpty) {
+        val counts = mutable.LongMap.empty[Int]
+        set.foreachKey { c =>
+          val p = parent(c, 1)
+          counts.update(p, counts.getOrElse(p, 0) + 1)
+        }
+        counts.foreach { case (p, n) =>
+          if (n == 4) {
+            // input distinctness ⇒ count 4 means all 4 children present
+            children(p).foreach(set.remove)
+            if (byLevel(l - 1) == null) byLevel(l - 1) = mutable.LongMap.empty[Unit]
+            byLevel(l - 1).update(p, ())
+          }
+        }
+      }
+      l -= 1
+    }
+    val out = Array.newBuilder[Long]
+    var lv = 0
+    while (lv <= maxL) {
+      if (byLevel(lv) != null) byLevel(lv).foreachKey(out += _)
+      lv += 1
+    }
+    out.result()
+  }
+
   /** Add every cell possibly covered by the off-face cell (ii, jj) of
     * `face` (extended indices). Requires the overhang to stay within
     * one face width (guaranteed by the 2k+1 < scale wrap guard), so

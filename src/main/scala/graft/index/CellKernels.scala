@@ -30,6 +30,13 @@ object CellKernels {
   def cornersFlat(id: Long): ArrayData =
     new GenericArrayData(CellIndex.cellCornersFlat(id))
 
+  /** Local sibling-group compaction of one ancestor group down to
+    * `floor` (see CellIndex.compactLocal — the per-group kernel of
+    * the distributed CellSetOps.compact).
+    */
+  def compactGroup(cs: ArrayData, floor: Int): ArrayData =
+    new GenericArrayData(CellIndex.compactLocal(cs.toLongArray(), floor))
+
   def ring(id: Long, k: Int): ArrayData =
     new GenericArrayData(CellIndex.ring(id, k))
 

@@ -15,23 +15,30 @@ import org.apache.spark.sql.functions._
   * proportionally smaller, and a prefix/range join against a
   * compacted cover touches far fewer keys.
   *
-  * `compact` is a driver loop over levels (max 26 rounds, one
-  * shuffle each on a strictly shrinking set): per level, group by
-  * parent, groups of exactly 4 merge and re-enter one level up,
-  * the rest are emitted. Input cells must be ancestor-free (no cell
-  * containing another — true of any uniform-level cover, and of any
-  * compact output); duplicates are deduped up front.
+  * `compact` merges CHUNK = 8 levels per distributed round: cells
+  * group by their level-`floor` ancestor (siblings at any level >
+  * floor share that ancestor, so every possible merge above the
+  * floor happens inside one group) and a local kernel compacts the
+  * group bottom-up in memory. An ancestor-free group holds at most
+  * Σ_{d=1..8} 4^d ≈ 87k cells — bounded by GEOMETRY, not by input
+  * size, so the collect_list is safe at any scale. A cell that
+  * fails to merge in its round is FINAL (all its potential siblings
+  * were in the same group; later rounds only create coarser cells),
+  * so each round forwards only exact-floor collapses: ⌈maxLvl/8⌉ ≤ 4
+  * shuffles total where the per-level loop took up to 26. Input
+  * cells must be ancestor-free (no cell containing another — true
+  * of any uniform-level cover, and of any compact output);
+  * duplicates are deduped up front.
   */
 object CellSetOps {
 
+  /** Levels merged per distributed round of [[compact]]. Bounds the
+    * per-ancestor-group size at Σ_{d=1..Chunk} 4^d cells.
+    */
+  private val Chunk = 8
+
   /** Minimal mixed-level cover: merge complete sibling groups
     * bottom-up. Output column: `cellCol` (LongType), distinct.
-    *
-    * Iterative: each level's round persists + re-bases the remaining
-    * set as a LEAF plan (`createDataFrame(rdd, schema)`) — without
-    * that, round r's plan nests all rounds before it and Catalyst
-    * optimization time explodes with depth (the same hazard
-    * `Dedup.connectedComponents` hit and fixed the same way).
     */
   def compact(df: DataFrame, cellCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -45,25 +52,32 @@ object CellSetOps {
       val maxRow = cur.agg(max("__lvl")).collect()(0)
       if (maxRow.isNullAt(0)) return cur.select(col("cell").as(cellCol))
       val maxLvl = maxRow.getLong(0).toInt
+      // floors maxLvl-8, maxLvl-16, …, always ending at 0 (the final
+      // round sees levels 1..8 grouped per face root — ≤ 87k cells
+      // per face by the ancestor-free bound)
+      val floors =
+        Iterator.iterate(maxLvl - Chunk)(_ - Chunk).takeWhile(_ > 0).toList :+ 0
       var done: List[DataFrame] = Nil
-      for (l <- maxLvl to 1 by -1) {
-        val atL = cur.filter(col("__lvl") === l)
-          .withColumn("__p", cells.parentCell(col("cell")))
-        val rest = cur.filter(col("__lvl") =!= l)
-        // a parent has exactly 4 possible children and cur is
-        // distinct, so count == 4 <=> the sibling group is complete
-        val full = atL.groupBy("__p").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") === 4).select(col("__p").as("__fp"))
-        val kept = atL.join(full, atL("__p") === full("__fp"), "left_anti")
+      for (floor <- floors) {
+        val deep = cur.filter(col("__lvl") > floor)
+        val shallow = cur.filter(col("__lvl") <= floor)
+        val compacted = deep
+          .groupBy(cells.ancestorAt(col("cell"), floor).as("__anc"))
+          .agg(collect_list(col("cell")).as("__cs"))
+          .select(explode(cells.compactGroup(col("__cs"), floor)).as("cell"))
+          .withColumn("__lvl", cells.cellLevel(col("cell")))
+        // levels > floor are final; exact-floor collapses may still
+        // merge with siblings from other groups in a later round
+        val kept = compacted.filter(col("__lvl") > floor)
           .select("cell").persist(lvlSt)
         retired += kept
         done ::= kept
-        val merged = full.select(col("__fp").as("cell"))
-          .withColumn("__lvl", lit((l - 1).toLong))
-        val next0 = rest.unionByName(merged).persist(lvlSt)
+        val next0 = shallow
+          .unionByName(compacted.filter(col("__lvl") === floor))
+          .persist(lvlSt)
         retired += next0
-        next0.count() // materialize before re-basing
-        cur = spark.createDataFrame(next0.toDF().rdd, next0.schema)
+        next0.count() // materialize before the next round re-reads it
+        cur = next0
       }
       // Materialize the final cover at the RDD level rather than
       // Dataset.persist: CacheManager would pin a Dataset cache until

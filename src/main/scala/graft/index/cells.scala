@@ -25,6 +25,23 @@ object cells {
     GraftSqlBridge.staticInvoke(kernelsClass, LongType, "parent",
       Seq(cell, lit(steps)), Seq(LongType, IntegerType))
 
+  /** Ancestor at exactly `toLevel` — per-ROW step count (mixed-level
+    * inputs each climb their own distance; cells at or coarser than
+    * `toLevel` pass through unchanged).
+    */
+  def ancestorAt(cell: Column, toLevel: Int): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, LongType, "parentAt",
+      Seq(cell, lit(toLevel)), Seq(LongType, IntegerType))
+
+  /** Local sibling-group compaction of a collected ancestor group
+    * down to `floor` (CellIndex.compactLocal — the per-group kernel
+    * behind CellSetOps.compact).
+    */
+  def compactGroup(cs: Column, floor: Int): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass,
+      ArrayType(LongType, containsNull = false), "compactGroup",
+      Seq(cs, lit(floor)), Seq(ArrayType(LongType, containsNull = false), IntegerType))
+
   /** Array of the distinct cells in the (2k+1)^2 block around `cell`. */
   def ringCells(cell: Column, k: Int): Column =
     GraftSqlBridge.staticInvoke(kernelsClass,

@@ -299,7 +299,15 @@ object Dedup {
     * returning); unpersist it when done — CacheManager holds
     * Dataset.persist entries until told otherwise.
     *
-    * Algorithm: min-label propagation with POINTER DOUBLING — each
+    * Pair lists small enough to count under `localEdgeThreshold`
+    * (with integral ids) resolve in ONE driver union-find pass over
+    * the collected edges instead — near-dup pair lists are the
+    * violations, not the corpus, so this is the common case even at
+    * large input scale, and the guard is an exact count of the
+    * persisted edge cache (which round 1 would materialize anyway),
+    * never a stats guess.
+    *
+    * Distributed algorithm: min-label propagation with POINTER DOUBLING — each
     * round takes label(x) = min(label(x), neighbor labels, then
     * label(label(x))), so the minimum spreads along edges AND jumps
     * through already-propagated labels: rounds grow with
@@ -316,7 +324,8 @@ object Dedup {
     * call THROWS rather than returning partially-merged components.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          localEdgeThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -325,6 +334,24 @@ object Dedup {
       .persist(lvl)
     val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
+      // Exact-count guard for a LOCAL fast path: the count only
+      // materializes the persisted edge cache that round 1 of the
+      // distributed loop reads anyway — not an extra scan. Near-dup
+      // pair lists are orders of magnitude smaller than the corpus
+      // (they are the violations, not the data), so in the common
+      // case the whole component resolution is one collect + one
+      // driver union-find instead of log(diameter) rounds of 3 jobs
+      // each. Integral ids only (Spark's min over strings is binary
+      // UTF-8 order, which java.lang.String ordering does not match
+      // for non-BMP text — those stay on the distributed path).
+      val edgeCount = edges.count()
+      val integralIds = {
+        import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+        Seq(edges.schema("src").dataType, edges.schema("dst").dataType)
+          .forall(t => t == LongType || t == IntegerType || t == ShortType)
+      }
+      if (integralIds && edgeCount <= localEdgeThreshold)
+        return localComponents(edges, edgeCount)
       var labels = edges.groupBy(col("src").as("node"))
         .agg(min("dst").as("__nmin"))
         .select(col("node"), least(col("node"), col("__nmin")).as("label"))
@@ -379,6 +406,68 @@ object Dedup {
       edges.unpersist(blocking = false)
       retired.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** Driver union-find over a small (exactly counted) edge list — the
+    * local fast path of [[connectedComponents]]. Union always keeps
+    * the MINIMUM root as the representative, so `find(x)` yields the
+    * identical labelling to min-label propagation. Ids were verified
+    * integral by the caller; they are processed as longs and cast
+    * back to the edge frame's (union-widened) id type on output.
+    */
+  private def localComponents(edges: DataFrame, edgeCount: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructField, StructType}
+    val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    // one direction suffices (the mirror adds no information); the
+    // isNull clause keeps null-neighbor rows so their non-null
+    // endpoint still registers as an isolated node, matching the
+    // distributed path (aggregate min skips nulls there)
+    val rows = edges
+      .filter(col("src") <= col("dst") || col("dst").isNull)
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .collect()
+    val parent = new scala.collection.mutable.LongMap[Long](
+      math.min(8L * 1024 * 1024, math.max(16L, edgeCount)).toInt)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { val gp = parent.getOrElse(p, p); parent.update(x, gp); x = p; p = gp }
+      x
+    }
+    val nodes = new scala.collection.mutable.LongMap[Unit](parent.size.max(16))
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val a = r.getLong(0)
+      nodes.update(a, ())
+      if (!r.isNullAt(1)) {
+        val b = r.getLong(1)
+        nodes.update(b, ())
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+      }
+      i += 1
+    }
+    def back(n: Long): Any = idType match {
+      case LongType => n
+      case IntegerType => n.toInt
+      case ShortType => n.toShort
+    }
+    val out = new Array[Row](nodes.size)
+    var j = 0
+    nodes.foreachKey { n => out(j) = Row(back(n), back(find(n))); j += 1 }
+    val schema = StructType(Seq(
+      StructField("node", idType, nullable = false),
+      StructField("component", idType, nullable = false)))
+    val res = spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq), schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // honor the "already materialized" contract
+    res
   }
 
   /** Keep exactly one row per duplicate cluster: rows whose id is its

@@ -59,6 +59,22 @@ class CellSetOpsSpec extends AnyFunSuite {
     assert(cellSet(same) === Set(root))
   }
 
+  test("deep cover crosses chunk rounds: exact-floor collapses forward") {
+    import spark.implicits._
+    // maxLvl = 10 ⇒ two rounds (floors 2, 0). The full level-2
+    // subtree collapses to EXACTLY floor 2 in round 1, so the merge
+    // completes only because the round forwards floor-level cells
+    // instead of finalizing them.
+    val root = CellIndex.cellAt(0.6, -0.3, math.sqrt(1 - 0.36 - 0.09), 2)
+    val fine = CellSetOps.uncompact(Seq(root).toDF("cell"), "cell", 10)
+    assert(fine.count() === (1L << 16))
+    // plus a stray deep cell elsewhere that must survive untouched
+    val stray = CellIndex.cellAt(-0.6, 0.3, -math.sqrt(1 - 0.36 - 0.09), 10)
+    val got = cellSet(CellSetOps.compact(
+      fine.unionByName(Seq(stray).toDF("cell")), "cell"))
+    assert(got === Set(root, stray))
+  }
+
   test("mixed-level input (a compact output plus extra fine cells) recompacts") {
     import spark.implicits._
     val root = CellIndex.cellAt(-0.4, 0.1, -math.sqrt(1 - 0.16 - 0.01), 3)

@@ -224,6 +224,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       ++ Seq((900L, 901L))).filter(e => e._1 != e._2)
     val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the DISTRIBUTED pointer-doubling path (threshold 0) —
+    // both paths must produce the identical labelling
+    val gotDist = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gotDist)
     // reference union-find
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

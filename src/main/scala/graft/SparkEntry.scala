@@ -832,6 +832,68 @@ object SparkEntry {
           col("is_stay"))
         .orderBy("user_id", "event_id")
     }),
+    "q58_interval_join" -> ((s, dir) => {
+      // interval overlap join: per-user click validity windows x
+      // purchase windows. The engine's bucket-explode + responsibility
+      // rule (each pair kept exactly once, no dedup shuffle) vs the
+      // oracle's brute inequality join.
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("l_event"), col("user_id").as("l_uid"),
+          col("event_id").cast("double").as("l_s"),
+          (col("event_id") + (col("user_id") % 50) * 3 + 1).cast("double").as("l_e"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_event"), col("user_id").as("r_uid"),
+          (col("event_id") - 40).cast("double").as("r_s"),
+          (col("event_id") + (col("user_id") % 30)).cast("double").as("r_e"))
+      graft.operators.IntervalJoin.intervalJoin(l, r, "l_s", "l_e", "r_s", "r_e",
+          bucketWidth = 64.0, keys = Seq(("l_uid", "r_uid")))
+        .select("l_event", "r_event")
+        .orderBy("l_event", "r_event")
+    }),
+    "q59_tile_pyramid" -> ((s, dir) => {
+      // multi-resolution tile statistics: ONE scan + shuffle at the
+      // finest level, every coarser level aggregates the previous
+      // level's AGGREGATES via exact parent-cell arithmetic. The
+      // oracle recomputes each level directly from the points —
+      // equality proves the rollup is lossless level by level.
+      graft.operators.Pyramid.rollup(custPts(s, dir), "n", finest = 5,
+          coarsest = 1, sumCols = Seq("c_acctbal"))
+        .select(col("level"), col("cell"), col("n").as("n_pts"),
+          round(col("c_acctbal_sum"), 4).as("bal_sum"))
+        .orderBy("level", "cell")
+    }),
+    "q60_track_hausdorff" -> ((s, dir) => {
+      // symmetric discrete Hausdorff distance between user tracks
+      // (events jittered around a per-user center), scored for an
+      // explicit pair list — the exact-verify step of a track
+      // similarity pipeline. Oracle: full min/max SQL mirror.
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
+          (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("lon", lonRad(col("user_id") * 13 + 1) * 0.97 +
+          (((col("event_id") * 40503L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("nv", geo.nvec(col("lat"), col("lon")))
+      val users = ev.select("user_id").distinct()
+      val pairs = users.filter(col("user_id") % 3 === 0)
+        .select(col("user_id").as("a"))
+        .withColumn("b", col("a") + 1)
+        .join(users.select(col("user_id").as("b")), "b")
+        .select("a", "b")
+      graft.operators.TrajectoryDist.hausdorff(ev, "user_id", "event_id", "nv",
+          pairs, "a", "b")
+        .select(col("a"), col("b"), round(col("hausdorff_m"), 6).as("hausdorff_m"))
+        .orderBy("a")
+    }),
+    "q61_bm25" -> ((s, dir) => {
+      // Okapi BM25 lexical scoring of the document corpus against a
+      // fixed 3-term query: tf/df/length normalization all mirrored
+      // term-for-term in the oracle SQL.
+      graft.operators.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "merge"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
     "q50_asof_join" -> ((s, dir) => {
       // point-in-time join: each click matched to the SAME user's most
       // recent purchase at-or-before it (event_id as the time axis),
@@ -1718,6 +1780,90 @@ object SparkEntry {
            | JOIN m ON m.user_id = e.user_id
            | ORDER BY e.user_id, e.event_id""".stripMargin.replace("\n", " ")
       },
+      "q58_interval_join" ->
+        """WITH l AS (SELECT event_id AS l_event, user_id AS uid, CAST(event_id AS DOUBLE) AS l_s,
+          |   CAST(event_id + (user_id % 50) * 3 + 1 AS DOUBLE) AS l_e
+          |   FROM events WHERE event_type = 'click'),
+          | r AS (SELECT event_id AS r_event, user_id AS uid, CAST(event_id - 40 AS DOUBLE) AS r_s,
+          |   CAST(event_id + (user_id % 30) AS DOUBLE) AS r_e
+          |   FROM events WHERE event_type = 'purchase')
+          | SELECT l_event, r_event FROM l JOIN r ON l.uid = r.uid
+          |   AND l_s <= r_e AND r_s <= l_e
+          | ORDER BY l_event, r_event""".stripMargin.replace("\n", " "),
+      "q59_tile_pyramid" -> {
+        // per-level direct aggregation with the q14 cell-id mirror
+        // generalized over the level (scale = 2^l, pack constants
+        // 2^57 / 2^52 / 2^26)
+        def lvlSql(l: Int): String = {
+          val scale = 1 << l
+          s"""SELECT $l AS level, face * 144115188075855872 + $l * 4503599627370496
+             | + i * 67108864 + j AS cell, count(*) AS n_pts, round(sum(bal), 4) AS bal_sum
+             | FROM (SELECT face,
+             |   least(${scale - 1}, greatest(0, CAST(floor((u + 1.0) * 0.5 * $scale) AS BIGINT))) AS i,
+             |   least(${scale - 1}, greatest(0, CAST(floor((v + 1.0) * 0.5 * $scale) AS BIGINT))) AS j,
+             |   bal FROM uv)
+             | GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+        }
+        ptsSql("customer", "c_custkey") +
+          s""", faced AS (SELECT k, nx, ny, nz,
+             |  CASE WHEN abs(nx) >= abs(ny) AND abs(nx) >= abs(nz) THEN (CASE WHEN nx >= 0 THEN 0 ELSE 1 END)
+             |       WHEN abs(ny) >= abs(nz) THEN (CASE WHEN ny >= 0 THEN 2 ELSE 3 END)
+             |       ELSE (CASE WHEN nz >= 0 THEN 4 ELSE 5 END) END AS face FROM pts),
+             | uv0 AS (SELECT k, face,
+             |  CASE face WHEN 0 THEN ny/nx WHEN 1 THEN nz/(-nx) WHEN 2 THEN nz/ny
+             |            WHEN 3 THEN nx/(-ny) WHEN 4 THEN nx/nz ELSE ny/(-nz) END AS u,
+             |  CASE face WHEN 0 THEN nz/nx WHEN 1 THEN ny/(-nx) WHEN 2 THEN nx/ny
+             |            WHEN 3 THEN nz/(-ny) WHEN 4 THEN ny/nz ELSE nx/(-nz) END AS v FROM faced),
+             | uv AS (SELECT uv0.face, uv0.u, uv0.v, c.c_acctbal AS bal
+             |   FROM uv0 JOIN customer c ON c.c_custkey = uv0.k)
+             | ${(1 to 5).map(lvlSql).mkString(" UNION ALL ")}
+             | ORDER BY level, cell""".stripMargin.replace("\n", " ")
+      },
+      "q60_track_hausdorff" -> {
+        val gc =
+          s"""atan2(sqrt((va.ny*vb.nz - va.nz*vb.ny)*(va.ny*vb.nz - va.nz*vb.ny)
+             | + (va.nz*vb.nx - va.nx*vb.nz)*(va.nz*vb.nx - va.nx*vb.nz)
+             | + (va.nx*vb.ny - va.ny*vb.nx)*(va.nx*vb.ny - va.ny*vb.nx)),
+             | va.nx*vb.nx + va.ny*vb.ny + va.nz*vb.nz)
+             | * ${fmt(graft.geo.Ellipsoids.MeanEarthRadius)}""".stripMargin.replace("\n", " ")
+        s"""WITH p AS (SELECT user_id, event_id,
+           |   ${latSql("(user_id * 13 + 1)")} * 0.95
+           |     + (((event_id * 2654435761) % 4001) / 2000.0 - 1.0) * 0.01 AS lat,
+           |   ${lonSql("(user_id * 13 + 1)")} * 0.97
+           |     + (((event_id * 40503) % 4001) / 2000.0 - 1.0) * 0.01 AS lon FROM events),
+           | v AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx,
+           |   cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM p),
+           | us AS (SELECT DISTINCT user_id FROM events),
+           | pr AS (SELECT ua.user_id AS a, ub.user_id AS b FROM us ua
+           |   JOIN us ub ON ub.user_id = ua.user_id + 1 WHERE ua.user_id % 3 = 0),
+           | cr AS (SELECT pr.a, pr.b, va.event_id AS pa, vb.event_id AS pb, $gc AS d
+           |   FROM pr JOIN v va ON va.user_id = pr.a JOIN v vb ON vb.user_id = pr.b),
+           | ma AS (SELECT a, b, pa, min(d) AS md FROM cr GROUP BY a, b, pa),
+           | ha AS (SELECT a, b, max(md) AS h FROM ma GROUP BY a, b),
+           | mb AS (SELECT a, b, pb, min(d) AS md FROM cr GROUP BY a, b, pb),
+           | hb AS (SELECT a, b, max(md) AS h FROM mb GROUP BY a, b)
+           | SELECT ha.a, ha.b, round(greatest(ha.h, hb.h), 6) AS hausdorff_m
+           | FROM ha JOIN hb ON hb.a = ha.a AND hb.b = ha.b
+           | ORDER BY ha.a""".stripMargin.replace("\n", " ")
+      },
+      "q61_bm25" ->
+        """WITH dl AS (SELECT doc_id,
+          |   len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),
+          |       x -> x <> '')) AS dl FROM documents),
+          | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          | toks AS (SELECT doc_id,
+          |   unnest(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' ')) AS t
+          |   FROM documents),
+          | tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM toks
+          |   WHERE t IN ('spark', 'vector', 'merge') GROUP BY doc_id, t),
+          | dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+          | sc AS (SELECT tf.doc_id,
+          |   ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * (1.2 + 1.0)
+          |     / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl)) AS sco
+          |   FROM tf JOIN dft ON dft.t = tf.t JOIN dl ON dl.doc_id = tf.doc_id
+          |   CROSS JOIN stats s)
+          | SELECT doc_id, round(sum(sco), 6) AS score FROM sc GROUP BY doc_id
+          | ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q50_asof_join" ->
         """WITH l AS (SELECT event_id, user_id FROM events WHERE event_type = 'click'),
           | r AS (SELECT event_id AS p_event, user_id, value FROM events WHERE event_type = 'purchase'),

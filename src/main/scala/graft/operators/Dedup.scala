@@ -305,7 +305,13 @@ object Dedup {
     * violations, not the corpus, so this is the common case even at
     * large input scale, and the guard is an exact count of the
     * persisted edge cache (which round 1 would materialize anyway),
-    * never a stats guess.
+    * never a stats guess. The local pass costs the driver ~150 B per
+    * symmetrized edge transiently (collected rows + union-find maps +
+    * the output array), so the default threshold keeps it under
+    * ~100 MB; raise it only with driver memory to match. Rows with a
+    * null id on either side never crash either path: a null id is
+    * not a node, and the non-null side of a half-null pair still
+    * comes out as an isolated component.
     *
     * Distributed algorithm: min-label propagation with POINTER DOUBLING — each
     * round takes label(x) = min(label(x), neighbor labels, then
@@ -325,11 +331,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50,
-                          localEdgeThreshold: Long = 2000000L): DataFrame = {
+                          localEdgeThreshold: Long = 500000L): DataFrame = {
     val spark = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // a null id is not a node: drop null-src rows up front (the
+    // symmetrized union still registers the non-null side of a
+    // half-null pair as an isolated node via its mirror row)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src").isNotNull)
       .distinct()
       .persist(lvl)
     val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -357,18 +367,28 @@ object Dedup {
         .select(col("node"), least(col("node"), col("__nmin")).as("label"))
         .persist(lvl)
       retired += labels
+      // propagation only follows real (non-null-partner) edges; the
+      // node set is carried by `labels`, so a node whose every pair
+      // partner was null still rides through every round as its own
+      // isolated component
+      val realEdges = edges.filter(col("dst").isNotNull)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        // 1-hop: min over own + neighbor labels. Persisted because the
+        // 1-hop: min over own + neighbor labels, LEFT-joined onto the
+        // full label frame (an inner join here would silently drop
+        // any node with no labeled neighbor this round — isolated
+        // nodes would vanish from the output). least() skips the
+        // null __nl of neighborless nodes. Persisted because the
         // pointer jump references it TWICE — without the persist the
         // join+agg subtree would be planned (and possibly executed)
         // twice per round; as an InMemoryRelation both branches share
         // one computation.
-        val stepped = edges
-          .join(labels.select(col("node").as("dst"), col("label").as("__dl")), "dst")
-          .groupBy(col("src").as("node")).agg(min("__dl").as("__nl"))
-          .join(labels, "node")
+        val stepped = labels.join(
+            realEdges
+              .join(labels.select(col("node").as("dst"), col("label").as("__dl")), "dst")
+              .groupBy(col("src").as("node")).agg(min("__dl").as("__nl")),
+            Seq("node"), "left")
           .select(col("node"), least(col("label"), col("__nl")).as("label"))
           .persist(lvl)
         retired += stepped

@@ -35,7 +35,11 @@ object Retrieval {
            queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    // Locale.ROOT: document tokens lower-case locale-independently
+    // (only A-Z survives the strip), so the query side must too — a
+    // Turkish default locale would map "INDEX" to dotless-i and
+    // silently match nothing
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
     // corpus constants as a broadcast 1-row frame (plan-side, no collect)

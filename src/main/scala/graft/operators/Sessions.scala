@@ -41,12 +41,15 @@ object Sessions {
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  maxGapMs: Long, sessionCol: String = "session_idx"): DataFrame = {
     require(maxGapMs >= 0, s"maxGapMs must be >= 0 (got $maxGapMs)")
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
-    val cum = Window.partitionBy(keyCol).orderBy(col(tsCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // cast is a no-op for TIMESTAMP and maps TIMESTAMP_NTZ through the
     // session timezone (keep it UTC for engine-independent millis)
     val ms = unix_millis(col(tsCol).cast("timestamp"))
+    // order by the SAME millis expression the gap uses — ordering by
+    // the raw column would sort castable string timestamps
+    // lexicographically and misplace session boundaries
+    val w = Window.partitionBy(keyCol).orderBy(ms)
+    val cum = Window.partitionBy(keyCol).orderBy(ms)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(ms, 1).over(w)
     val boundary = when(prev.isNull || ms - prev > maxGapMs, 1L).otherwise(0L)
     df.filter(col(tsCol).isNotNull)

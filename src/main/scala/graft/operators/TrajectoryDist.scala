@@ -37,17 +37,28 @@ object TrajectoryDist {
       col(nvecCol).as("__na"))
     val pb = points.select(col(trackCol).as(bCol), col(pointCol).as("__pb"),
       col(nvecCol).as("__nb"))
-    val cross = pairs.select(aCol, bCol)
+    // Both directions come from ONE pass over the candidate frame:
+    // each cross row fans out into (dir=a, source point __pa) and
+    // (dir=b, source point __pb) AFTER the join + distance are
+    // computed (the expensive stage runs once, not once per
+    // direction); the per-(pair, dir, point) min then combines
+    // map-side, so only ~|A|+|B| pre-aggregated rows per pair ever
+    // shuffle despite the 2x fan-out.
+    pairs.select(aCol, bCol)
       .join(pa, aCol)
       .join(pb, bCol)
       .withColumn("__d", geo.gcDistance(col("__na"), col("__nb"), sphereRadius))
-    def directed(srcPt: String): DataFrame = cross
-      .groupBy(col(aCol), col(bCol), col(srcPt))
+      .select(col(aCol), col(bCol), col("__d"),
+        explode(array(
+          struct(lit("a").as("__dir"), col("__pa").as("__pt")),
+          struct(lit("b").as("__dir"), col("__pb").as("__pt")))).as("__g"))
+      .groupBy(col(aCol), col(bCol), col("__g.__dir").as("__dir"),
+        col("__g.__pt").as("__pt"))
       .agg(min("__d").as("__min"))
       .groupBy(col(aCol), col(bCol))
-      .agg(max("__min").as(s"__h$srcPt"))
-    directed("__pa").join(directed("__pb"), Seq(aCol, bCol))
+      .agg(max(when(col("__dir") === "a", col("__min"))).as("__ha"),
+        max(when(col("__dir") === "b", col("__min"))).as("__hb"))
       .select(col(aCol), col(bCol),
-        greatest(col("__h__pa"), col("__h__pb")).as("hausdorff_m"))
+        greatest(col("__ha"), col("__hb")).as("hausdorff_m"))
   }
 }

@@ -248,6 +248,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("null ids never crash component resolution and are not nodes") {
+    import spark.implicits._
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (null, null), (5L, null), (null, 7L)).toDF("a", "b")
+    // local fast path
+    val local = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distributed path (threshold 0) — must agree: null is not a
+    // node, and the non-null half of a half-null pair is isolated
+    val dist = Dedup.connectedComponents(pairs, "a", "b",
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L)
+    assert(local === want)
+    assert(dist === want)
+  }
+
   test("keepComponentRepresentatives keeps one row per near-dup cluster") {
     import spark.implicits._
     // real pipeline shape: minhash pairs over a corpus with planted

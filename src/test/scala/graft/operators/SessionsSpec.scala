@@ -76,6 +76,20 @@ class SessionsSpec extends AnyFunSuite {
     }
   }
 
+  test("castable string timestamps sessionize chronologically, not lexicographically") {
+    import spark.implicits._
+    // "2026-10-01" < "2026-2-01" as STRINGS but is 8 months later as
+    // time — the window must order by the same millis the gap uses
+    val rows = Seq(
+      (1L, "2026-2-01 00:00:00", 1L),
+      (1L, "2026-2-01 00:05:00", 2L),
+      (1L, "2026-10-01 00:00:00", 3L))
+    val got = Sessions.sessionize(rows.toDF("k", "ts", "id"), "k", "ts", Gap)
+      .select("id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("plan shape: stats reuse the sessionize exchange (one shuffle total)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.SparkPlan

@@ -85,4 +85,18 @@ class TrajectoryRetrievalSpec extends AnyFunSuite {
     want.foreach { case (k, v) =>
       assert(math.abs(got(k) - v) <= 1e-12 * math.max(1.0, v), s"doc $k") }
   }
+
+  test("bm25 query terms lower-case locale-independently") {
+    // under a Turkish default locale, "FIX".toLowerCase maps I to
+    // dotless i and would silently match nothing; scope the locale
+    // flip to the bm25() CALL (where the query-term mapping runs)
+    val docs = Seq((1L, "fix the fixture")).toDF("doc_id", "text")
+    val prev = java.util.Locale.getDefault
+    val plan = try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      Retrieval.bm25(docs, "doc_id", "text", Seq("FIX"))
+    } finally java.util.Locale.setDefault(prev)
+    val rows = plan.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+  }
 }

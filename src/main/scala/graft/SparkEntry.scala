@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.geo
 import graft.index.{CellIndex, cells}
-import graft.operators.{AsOfJoin, Dedup, Similarity, SpatialJoins, TextAnalysis}
+import graft.operators.{AsOfJoin, Boilerplate, Dedup, LangModel, Similarity, SpatialJoins, TextAnalysis}
 import graft.operators.SpatialJoins.Aoi
 import graft.sources.ImageTable
 
@@ -892,6 +892,69 @@ object SparkEntry {
       graft.operators.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
           Seq("spark", "vector", "merge"))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+    "q62_boilerplate" -> ((s, dir) => {
+      // corpus-level shared-n-gram boilerplate fractions (C4-style
+      // cross-document repetition, n-gram unit) — md5 basis so the
+      // oracle can recompute every gram hash relationally
+      Boilerplate.sharedNgramStats(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minDocs = 3, basis = "md5")
+        .select(col("doc_id"), col("total_grams"), col("shared_grams"),
+          round(col("boilerplate_frac"), 6).as("boilerplate_frac"))
+        .orderBy("doc_id")
+    }),
+    "q63_unigram_lm" -> ((s, dir) => {
+      // CCNet-style LM quality scoring: add-k unigram model trained on
+      // the deterministic doc_id % 5 = 0 slice, every doc scored by
+      // mean negative log-likelihood
+      val docs = t(s, dir, "documents")
+      val model = LangModel.unigramCounts(docs.filter(col("doc_id") % 5 === 0),
+        "text")
+      LangModel.unigramScore(docs, "doc_id", "text", model, k = 0.5)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+    "q64_pii_redact" -> ((s, dir) => {
+      // PII detect + redact. The synthetic corpus carries no PII, so
+      // the gate PLANTS deterministic emails/phones/IPs derived from
+      // doc_id (same expressions in the oracle SQL) — the compare then
+      // covers real matches, not two all-zero frames
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach user"), col("doc_id"), lit("@mail"),
+              col("doc_id") % 5, lit(".org"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" call +1-555-123-"),
+              lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" from 10."), col("doc_id") % 256, lit("."),
+              (col("doc_id") * 3) % 256, lit(".7"))).otherwise(lit("")))
+          .as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.piiEmailCount(col("text")).as("emails"),
+          TextAnalysis.piiPhoneCount(col("text")).as("phones"),
+          TextAnalysis.piiIpv4Count(col("text")).as("ips"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    "q65_neardup_resolve" -> ((s, dir) => {
+      // END-TO-END image-corpus dedup: fingerprint -> banded hamming
+      // pair join -> connected components -> keep one representative
+      // per cluster, in one composition — the full "drop near
+      // duplicates" pipeline a training-data job runs. md5-basis
+      // simhash fingerprints so the oracle can brute-force the pair
+      // set and close it with a recursive CTE
+      val sigs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHashMd5(col("text")).as("fp"))
+      val pairs = Dedup.hammingNearDups(sigs, "doc_id", "fp",
+          maxDist = 3, bits = 60, bands = 6)
+        .select("id_a", "id_b")
+      Dedup.keepComponentRepresentatives(sigs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"))
         .orderBy("doc_id")
     }),
     "q50_asof_join" -> ((s, dir) => {
@@ -1863,6 +1926,85 @@ object SparkEntry {
           |   FROM tf JOIN dft ON dft.t = tf.t JOIN dl ON dl.doc_id = tf.doc_id
           |   CROSS JOIN stats s)
           | SELECT doc_id, round(sum(sco), 6) AS score FROM sc GROUP BY doc_id
+          | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // corpus-level shared n-grams: every gram hash recomputed
+      // relationally with the q45 md5-60 hash convention; df over
+      // per-doc DISTINCT grams, count includes the doc itself
+      "q62_boilerplate" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          |   FROM documents WHERE text IS NOT NULL),
+          | g AS (SELECT DISTINCT doc_id,
+          |   CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+          |   FROM (SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 3),
+          |     i -> array_to_string(ws[i+1:i+3], ' '))) AS gram
+          |    FROM w WHERE len(ws) >= 3)),
+          | dfq AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 3),
+          | sh AS (SELECT doc_id, count(*) AS shared FROM g JOIN dfq USING (gh) GROUP BY doc_id),
+          | tot AS (SELECT doc_id, count(*) AS total FROM g GROUP BY doc_id)
+          | SELECT d.doc_id, coalesce(tot.total, 0) AS total_grams,
+          |   coalesce(sh.shared, 0) AS shared_grams,
+          |   round(coalesce(sh.shared, 0) * 1.0 / greatest(coalesce(tot.total, 0), 1), 6) AS boilerplate_frac
+          | FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN sh USING (doc_id)
+          | WHERE d.text IS NOT NULL ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // add-k unigram LM, model = doc_id % 5 = 0 slice; identical
+      // smoothing arithmetic, ln in both engines
+      "q63_unigram_lm" ->
+        """WITH tr AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+          |   FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+          | m AS (SELECT token, count(*) AS cnt FROM tr GROUP BY token),
+          | st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM m),
+          | sc AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          |   FROM documents WHERE text IS NOT NULL),
+          | j AS (SELECT sc.doc_id,
+          |   -ln((CAST(coalesce(m.cnt, 0) AS DOUBLE) + 0.5) / (st.n + 0.5 * (st.v + 1.0))) AS nll
+          |   FROM sc LEFT JOIN m USING (token) CROSS JOIN st)
+          | SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS avg_nll
+          | FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // PII: IDENTICAL pattern strings (Java/RE2-common subset) and
+      // identical planted-text expressions on both sides
+      "q64_pii_redact" -> {
+        val em = TextAnalysis.EmailRe
+        val ph = TextAnalysis.PhoneRe
+        val ip = TextAnalysis.Ipv4Re
+        s"""WITH planted AS (SELECT doc_id, text ||
+           |   CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || '@mail' || (doc_id % 5) || '.org' ELSE '' END ||
+           |   CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-123-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           |   CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.7' ELSE '' END AS text
+           |  FROM documents)
+           | SELECT doc_id,
+           |   len(regexp_extract_all(text, '$em')) AS emails,
+           |   len(regexp_extract_all(text, '$ph')) AS phones,
+           |   len(regexp_extract_all(text, '$ip')) AS ips,
+           |   regexp_replace(regexp_replace(regexp_replace(text,
+           |     '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g') AS redacted
+           | FROM planted ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
+      // end-to-end near-dup resolution: q45's signature + pair mirror,
+      // closed with q49's recursive reachability, minus-join for the
+      // keeper set
+      "q65_neardup_resolve" ->
+        """WITH RECURSIVE sh AS (SELECT doc_id, substr(lower(text), t.i + 1, 5) AS s
+          |   FROM documents CROSS JOIN generate_series(0, 2047) t(i)
+          |   WHERE t.i <= greatest(length(text) - 5, 0)),
+          | hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+          | votes AS (SELECT doc_id, gb.b AS b,
+          |   sum(CASE WHEN (h >> gb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |   FROM hs CROSS JOIN generate_series(0, 59) gb(b) GROUP BY doc_id, gb.b),
+          | sg AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+          |   FROM votes GROUP BY doc_id),
+          | star AS (SELECT min(doc_id) OVER (PARTITION BY fp) AS rep, doc_id, fp FROM sg),
+          | starpairs AS (SELECT rep AS id_a, doc_id AS id_b FROM star WHERE doc_id <> rep),
+          | reps AS (SELECT doc_id, fp FROM star WHERE doc_id = rep),
+          | brute AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |   FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          |   WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+          | p0 AS (SELECT id_a, id_b FROM brute UNION SELECT id_a, id_b FROM starpairs),
+          | edges AS (SELECT id_a AS src, id_b AS dst FROM p0 UNION SELECT id_b, id_a FROM p0),
+          | reach AS (SELECT src AS node, src AS lab FROM edges
+          |   UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+          | comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+          | dropn AS (SELECT node FROM comp WHERE component <> node)
+          | SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM dropn)
           | ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q50_asof_join" ->
         """WITH l AS (SELECT event_id, user_id FROM events WHERE event_type = 'click'),

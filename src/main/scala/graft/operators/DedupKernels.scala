@@ -190,4 +190,40 @@ object DedupKernels {
     while (b < 64) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** Sorted DISTINCT word-n-gram hashes of the lowercased text — the
+    * per-document explode payload for corpus-level boilerplate
+    * detection ([[Boilerplate.sharedNgramStats]]). Split contract
+    * matches [[TextKernels]].gramCounts: `split(lower(text), " ")`
+    * keeping empties, FULL n-grams only (fewer than n words yields an
+    * empty array), grams joined by one space before hashing. basis
+    * "xx" = fnv64 (fast path); "md5" = [[md5Hash60]] (the
+    * DuckDB-mirrorable gate basis). Sorted ascending so the array
+    * value itself is deterministic in oracle dumps.
+    */
+  def distinctGramHashes(text: UTF8String, n: Int, basis: UTF8String): GenericArrayData = {
+    val ws = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (ws.length < n) return new GenericArrayData(new Array[Long](0))
+    val md5 = basis.toString == "md5"
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    val m = ws.length - n
+    while (i <= m) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      set.add(if (md5) md5Hash60(bytes) else fnv64(bytes))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
 }

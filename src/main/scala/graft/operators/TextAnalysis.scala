@@ -141,4 +141,36 @@ object TextAnalysis {
       when(length(text) < 8, h(text)).otherwise(array_min(shingles))
     }
   }
+
+  /** PII detection/redaction for training-data cleaning. The patterns
+    * deliberately stay inside the regex subset where Java's engine
+    * (Spark) and RE2 (DuckDB, Go tooling) agree exactly — character
+    * classes, bounded repetition, `\b` word boundaries; no lookaround,
+    * no backreferences — so the oracle gate can run the IDENTICAL
+    * pattern strings in both engines. `\d` is ASCII in both.
+    *
+    * Redaction order matters and is fixed: emails first (an email's
+    * domain may embed digits and dots an IP pattern could clip),
+    * then phones, then IPv4.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-category PII match counts — map-only (regexp_count is
+    * codegen'd; nothing shuffles).
+    */
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def piiIpv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+
+  /** Replace each PII category with a typed placeholder (all
+    * occurrences; email -> phone -> IPv4 in that order).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
 }

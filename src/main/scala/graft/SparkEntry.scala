@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.geo
 import graft.index.{CellIndex, cells}
-import graft.operators.{AsOfJoin, Boilerplate, Dedup, LangModel, Similarity, SpatialJoins, TextAnalysis}
+import graft.operators.{AsOfJoin, Boilerplate, Contamination, Dedup, LangModel, Similarity, SpatialJoins, TextAnalysis}
 import graft.operators.SpatialJoins.Aoi
 import graft.sources.ImageTable
 
@@ -956,6 +956,30 @@ object SparkEntry {
       Dedup.keepComponentRepresentatives(sigs, "doc_id", pairs, "id_a", "id_b")
         .select(col("doc_id"))
         .orderBy("doc_id")
+    }),
+    "q66_contamination" -> ((s, dir) => {
+      // benchmark decontamination: eval set = the deterministic
+      // doc_id % 7 = 3 slice, n=3 at gate SF (gate docs are short;
+      // production default is n=13), contaminated at >= 2 shared
+      // grams. md5 basis so the oracle recomputes every gram hash
+      val docs = t(s, dir, "documents")
+      Contamination.overlapStats(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 7 === 3), "text",
+          n = 3, minOverlap = 2, basis = "md5")
+        .orderBy("doc_id")
+    }),
+    "q67_aoi_boundary_dist" -> ((s, dir) => {
+      // signed distance to the AOI BOUNDARY (negative inside) — the
+      // buffer/erosion primitive; same boxes as q15 so the sign leg
+      // reuses q15's proven winding<->half-plane equivalence
+      val aois = Seq(
+        Aoi("box_a", Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))),
+        Aoi("box_b", Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))))
+      SpatialJoins.aoiBoundaryDistance(
+          custPts(s, dir).select(col("c_custkey"), col("n")), "n", aois, R)
+        .select(col("c_custkey"), col("aoi_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "aoi_id")
     }),
     "q50_asof_join" -> ((s, dir) => {
       // point-in-time join: each click matched to the SAME user's most
@@ -2006,6 +2030,71 @@ object SparkEntry {
           | dropn AS (SELECT node FROM comp WHERE component <> node)
           | SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM dropn)
           | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // signed boundary distance: per-edge clamped segment distance
+      // (foot-on-arc test via signed triple products, endpoint
+      // fallback), min over edges, sign from q15's half-plane inside
+      // test; every edge/normal constant inlined at full precision
+      "q67_aoi_boundary_dist" -> {
+        import graft.geo.{Vec3, VecMath}
+        def segSql(a: Vec3, b: Vec3): String = {
+          val c = VecMath.unit(a cross b)
+          val cd = s"${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz"
+          val sub = s"SELECT k, nx, ny, nz, ($cd) AS cd, " +
+            s"nx - ($cd)*${fmt(c.x)} AS fx, ny - ($cd)*${fmt(c.y)} AS fy, " +
+            s"nz - ($cd)*${fmt(c.z)} AS fz FROM pts"
+          val winA = s"(${fmt(a.y)}*fz - ${fmt(a.z)}*fy)*${fmt(c.x)} + " +
+            s"(${fmt(a.z)}*fx - ${fmt(a.x)}*fz)*${fmt(c.y)} + " +
+            s"(${fmt(a.x)}*fy - ${fmt(a.y)}*fx)*${fmt(c.z)} >= 0"
+          val winB = s"(fy*${fmt(b.z)} - fz*${fmt(b.y)})*${fmt(c.x)} + " +
+            s"(fz*${fmt(b.x)} - fx*${fmt(b.z)})*${fmt(c.y)} + " +
+            s"(fx*${fmt(b.y)} - fy*${fmt(b.x)})*${fmt(c.z)} >= 0"
+          def ep(v: Vec3) =
+            s"atan2(sqrt((ny*${fmt(v.z)} - nz*${fmt(v.y)})*(ny*${fmt(v.z)} - nz*${fmt(v.y)}) + " +
+              s"(nz*${fmt(v.x)} - nx*${fmt(v.z)})*(nz*${fmt(v.x)} - nx*${fmt(v.z)}) + " +
+              s"(nx*${fmt(v.y)} - ny*${fmt(v.x)})*(nx*${fmt(v.y)} - ny*${fmt(v.x)})), " +
+              s"nx*${fmt(v.x)} + ny*${fmt(v.y)} + nz*${fmt(v.z)})"
+          s"SELECT k, CASE WHEN ($winA) AND ($winB) " +
+            "THEN atan2(abs(cd), sqrt(fx*fx + fy*fy + fz*fz)) " +
+            s"ELSE least(${ep(a)}, ${ep(b)}) END AS d FROM ($sub)"
+        }
+        def aoiSql(id: String, vs: Seq[(Double, Double)]): String = {
+          val vn = vs.map { case (la, lo) =>
+            graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+          val union = vn.indices
+            .map(i => s"(${segSql(vn(i), vn((i + 1) % vn.length))})")
+            .mkString(" UNION ALL ")
+          val inside = vn.indices.map { i =>
+            val c = vn(i) cross vn((i + 1) % vn.length)
+            s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
+          }.mkString(" AND ")
+          s"SELECT k AS c_custkey, '$id' AS aoi_id, " +
+            s"round((CASE WHEN $inside THEN -md ELSE md END) * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+            s"FROM (SELECT k, min(d) AS md FROM ($union) GROUP BY k) m JOIN pts USING (k)"
+        }
+        val boxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
+        val boxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
+        ptsSql("customer", "c_custkey") +
+          s"SELECT * FROM (${aoiSql("box_a", boxA)} UNION ALL ${aoiSql("box_b", boxB)}) " +
+          "ORDER BY c_custkey, aoi_id"
+      },
+      // contamination: q62's gram CTE joined against the eval slice's
+      // distinct grams; LEFT JOIN + count of hits = left-semi count
+      "q66_contamination" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          |   FROM documents WHERE text IS NOT NULL),
+          | g AS (SELECT DISTINCT doc_id,
+          |   CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+          |   FROM (SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 3),
+          |     i -> array_to_string(ws[i+1:i+3], ' '))) AS gram
+          |    FROM w WHERE len(ws) >= 3)),
+          | ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 7 = 3),
+          | ov AS (SELECT doc_id, count(*) AS ovr FROM g JOIN ev USING (gh) GROUP BY doc_id),
+          | tot AS (SELECT doc_id, count(*) AS total FROM g GROUP BY doc_id)
+          | SELECT d.doc_id, coalesce(tot.total, 0) AS total_grams,
+          |   coalesce(ov.ovr, 0) AS overlap_grams,
+          |   coalesce(ov.ovr, 0) >= 2 AS contaminated
+          | FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN ov USING (doc_id)
+          | WHERE d.text IS NOT NULL ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q50_asof_join" ->
         """WITH l AS (SELECT event_id, user_id FROM events WHERE event_type = 'click'),
           | r AS (SELECT event_id AS p_event, user_id, value FROM events WHERE event_type = 'purchase'),

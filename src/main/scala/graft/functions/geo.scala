@@ -235,6 +235,45 @@ object geo {
   def polygonAreaArr(vertexArr: Column, radius: Double = MeanEarthRadius): Column =
     abs(polygonExcessArr(vertexArr)) * lit(radius * radius)
 
+  /** Great-circle distance [rad] from `p` to the ARC from `a1` to
+    * `a2` (the segment, not the full circle): the cross-circle
+    * distance when the foot of the perpendicular lies ON the arc,
+    * else the nearer endpoint. The within-arc test checks that the
+    * (unnormalized) foot point sits on the a1-side of a2 AND the
+    * a2-side of a1 via signed triple products — no trig, no
+    * normalization, robust at both edge poles (a pole point yields a
+    * zero foot vector, which passes both >= 0 tests and lands in the
+    * atan2(|c.p|, 0) = pi/2 branch, the true distance to every point
+    * of that circle). Contract: a1 and a2 must be distinct and
+    * non-antipodal (same as [[gcNormal]]).
+    */
+  def segmentDistanceRad(a1: Column, a2: Column, p: Column): Column = {
+    val c = gcNormal(a1, a2)
+    val foot = vsub(p, vscale(c, vdot(c, p)))
+    val within = (vdot(vcross(a1, foot), c) >= 0.0) &&
+      (vdot(vcross(foot, a2), c) >= 0.0)
+    when(within, atan2(abs(vdot(c, p)), vnorm(foot)))
+      .otherwise(least(gcDistanceRad(p, a1), gcDistanceRad(p, a2)))
+  }
+
+  /** Min great-circle distance [rad] from `p` to the BOUNDARY of the
+    * polygon with the given n-vector vertices (fixed arity >= 3,
+    * closing edge included) — a `least` over the per-edge segment
+    * distances. WARNING: each [[segmentDistanceRad]] term duplicates
+    * its normal/foot subtrees per reference, so the plan tree grows
+    * superlinearly with edge count — fine for a triangle or two,
+    * but for whole-polygon work use the single-pass kernel
+    * (`cells.boundaryDistSigned`), which is what
+    * `SpatialJoins.aoiBoundaryDistance` does.
+    */
+  def polygonBoundaryDistanceRad(vertices: Seq[Column], p: Column): Column = {
+    require(vertices.length >= 3, "polygon needs >= 3 vertices")
+    val edges = vertices.indices.map { i =>
+      segmentDistanceRad(vertices(i), vertices((i + 1) % vertices.length), p)
+    }
+    least(edges: _*)
+  }
+
   // ---- aggregates ---------------------------------------------------
 
   /** Aggregate: unit(sum of n-vectors) — mean horizontal position.

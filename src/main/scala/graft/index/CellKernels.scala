@@ -110,4 +110,63 @@ object CellKernels {
     }
     math.abs(total)
   }
+
+  /** Signed great-circle distance [rad] from the point to the
+    * polygon BOUNDARY (vertices flattened [x0,y0,z0,...], implicitly
+    * closed): per edge, the cross-circle distance when the foot of
+    * the perpendicular lies ON the arc (signed-triple-product test,
+    * no trig), else the nearer endpoint; min over edges; NEGATIVE
+    * when [[pointInPolygon]] holds. One flat JITed pass — the Column
+    * expression form of the same math (geo.segmentDistanceRad
+    * composed per edge) duplicates the shared normal/foot subtrees
+    * per reference and grows the plan tree superlinearly in edge
+    * count, which is why this is a kernel. Same hemisphere contract
+    * as the winding test; adjacent duplicate/antipodal vertices are
+    * a caller bug (NaN normal).
+    */
+  def boundaryDistSigned(px: Double, py: Double, pz: Double,
+                         verts: ArrayData): Double = {
+    val vs = verts.toDoubleArray()
+    if (vs.length % 3 != 0 || vs.length < 9)
+      throw new IllegalArgumentException(
+        s"polygon vertex array length ${vs.length}: flattened " +
+          "[x0,y0,z0,x1,...] with >= 3 vertices expected")
+    val n = vs.length / 3
+    var best = Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ax = vs(3 * i); val ay = vs(3 * i + 1); val az = vs(3 * i + 2)
+      val bx = vs(3 * j); val by = vs(3 * j + 1); val bz = vs(3 * j + 2)
+      // c = unit(a x b) — the edge's great-circle normal
+      val ux = ay * bz - az * by
+      val uy = az * bx - ax * bz
+      val uz = ax * by - ay * bx
+      val un = math.sqrt(ux * ux + uy * uy + uz * uz)
+      val cx = ux / un; val cy = uy / un; val cz = uz / un
+      val cd = cx * px + cy * py + cz * pz
+      // foot of the perpendicular on the circle (unnormalized)
+      val fx = px - cd * cx; val fy = py - cd * cy; val fz = pz - cd * cz
+      val winA = (ay * fz - az * fy) * cx + (az * fx - ax * fz) * cy +
+        (ax * fy - ay * fx) * cz >= 0
+      val winB = (fy * bz - fz * by) * cx + (fz * bx - fx * bz) * cy +
+        (fx * by - fy * bx) * cz >= 0
+      val d =
+        if (winA && winB)
+          math.atan2(math.abs(cd), math.sqrt(fx * fx + fy * fy + fz * fz))
+        else {
+          def ep(vx: Double, vy: Double, vz: Double): Double = {
+            val kx = py * vz - pz * vy
+            val ky = pz * vx - px * vz
+            val kz = px * vy - py * vx
+            math.atan2(math.sqrt(kx * kx + ky * ky + kz * kz),
+              px * vx + py * vy + pz * vz)
+          }
+          math.min(ep(ax, ay, az), ep(bx, by, bz))
+        }
+      if (d < best) best = d
+      i += 1
+    }
+    if (pointInPolygon(px, py, pz, verts)) -best else best
+  }
 }

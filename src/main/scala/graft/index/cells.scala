@@ -115,6 +115,15 @@ object cells {
       Seq(geo.vx(n), geo.vy(n), geo.vz(n), verts),
       Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
 
+  /** Signed boundary distance [rad] (negative inside) over an
+    * n-vector struct and a flat vertex array column — see
+    * CellKernels.boundaryDistSigned.
+    */
+  def boundaryDistSigned(n: Column, verts: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, DoubleType, "boundaryDistSigned",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), verts),
+      Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
+
   /** Flat n-vector vertex array literal from (latDeg, lonDeg) pairs. */
   def polygonLiteral(latLonDeg: Seq[(Double, Double)]): Column = {
     val flat = latLonDeg.flatMap { case (la, lo) =>

@@ -475,4 +475,33 @@ object SpatialJoins {
       .filter(cells.pointInPolygon(col(pointNvec), col("__verts")))
       .drop("__cell", "__verts")
   }
+
+  /** Signed great-circle distance from every point to each AOI's
+    * BOUNDARY: negative inside the polygon, positive outside (the
+    * buffer/erosion primitive — `dist_m <= b` selects the polygon
+    * dilated by b, `dist_m <= -b` the polygon eroded by b). One
+    * output row per (point, AOI).
+    *
+    * Scale shape: AOIs are a small literal list by contract (same as
+    * [[aoiJoin]]); each point row makes ONE JITed kernel call per AOI
+    * (CellKernels.boundaryDistSigned — min over clamped per-edge
+    * segment distances + the winding inside test in a single flat
+    * pass), so the whole operator is map-only: a union of narrow
+    * projections, no join, no shuffle, nothing collected. For
+    * thousands of AOIs use [[aoiJoin]]'s broadcast-cover machinery
+    * instead.
+    */
+  def aoiBoundaryDistance(points: DataFrame, pointNvec: String,
+                          aois: Seq[Aoi],
+                          radius: Double = MeanEarthRadius,
+                          distCol: String = "dist_m"): DataFrame = {
+    require(aois.nonEmpty)
+    aois.foreach(_.validated) // inside-test hemisphere contract
+    aois.map { a =>
+      points.withColumn("aoi_id", lit(a.id))
+        .withColumn(distCol,
+          cells.boundaryDistSigned(col(pointNvec),
+            typedLit(a.flatVerts.toSeq)) * lit(radius))
+    }.reduce(_ unionByName _)
+  }
 }

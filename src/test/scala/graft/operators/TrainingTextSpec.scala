@@ -87,6 +87,31 @@ class TrainingTextSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: overlap counts and flag against an eval slice") {
+    val train = Seq(
+      (1L, "the quick fox ran far away today"), // holds eval's "the quick fox" + "quick fox ran"
+      (2L, "nothing in common with it at all"),
+      (3L, "the quick fox")                     // exactly one eval gram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "see the quick fox ran")).toDF("doc_id", "text")
+    val out = Contamination.overlapStats(train, "doc_id", "text", eval, "text",
+        n = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((5L, 2L, true)))
+    assert(out(2L) == ((5L, 0L, false)))
+    assert(out(3L) == ((1L, 1L, false)), "below minOverlap must not flag")
+  }
+
+  test("contamination: null eval text and short docs follow contract") {
+    val train = Seq((1L, Option("too short")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, Option.empty[String]), (2L, Option("a b c d")))
+      .toDF("doc_id", "text")
+    val out = Contamination.overlapStats(train, "doc_id", "text", eval, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L && !out.contains(2L))
+  }
+
   test("PII counts and redaction: all three categories, order preserved") {
     val txt = "mail a.b+c@ex-1.org or x@y.io, call +1-555-123-4567, host 10.0.255.7 done"
     val out = Seq((1L, txt)).toDF("id", "text")

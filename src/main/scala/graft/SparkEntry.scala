@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.geo
 import graft.index.{CellIndex, cells}
-import graft.operators.{AsOfJoin, Boilerplate, Contamination, Dedup, LangModel, Similarity, SpatialJoins, TextAnalysis}
+import graft.operators.{AsOfJoin, Boilerplate, Contamination, Dedup, LangModel, Packing, Similarity, SpatialJoins, TextAnalysis, WebText}
 import graft.operators.SpatialJoins.Aoi
 import graft.sources.ImageTable
 
@@ -980,6 +980,39 @@ object SparkEntry {
         .select(col("c_custkey"), col("aoi_id"),
           round(col("dist_m") / 1000.0, 6).as("dist_km"))
         .orderBy("c_custkey", "aoi_id")
+    }),
+    "q68_url_normalize" -> ((s, dir) => {
+      // web-corpus URL plumbing: the corpus carries no URLs, so the
+      // gate PLANTS deterministic ones (upper-case host, default
+      // port, tracking params, fragment, trailing slash — one of
+      // each normalization rule) with the identical expression in
+      // the oracle SQL
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" see https://EX"), col("doc_id") % 7,
+              lit(".COM:443/a"), col("doc_id"),
+              lit("?utm_source=x&id="), col("doc_id"), lit("#f")))
+            .otherwise(concat(lit(" via http://site"), col("doc_id") % 5,
+              lit(".org:80/p"), col("doc_id"), lit("/"))),
+          when(col("doc_id") % 3 === 0,
+            lit(" plus http://x.io/q?utm_campaign=z")).otherwise(lit("")))
+          .as("text"))
+      planted.select(col("doc_id"),
+          WebText.urlCount(col("text")).cast("long").as("n_urls"),
+          WebText.urlHost(regexp_extract(col("text"), WebText.UrlRe, 0)).as("host"),
+          WebText.urlKey(regexp_extract(col("text"), WebText.UrlRe, 0)).as("url_key"))
+        .orderBy("doc_id")
+    }),
+    "q69_seq_packing" -> ((s, dir) => {
+      // greedy in-id-order packing into 200-token bins over 8 md5
+      // shards; fill is the bin's running token count after each doc
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+      Packing.greedyPack(docs, "doc_id", "len", capacity = 200, shards = 8)
+        .orderBy("doc_id")
     }),
     "q50_asof_join" -> ((s, dir) => {
       // point-in-time join: each click matched to the SAME user's most
@@ -2077,6 +2110,40 @@ object SparkEntry {
           s"SELECT * FROM (${aoiSql("box_a", boxA)} UNION ALL ${aoiSql("box_b", boxB)}) " +
           "ORDER BY c_custkey, aoi_id"
       },
+      // URL normalization: identical planted text and pattern chain
+      // (WebText.normalizeUrlSql keeps the two engines' patterns from
+      // drifting); RE2 replacement syntax (\1) differs from Java's
+      // ($1) but the semantics are shared
+      "q68_url_normalize" -> {
+        val u = "regexp_extract(text, '" + WebText.UrlRe + "')"
+        s"""WITH planted AS (SELECT doc_id, text ||
+           |   CASE WHEN doc_id % 2 = 0
+           |     THEN ' see https://EX' || (doc_id % 7) || '.COM:443/a' || doc_id || '?utm_source=x&id=' || doc_id || '#f'
+           |     ELSE ' via http://site' || (doc_id % 5) || '.org:80/p' || doc_id || '/' END ||
+           |   CASE WHEN doc_id % 3 = 0 THEN ' plus http://x.io/q?utm_campaign=z' ELSE '' END AS text
+           |  FROM documents)
+           | SELECT doc_id,
+           |   len(regexp_extract_all(text, '${WebText.UrlRe}')) AS n_urls,
+           |   lower(regexp_extract($u, '^https?://([^/:?#]+)', 1)) AS host,
+           |   lower(${WebText.normalizeUrlSql(u)}) AS url_key
+           | FROM planted ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
+      // greedy packing: per-shard linear recursion replaying the
+      // kernel's close-bin-on-overflow walk in id order
+      "q69_seq_packing" ->
+        """WITH RECURSIVE d AS (SELECT doc_id,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+          |   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+          |  FROM documents WHERE text IS NOT NULL),
+          | o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+          | pack AS (
+          |   SELECT shard, rn, doc_id, len, 0 AS bin, len AS fill FROM o WHERE rn = 1
+          |   UNION ALL
+          |   SELECT o.shard, o.rn, o.doc_id, o.len,
+          |     CASE WHEN p.fill + o.len <= 200 THEN p.bin ELSE p.bin + 1 END,
+          |     CASE WHEN p.fill + o.len <= 200 THEN p.fill + o.len ELSE o.len END
+          |   FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+          | SELECT doc_id, shard, bin, fill FROM pack ORDER BY doc_id""".stripMargin.replace("\n", " "),
       // contamination: q62's gram CTE joined against the eval slice's
       // distinct grams; LEFT JOIN + count of hits = left-semi count
       "q66_contamination" ->

@@ -58,6 +58,53 @@ object SparkEntry {
     if (s.contains("E")) new java.math.BigDecimal(d).toPlainString else s
   }
 
+  /** SQL mirror of CellKernels.boundaryDistSigned for a LITERAL AOI:
+    * per-edge clamped segment distance (foot-on-arc via signed triple
+    * products, endpoint fallback), min over edges, sign from the
+    * convex half-plane inside test (equivalent to the winding test
+    * for the gate's convex boxes — the equivalence q15 pins). Emits
+    * `SELECT k, '<id>' AS aoi_id, <signed rad> AS sd FROM ...` over
+    * the `pts` CTE; used by q67 and q70.
+    */
+  private def boundaryAoiSql(id: String, vs: Seq[(Double, Double)]): String = {
+    import graft.geo.{Vec3, VecMath}
+    def segSql(a: Vec3, b: Vec3): String = {
+      val c = VecMath.unit(a cross b)
+      val cd = s"${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz"
+      val sub = s"SELECT k, nx, ny, nz, ($cd) AS cd, " +
+        s"nx - ($cd)*${fmt(c.x)} AS fx, ny - ($cd)*${fmt(c.y)} AS fy, " +
+        s"nz - ($cd)*${fmt(c.z)} AS fz FROM pts"
+      val winA = s"(${fmt(a.y)}*fz - ${fmt(a.z)}*fy)*${fmt(c.x)} + " +
+        s"(${fmt(a.z)}*fx - ${fmt(a.x)}*fz)*${fmt(c.y)} + " +
+        s"(${fmt(a.x)}*fy - ${fmt(a.y)}*fx)*${fmt(c.z)} >= 0"
+      val winB = s"(fy*${fmt(b.z)} - fz*${fmt(b.y)})*${fmt(c.x)} + " +
+        s"(fz*${fmt(b.x)} - fx*${fmt(b.z)})*${fmt(c.y)} + " +
+        s"(fx*${fmt(b.y)} - fy*${fmt(b.x)})*${fmt(c.z)} >= 0"
+      def ep(v: Vec3) =
+        s"atan2(sqrt((ny*${fmt(v.z)} - nz*${fmt(v.y)})*(ny*${fmt(v.z)} - nz*${fmt(v.y)}) + " +
+          s"(nz*${fmt(v.x)} - nx*${fmt(v.z)})*(nz*${fmt(v.x)} - nx*${fmt(v.z)}) + " +
+          s"(nx*${fmt(v.y)} - ny*${fmt(v.x)})*(nx*${fmt(v.y)} - ny*${fmt(v.x)})), " +
+          s"nx*${fmt(v.x)} + ny*${fmt(v.y)} + nz*${fmt(v.z)})"
+      s"SELECT k, CASE WHEN ($winA) AND ($winB) " +
+        "THEN atan2(abs(cd), sqrt(fx*fx + fy*fy + fz*fz)) " +
+        s"ELSE least(${ep(a)}, ${ep(b)}) END AS d FROM ($sub)"
+    }
+    val vn = vs.map { case (la, lo) =>
+      graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+    val union = vn.indices
+      .map(i => s"(${segSql(vn(i), vn((i + 1) % vn.length))})")
+      .mkString(" UNION ALL ")
+    val inside = vn.indices.map { i =>
+      val c = vn(i) cross vn((i + 1) % vn.length)
+      s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
+    }.mkString(" AND ")
+    s"SELECT k, '$id' AS aoi_id, CASE WHEN $inside THEN -md ELSE md END AS sd " +
+      s"FROM (SELECT k, min(d) AS md FROM ($union) GROUP BY k) m JOIN pts USING (k)"
+  }
+
+  private val BoxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
+  private val BoxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
+
   /** Engine-side twin of `Karney.inverseSqlMirror`'s general-position
     * filter: selects pairs where the inverse solver provably takes the
     * Newton + hybrid path (not meridional / equatorial / short /
@@ -972,14 +1019,46 @@ object SparkEntry {
       // signed distance to the AOI BOUNDARY (negative inside) — the
       // buffer/erosion primitive; same boxes as q15 so the sign leg
       // reuses q15's proven winding<->half-plane equivalence
-      val aois = Seq(
-        Aoi("box_a", Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))),
-        Aoi("box_b", Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))))
+      val aois = Seq(Aoi("box_a", BoxA), Aoi("box_b", BoxB))
       SpatialJoins.aoiBoundaryDistance(
           custPts(s, dir).select(col("c_custkey"), col("n")), "n", aois, R)
         .select(col("c_custkey"), col("aoi_id"),
           round(col("dist_m") / 1000.0, 6).as("dist_km"))
         .orderBy("c_custkey", "aoi_id")
+    }),
+    "q70_aoi_buffer_join" -> ((s, dir) => {
+      // points within 800 km of each AOI (polygon dilated by the
+      // buffer) via the cell-cover prefilter + one exact signed
+      // boundary-distance call; the oracle recomputes the signed
+      // distance for EVERY point and filters — so the gate proves
+      // the grown quadtree cover drops no qualifying point
+      val aois = Seq(Aoi("box_a", BoxA), Aoi("box_b", BoxB))
+      SpatialJoins.aoiBufferJoin(
+          custPts(s, dir).select(col("c_custkey"), col("n")), "n", aois,
+          bufferMeters = 800e3, radius = R)
+        .select(col("c_custkey"), col("aoi_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "aoi_id")
+    }),
+    "q71_simplify" -> ((s, dir) => {
+      // Douglas-Peucker decimation at a 30 km tolerance over SMOOTH
+      // per-user drift tracks (a raw event scatter has no redundant
+      // points to drop). No SQL oracle: the argmax-split recursion
+      // needs aggregation inside recursion (forbidden in recursive
+      // CTEs) — rows-only gate; the exactness evidence is
+      // SimplifySpec's independent-reference equivalence.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val ev = t(s, dir, "events")
+        .withColumn("rk", row_number().over(w).cast("double"))
+        .withColumn("lat", radians(
+          (col("user_id") % 120 - 60) + col("rk") * 0.02 + sin(col("rk") * 0.5) * 0.4))
+        .withColumn("lon", radians(
+          (col("user_id") % 300 - 150) + col("rk") * 0.03 + cos(col("rk") * 0.8) * 0.3))
+        .withColumn("n", geo.nvec(col("lat"), col("lon")))
+      graft.operators.Simplify.douglasPeucker(ev, "user_id", "event_id", "n",
+          tolRad = 30000.0 / R)
+        .orderBy("user_id", "event_id")
     }),
     "q68_url_normalize" -> ((s, dir) => {
       // web-corpus URL plumbing: the corpus carries no URLs, so the
@@ -2068,47 +2147,20 @@ object SparkEntry {
       // fallback), min over edges, sign from q15's half-plane inside
       // test; every edge/normal constant inlined at full precision
       "q67_aoi_boundary_dist" -> {
-        import graft.geo.{Vec3, VecMath}
-        def segSql(a: Vec3, b: Vec3): String = {
-          val c = VecMath.unit(a cross b)
-          val cd = s"${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz"
-          val sub = s"SELECT k, nx, ny, nz, ($cd) AS cd, " +
-            s"nx - ($cd)*${fmt(c.x)} AS fx, ny - ($cd)*${fmt(c.y)} AS fy, " +
-            s"nz - ($cd)*${fmt(c.z)} AS fz FROM pts"
-          val winA = s"(${fmt(a.y)}*fz - ${fmt(a.z)}*fy)*${fmt(c.x)} + " +
-            s"(${fmt(a.z)}*fx - ${fmt(a.x)}*fz)*${fmt(c.y)} + " +
-            s"(${fmt(a.x)}*fy - ${fmt(a.y)}*fx)*${fmt(c.z)} >= 0"
-          val winB = s"(fy*${fmt(b.z)} - fz*${fmt(b.y)})*${fmt(c.x)} + " +
-            s"(fz*${fmt(b.x)} - fx*${fmt(b.z)})*${fmt(c.y)} + " +
-            s"(fx*${fmt(b.y)} - fy*${fmt(b.x)})*${fmt(c.z)} >= 0"
-          def ep(v: Vec3) =
-            s"atan2(sqrt((ny*${fmt(v.z)} - nz*${fmt(v.y)})*(ny*${fmt(v.z)} - nz*${fmt(v.y)}) + " +
-              s"(nz*${fmt(v.x)} - nx*${fmt(v.z)})*(nz*${fmt(v.x)} - nx*${fmt(v.z)}) + " +
-              s"(nx*${fmt(v.y)} - ny*${fmt(v.x)})*(nx*${fmt(v.y)} - ny*${fmt(v.x)})), " +
-              s"nx*${fmt(v.x)} + ny*${fmt(v.y)} + nz*${fmt(v.z)})"
-          s"SELECT k, CASE WHEN ($winA) AND ($winB) " +
-            "THEN atan2(abs(cd), sqrt(fx*fx + fy*fy + fz*fz)) " +
-            s"ELSE least(${ep(a)}, ${ep(b)}) END AS d FROM ($sub)"
-        }
-        def aoiSql(id: String, vs: Seq[(Double, Double)]): String = {
-          val vn = vs.map { case (la, lo) =>
-            graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
-          val union = vn.indices
-            .map(i => s"(${segSql(vn(i), vn((i + 1) % vn.length))})")
-            .mkString(" UNION ALL ")
-          val inside = vn.indices.map { i =>
-            val c = vn(i) cross vn((i + 1) % vn.length)
-            s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
-          }.mkString(" AND ")
-          s"SELECT k AS c_custkey, '$id' AS aoi_id, " +
-            s"round((CASE WHEN $inside THEN -md ELSE md END) * ${fmt(R)} / 1000.0, 6) AS dist_km " +
-            s"FROM (SELECT k, min(d) AS md FROM ($union) GROUP BY k) m JOIN pts USING (k)"
-        }
-        val boxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
-        val boxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
+        val both = s"(${boundaryAoiSql("box_a", BoxA)}) UNION ALL (${boundaryAoiSql("box_b", BoxB)})"
         ptsSql("customer", "c_custkey") +
-          s"SELECT * FROM (${aoiSql("box_a", boxA)} UNION ALL ${aoiSql("box_b", boxB)}) " +
-          "ORDER BY c_custkey, aoi_id"
+          s"SELECT k AS c_custkey, aoi_id, round(sd * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+          s"FROM ($both) ORDER BY c_custkey, aoi_id"
+      },
+      // buffered AOI join: the oracle computes the signed boundary
+      // distance for EVERY (point, aoi) pair and filters at the
+      // buffer — any qualifying point the engine's grown cell cover
+      // dropped would surface as a missing row
+      "q70_aoi_buffer_join" -> {
+        val both = s"(${boundaryAoiSql("box_a", BoxA)}) UNION ALL (${boundaryAoiSql("box_b", BoxB)})"
+        ptsSql("customer", "c_custkey") +
+          s"SELECT k AS c_custkey, aoi_id, round(sd * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+          s"FROM ($both) WHERE sd * ${fmt(R)} <= 800000.0 ORDER BY c_custkey, aoi_id"
       },
       // URL normalization: identical planted text and pattern chain
       // (WebText.normalizeUrlSql keeps the two engines' patterns from

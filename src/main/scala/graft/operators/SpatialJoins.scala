@@ -476,6 +476,52 @@ object SpatialJoins {
       .drop("__cell", "__verts")
   }
 
+  /** Buffered AOI join: points within `bufferMeters` of each AOI —
+    * the polygon DILATED by the buffer (a point inside counts at any
+    * buffer >= 0). Output: point columns + `aoi_id` + signed
+    * `distCol` (negative inside, as [[aoiBoundaryDistance]]).
+    *
+    * Scale shape: identical to [[aoiJoin]] — a broadcast cover map
+    * prefilters points by cell — except the quadtree cap covers are
+    * grown by the buffer angle (caps with angular radius < pi/2 are
+    * geodesically convex, so the polygon's edges stay inside its
+    * vertex cap and every buffered point lies within circumAngle +
+    * buffer/R of the centroid — the cover is provably complete);
+    * the exact predicate is one boundary-distance kernel call per
+    * surviving candidate.
+    */
+  def aoiBufferJoin(points: DataFrame, pointNvec: String, aois: Seq[Aoi],
+                    bufferMeters: Double,
+                    radius: Double = MeanEarthRadius,
+                    distCol: String = "dist_m"): DataFrame = {
+    require(aois.nonEmpty)
+    require(bufferMeters >= 0.0, s"buffer must be >= 0 (got $bufferMeters)")
+    aois.foreach(_.validated)
+    val bufAngle = bufferMeters / radius
+    val level = aois.map { a =>
+      val ang = math.min(math.Pi, math.max(a.circumAngle + bufAngle, 1e-6))
+      val discArea = 2.0 * math.Pi * (1.0 - math.cos(ang))
+      val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
+        math.log(2.0))).ceil.toInt
+      math.max(2, math.min(CellIndex.MaxLevel, l))
+    }.min
+    val cover: Seq[(Long, String)] = aois.flatMap { a =>
+      CellIndex.capCells(a.centroid.x, a.centroid.y, a.centroid.z,
+        level, math.min(math.Pi, a.circumAngle + bufAngle)).map(c => (c, a.id))
+    }
+    val spark = points.sparkSession
+    import spark.implicits._
+    val coverDf = broadcast(cover.toDF("__cell", "aoi_id"))
+    val vertsDf = broadcast(aois.map(a => (a.id, a.flatVerts)).toDF("aoi_id", "__verts"))
+    points.withColumn("__cell", cells.cellAt(col(pointNvec), level))
+      .join(coverDf, "__cell")
+      .join(vertsDf, "aoi_id")
+      .withColumn(distCol,
+        cells.boundaryDistSigned(col(pointNvec), col("__verts")) * lit(radius))
+      .filter(col(distCol) <= bufferMeters)
+      .drop("__cell", "__verts")
+  }
+
   /** Signed great-circle distance from every point to each AOI's
     * BOUNDARY: negative inside the polygon, positive outside (the
     * buffer/erosion primitive — `dist_m <= b` selects the polygon

@@ -79,6 +79,52 @@ class BoundaryDistSpec extends AnyFunSuite {
     assert(inside.nonEmpty && inside.max < 60)
   }
 
+  test("aoiBufferJoin equals brute-force signed-distance filter at several buffers") {
+    // deterministic scatter over the globe, dense near the box edges
+    val pts = (0 until 4000).map { i =>
+      val lat = -88.0 + (i * 73 % 1760) * 0.1
+      val lon = -179.0 + (i * 131 % 3580) * 0.1
+      (i.toLong, lat, lon)
+    }
+    val aois = Seq(aoi, Aoi("north", Seq((55.0, -30.0), (55.0, 40.0), (75.0, 40.0), (75.0, -30.0))))
+    val df = pts.toDF("id", "lat", "lon")
+      .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+    def bruteSigned(p: Vec3, a: Aoi): Double =
+      graft.index.CellKernels.boundaryDistSigned(p.x, p.y, p.z,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.flatVerts))
+    // 100 km (tight cover), 2000 km (wide), 12000 km (cap saturates at pi)
+    for (buf <- Seq(100e3, 2000e3, 12000e3)) {
+      val got = SpatialJoins.aoiBufferJoin(df, "n", aois, bufferMeters = buf)
+        .select("id", "aoi_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = (for {
+        (id, la, lo) <- pts
+        a <- aois
+        p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+        if bruteSigned(p, a) * graft.geo.Ellipsoids.MeanEarthRadius <= buf
+      } yield (id, a.id)).toSet
+      assert(got == want,
+        s"buffer $buf: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)} " +
+          s"sizes got=${got.size} want=${want.size}")
+    }
+  }
+
+  test("aoiBufferJoin at buffer 0 matches polygon containment (plus boundary)") {
+    val pts = (0 until 1000).map { i =>
+      (i.toLong, -30.0 + (i * 37 % 600) * 0.1, -40.0 + (i * 59 % 800) * 0.1)
+    }
+    val df = pts.toDF("id", "lat", "lon")
+      .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+    val got = SpatialJoins.aoiBufferJoin(df, "n", Seq(aoi), bufferMeters = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, la, lo) =>
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      graft.index.CellKernels.boundaryDistSigned(p.x, p.y, p.z,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(aoi.flatVerts)) <= 0.0
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
   test("Column segmentDistanceRad agrees with the kernel on single edges") {
     val a = Gade.latLonToNvec(math.toRadians(-10.0), math.toRadians(-20.0))
     val b = Gade.latLonToNvec(math.toRadians(-10.0), math.toRadians(20.0))

@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB oracle compare.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 
-For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
+For each query in <verifyOutDir>/oracle_sql.json (or only the names
+passed as extra args): run the SQL in DuckDB
 with views over <sfDir>/*.parquet, load the engine's parquet dump,
 canonicalize both (columns sorted by name, rows sorted by all columns),
 and compare cell-by-cell (exact for non-floats, 1e-9-relative for
@@ -21,12 +22,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, only=None) -> int:
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        missing = set(only) - set(oracle)
+        if missing:
+            print(f"FAIL unknown query names: {sorted(missing)}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -81,4 +88,4 @@ def main(sfdir: str, outdir: str) -> int:
     return 1 if failures else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:] or None))

@@ -136,37 +136,50 @@ object CellKernels {
     var i = 0
     while (i < n) {
       val j = (i + 1) % n
-      val ax = vs(3 * i); val ay = vs(3 * i + 1); val az = vs(3 * i + 2)
-      val bx = vs(3 * j); val by = vs(3 * j + 1); val bz = vs(3 * j + 2)
-      // c = unit(a x b) — the edge's great-circle normal
-      val ux = ay * bz - az * by
-      val uy = az * bx - ax * bz
-      val uz = ax * by - ay * bx
-      val un = math.sqrt(ux * ux + uy * uy + uz * uz)
-      val cx = ux / un; val cy = uy / un; val cz = uz / un
-      val cd = cx * px + cy * py + cz * pz
-      // foot of the perpendicular on the circle (unnormalized)
-      val fx = px - cd * cx; val fy = py - cd * cy; val fz = pz - cd * cz
-      val winA = (ay * fz - az * fy) * cx + (az * fx - ax * fz) * cy +
-        (ax * fy - ay * fx) * cz >= 0
-      val winB = (fy * bz - fz * by) * cx + (fz * bx - fx * bz) * cy +
-        (fx * by - fy * bx) * cz >= 0
-      val d =
-        if (winA && winB)
-          math.atan2(math.abs(cd), math.sqrt(fx * fx + fy * fy + fz * fz))
-        else {
-          def ep(vx: Double, vy: Double, vz: Double): Double = {
-            val kx = py * vz - pz * vy
-            val ky = pz * vx - px * vz
-            val kz = px * vy - py * vx
-            math.atan2(math.sqrt(kx * kx + ky * ky + kz * kz),
-              px * vx + py * vy + pz * vz)
-          }
-          math.min(ep(ax, ay, az), ep(bx, by, bz))
-        }
+      val d = segDistRad(px, py, pz,
+        vs(3 * i), vs(3 * i + 1), vs(3 * i + 2),
+        vs(3 * j), vs(3 * j + 1), vs(3 * j + 2))
       if (d < best) best = d
       i += 1
     }
     if (pointInPolygon(px, py, pz, verts)) -best else best
+  }
+
+  /** Great-circle distance [rad] from p to the minor arc a->b:
+    * foot-on-arc test via signed triple products against the edge's
+    * great-circle normal, endpoint fallback otherwise. A degenerate
+    * edge (a ~ +-b, no unique great circle) falls back to the
+    * distance to a — validated polygons never hit that branch; track
+    * kernels (repeated fixes) do. The single shared formulation for
+    * [[boundaryDistSigned]], SimplifyKernels, and the SparkEntry SQL
+    * mirrors.
+    */
+  def segDistRad(px: Double, py: Double, pz: Double,
+                 ax: Double, ay: Double, az: Double,
+                 bx: Double, by: Double, bz: Double): Double = {
+    def ep(vx: Double, vy: Double, vz: Double): Double = {
+      val kx = py * vz - pz * vy
+      val ky = pz * vx - px * vz
+      val kz = px * vy - py * vx
+      math.atan2(math.sqrt(kx * kx + ky * ky + kz * kz),
+        px * vx + py * vy + pz * vz)
+    }
+    // c = unit(a x b) — the edge's great-circle normal
+    val ux = ay * bz - az * by
+    val uy = az * bx - ax * bz
+    val uz = ax * by - ay * bx
+    val un = math.sqrt(ux * ux + uy * uy + uz * uz)
+    if (un < 1e-15) return ep(ax, ay, az)
+    val cx = ux / un; val cy = uy / un; val cz = uz / un
+    val cd = cx * px + cy * py + cz * pz
+    // foot of the perpendicular on the circle (unnormalized)
+    val fx = px - cd * cx; val fy = py - cd * cy; val fz = pz - cd * cz
+    val winA = (ay * fz - az * fy) * cx + (az * fx - ax * fz) * cy +
+      (ax * fy - ay * fx) * cz >= 0
+    val winB = (fy * bz - fz * by) * cx + (fz * bx - fx * bz) * cy +
+      (fx * by - fy * bx) * cz >= 0
+    if (winA && winB)
+      math.atan2(math.abs(cd), math.sqrt(fx * fx + fy * fy + fz * fz))
+    else math.min(ep(ax, ay, az), ep(bx, by, bz))
   }
 }

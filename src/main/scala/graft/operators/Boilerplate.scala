@@ -49,22 +49,28 @@ object Boilerplate {
                        n: Int = 3, minDocs: Int = 2,
                        basis: String = "xx"): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1 (got $minDocs)")
-    val base = docs.filter(col(textCol).isNotNull)
+    // ONE kernel pass: the per-doc total rides the exploded rows
+    // (explode_outer keeps zero-gram docs as a null-gram row), and
+    // one explicit __gh exchange serves BOTH consumers — the dfreq
+    // aggregation and the gram↔dfreq join — via exchange reuse, so
+    // the dominant cost (hashing every gram of every doc) is paid
+    // exactly once instead of once per plan branch.
+    val grams = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), gramHashes(col(textCol), n, basis).as("__gs"))
-    val grams = base.select(col(idCol), explode(col("__gs")).as("__gh"))
+      .select(col(idCol), size(col("__gs")).cast("long").as("__tot"),
+        explode_outer(col("__gs")).as("__gh"))
+      .repartition(col("__gh"))
     // per-doc arrays are DISTINCT, so count(*) per hash IS the doc
-    // frequency; partial aggregation combines map-side before the
-    // hash shuffle
+    // frequency (the null-gram rows form a group no equi-join can hit)
     val dfreq = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select("__gh")
-    val shared = grams.join(dfreq, "__gh")
-      .groupBy(idCol).agg(count(lit(1)).as("shared_grams"))
-    base.select(col(idCol), size(col("__gs")).as("total_grams"))
-      .join(shared, Seq(idCol), "left")
-      .select(col(idCol), col("total_grams").cast("long").as("total_grams"),
-        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
-        (coalesce(col("shared_grams"), lit(0L)).cast("double") /
+      .select(col("__gh"), lit(1).as("__shared"))
+    grams.join(dfreq, Seq("__gh"), "left")
+      .groupBy(idCol)
+      .agg(max(col("__tot")).as("total_grams"),
+        count(col("__shared")).as("shared_grams"))
+      .select(col(idCol), col("total_grams"), col("shared_grams"),
+        (col("shared_grams").cast("double") /
           greatest(col("total_grams"), lit(1)).cast("double"))
           .as("boilerplate_frac"))
   }

@@ -40,17 +40,30 @@ object Contamination {
       .select(explode(Boilerplate.gramHashes(col(evalTextCol), n, basis))
         .as("__gh"))
       .distinct()
-    val base = docs.filter(col(textCol).isNotNull)
+    // ONE kernel pass: per-doc totals ride the exploded rows
+    // (explode_outer keeps zero-gram docs), the broadcast overlap
+    // join marks hits in place, and a single per-doc aggregation
+    // yields total + overlap — no second gramHashes evaluation, no
+    // doc-id re-join, and the only shuffle is the final groupBy.
+    grams(docs, idCol, textCol, n, basis)
+      .join(broadcast(evalGrams.select(col("__gh"), lit(1).as("__hit"))),
+        Seq("__gh"), "left")
+      .groupBy(idCol)
+      .agg(max(col("__tot")).as("total_grams"),
+        count(col("__hit")).as("overlap_grams"))
+      .select(col(idCol), col("total_grams"), col("overlap_grams"),
+        (col("overlap_grams") >= minOverlap).as("contaminated"))
+  }
+
+  /** (idCol, __tot, __gh) rows: one gram-hash kernel pass with the
+    * per-doc gram count carried through the explode (outer, so
+    * zero-gram docs survive as a null-gram row no equi-join hits).
+    */
+  private def grams(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, basis: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         Boilerplate.gramHashes(col(textCol), n, basis).as("__gs"))
-    val overlap = base.select(col(idCol), explode(col("__gs")).as("__gh"))
-      .join(broadcast(evalGrams), Seq("__gh"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("overlap_grams"))
-    base.select(col(idCol), size(col("__gs")).cast("long").as("total_grams"))
-      .join(overlap, Seq(idCol), "left")
-      .select(col(idCol), col("total_grams"),
-        coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
-        (coalesce(col("overlap_grams"), lit(0L)) >= minOverlap)
-          .as("contaminated"))
-  }
+      .select(col(idCol), size(col("__gs")).cast("long").as("__tot"),
+        explode_outer(col("__gs")).as("__gh"))
 }

@@ -263,8 +263,15 @@ object Dedup {
     // the fingerprint is an expensive expression (a 60-bit-vote
     // simhash tree). The same hash shuffle then serves the __fp
     // window directly. Shuffle files, not cache: replayable at scale.
+    // null fingerprints (e.g. simhash of a null text) carry no
+    // similarity evidence and must NOT pair: without this filter the
+    // __fp window would clique every null-fp row together and the
+    // downstream resolve step would silently drop all but one such
+    // document. The filter sits before the exchange so it pushes
+    // into the scan.
     val fps = spreadSmallInput(df)
       .select(col(idCol).as("__id"), col(fpCol).cast("long").as("__fp"))
+      .filter(col("__fp").isNotNull)
       .repartition(col("__fp"))
     val wFp = Window.partitionBy("__fp")
     val tagged = fps.withColumn("__rep", min(col("__id")).over(wFp))

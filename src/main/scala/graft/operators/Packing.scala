@@ -49,11 +49,12 @@ object Packing {
       lit(shards.toLong)).cast("int")
 
   /** Pack `docs` into bins of at most `capacity` tokens per shard.
-    * Output: one row per input doc with (idCol, lenCol, shard, bin,
-    * fill) where `bin` is the shard-local bin ordinal and `fill` the
+    * Output: one row per input doc with (idCol, shard, bin, fill)
+    * where `bin` is the shard-local bin ordinal and `fill` the
     * bin's cumulative token count AFTER this doc (the last doc of a
-    * bin carries the bin's final fill). Rows with null length are
-    * dropped by contract.
+    * bin carries the bin's final fill); re-join on idCol for the
+    * length or any other payload. Rows with null length are dropped
+    * by contract.
     */
   def greedyPack(docs: DataFrame, idCol: String, lenCol: String,
                  capacity: Long, shards: Int): DataFrame = {

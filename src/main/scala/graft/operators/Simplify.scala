@@ -58,36 +58,15 @@ object Simplify {
 /** JIT-compiled simplification kernels (StaticInvoke targets). */
 object SimplifyKernels {
 
-  /** Great-circle distance [rad] from p to the ARC a->b — same
-    * foot-on-arc formulation as CellKernels.boundaryDistSigned, with
-    * a degenerate-edge guard (a ~ b -> distance to a).
+  /** Great-circle distance [rad] from p to the ARC a->b — the shared
+    * CellKernels formulation (foot-on-arc + endpoint fallback +
+    * degenerate-edge guard); one implementation for the kernel,
+    * polygon boundary distance, and the SQL mirrors.
     */
-  private def segDist(px: Double, py: Double, pz: Double,
-                      ax: Double, ay: Double, az: Double,
-                      bx: Double, by: Double, bz: Double): Double = {
-    val ux = ay * bz - az * by
-    val uy = az * bx - ax * bz
-    val uz = ax * by - ay * bx
-    val un = math.sqrt(ux * ux + uy * uy + uz * uz)
-    def ep(vx: Double, vy: Double, vz: Double): Double = {
-      val kx = py * vz - pz * vy
-      val ky = pz * vx - px * vz
-      val kz = px * vy - py * vx
-      math.atan2(math.sqrt(kx * kx + ky * ky + kz * kz),
-        px * vx + py * vy + pz * vz)
-    }
-    if (un < 1e-15) return ep(ax, ay, az)
-    val cx = ux / un; val cy = uy / un; val cz = uz / un
-    val cd = cx * px + cy * py + cz * pz
-    val fx = px - cd * cx; val fy = py - cd * cy; val fz = pz - cd * cz
-    val winA = (ay * fz - az * fy) * cx + (az * fx - ax * fz) * cy +
-      (ax * fy - ay * fx) * cz >= 0
-    val winB = (fy * bz - fz * by) * cx + (fz * bx - fx * bz) * cy +
-      (fx * by - fy * bx) * cz >= 0
-    if (winA && winB)
-      math.atan2(math.abs(cd), math.sqrt(fx * fx + fy * fy + fz * fz))
-    else math.min(ep(ax, ay, az), ep(bx, by, bz))
-  }
+  @inline private def segDist(px: Double, py: Double, pz: Double,
+                              ax: Double, ay: Double, az: Double,
+                              bx: Double, by: Double, bz: Double): Double =
+    graft.index.CellKernels.segDistRad(px, py, pz, ax, ay, az, bx, by, bz)
 
   /** Douglas-Peucker keep-set over (ord, x, y, z) entries pre-sorted
     * by ord: iterative split stack, strict `> tol` split rule, kept

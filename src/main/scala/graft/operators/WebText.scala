@@ -34,8 +34,16 @@ object WebText {
     * trimmed (deterministic > clever).
     */
   val UrlRe = "https?://[^ \\t\\n<>\"]+"
-  val TrackingParamRe = "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*"
-  val OrphanAmpRe = "^([^?&]*)&"      // first '&' when no '?' survives
+  // Tracking-param removal preserves separators BY CONSTRUCTION
+  // (three cases: non-leading, leading-with-kept-successor, leading-
+  // at-end) instead of remove-then-repair: a repair regex keyed on
+  // "first '&' with no '?' before it" would also fire on URLs whose
+  // PATH legitimately contains '&' (an RFC 3986 sub-delim) and no
+  // query at all, rewriting /a&b=2 into /a?b=2 — a different URL.
+  private val TrackingParam = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"
+  val MidTrackRe = s"&$TrackingParam=[^&]*"
+  val LeadTrackKeepRe = s"\\?$TrackingParam=[^&]*&"
+  val LeadTrackOnlyRe = s"\\?$TrackingParam=[^&]*$$"
   val DanglingSepRe = "[?&]$"
   val DefaultPortRe = "^(https?://[^/:?#]+):(80|443)([/?#].*)?$"
   val TrailingSlashRe = "/$"
@@ -58,9 +66,10 @@ object WebText {
     */
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, TrackingParamRe, "")
-    val repaired = regexp_replace(noTrack, OrphanAmpRe, "$1?")
-    val noDangle = regexp_replace(repaired, DanglingSepRe, "")
+    val noMid = regexp_replace(noFrag, MidTrackRe, "")
+    val noLeadKeep = regexp_replace(noMid, LeadTrackKeepRe, "?")
+    val noTrack = regexp_replace(noLeadKeep, LeadTrackOnlyRe, "")
+    val noDangle = regexp_replace(noTrack, DanglingSepRe, "")
     val noPort = regexp_replace(noDangle, DefaultPortRe, "$1$3")
     regexp_replace(noPort, TrailingSlashRe, "")
   }
@@ -74,8 +83,9 @@ object WebText {
     */
   def normalizeUrlSql(c: String): String = {
     val s1 = s"regexp_replace($c, '#.*$$', '', 'g')"
-    val s2 = s"regexp_replace($s1, '$TrackingParamRe', '', 'g')"
-    val s3 = s"regexp_replace($s2, '$OrphanAmpRe', '\\1?')"
+    val s2 = s"regexp_replace($s1, '$MidTrackRe', '', 'g')"
+    val s2b = s"regexp_replace($s2, '$LeadTrackKeepRe', '?')"
+    val s3 = s"regexp_replace($s2b, '$LeadTrackOnlyRe', '')"
     val s4 = s"regexp_replace($s3, '[?&]$$', '')"
     val s5 = s"regexp_replace($s4, '$DefaultPortRe', '\\1\\3')"
     s"regexp_replace($s5, '/$$', '')"

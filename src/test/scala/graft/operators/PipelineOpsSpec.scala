@@ -201,6 +201,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing=${(brute ++ stars) -- got} extra=${got -- (brute ++ stars)}")
   }
 
+  test("null fingerprints never pair (no null clique, nulls survive resolve)") {
+    // 3 null-fp docs (e.g. simhash of null text) + one real dup pair:
+    // nulls must emit NO pairs — the old __fp window cliqued them and
+    // the resolve step then silently dropped all but one null-text doc
+    val rows = Seq((1L, Some(7L)), (2L, Some(7L)), (10L, None),
+        (11L, None), (12L, None))
+      .toDF("id", "fp")
+    val pairs = Dedup.hammingNearDups(rows, "id", "fp", maxDist = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), s"got ${pairs.toSet}")
+    val kept = Dedup.keepComponentRepresentatives(
+        rows, "id",
+        Dedup.hammingNearDups(rows, "id", "fp", maxDist = 2, bands = 4)
+          .select("id_a", "id_b"), "id_a", "id_b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 11L, 12L))
+  }
+
   test("identical-fingerprint flood stays linear in hamming near-dup join") {
     val flood = spark.range(3000)
       .select(col("id"), lit(0x1234L).as("fp"))

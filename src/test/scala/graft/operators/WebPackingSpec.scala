@@ -22,6 +22,12 @@ class WebPackingSpec extends AnyFunSuite {
     assert(norm("https://EX0.COM:443/a0?utm_source=x&id=0#f") == "https://EX0.COM/a0?id=0")
     // untouched: non-default port, real params, no trailing slash
     assert(norm("https://a.com:8443/x?id=2") == "https://a.com:8443/x?id=2")
+    // '&' as a PATH sub-delim with no query: must NOT be rewritten
+    // into a '?' (the old remove-then-repair orphan rule did)
+    assert(norm("https://ex.com/a&b=2") == "https://ex.com/a&b=2")
+    assert(norm("https://ex.com/a&b?utm_source=1&c=3") == "https://ex.com/a&b?c=3")
+    // only tracking params: query gone entirely, no dangling '?'
+    assert(norm("https://a.com/x?utm_a=1&utm_b=2") == "https://a.com/x")
   }
 
   test("extractUrls / urlCount / urlHost") {

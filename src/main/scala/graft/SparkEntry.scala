@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.geo
 import graft.index.{CellIndex, cells}
-import graft.operators.{AsOfJoin, Boilerplate, Contamination, Dedup, LangModel, Packing, Similarity, SpatialJoins, TextAnalysis, WebText}
+import graft.operators.{AsOfJoin, Boilerplate, Clustering, Contamination, Dedup, LangModel, Packing, Similarity, SpatialJoins, TextAnalysis, WebText}
 import graft.operators.SpatialJoins.Aoi
 import graft.sources.ImageTable
 
@@ -1059,6 +1059,18 @@ object SparkEntry {
       graft.operators.Simplify.douglasPeucker(ev, "user_id", "event_id", "n",
           tolRad = 30000.0 / R)
         .orderBy("user_id", "event_id")
+    }),
+    "q72_dbscan" -> ((s, dir) => {
+      // geodesic DBSCAN at 600 km / minPts 4 — the eps self-join is
+      // the ring-cell distance join, components are min-label
+      // propagation; the oracle replays all-pairs + recursive
+      // reachability, so core/border/noise AND every label must match
+      Clustering.dbscan(
+          custPts(s, dir).select(col("c_custkey"), col("n")),
+          "c_custkey", "n", epsMeters = 600e3, minPts = 4, sphereRadius = R)
+        .select(col("c_custkey"),
+          coalesce(col("cluster"), lit(-1L)).as("cluster"), col("kind"))
+        .orderBy("c_custkey")
     }),
     "q68_url_normalize" -> ((s, dir) => {
       // web-corpus URL plumbing: the corpus carries no URLs, so the
@@ -2161,6 +2173,30 @@ object SparkEntry {
         ptsSql("customer", "c_custkey") +
           s"SELECT k AS c_custkey, aoi_id, round(sd * ${fmt(R)} / 1000.0, 6) AS dist_km " +
           s"FROM ($both) WHERE sd * ${fmt(R)} <= 800000.0 ORDER BY c_custkey, aoi_id"
+      },
+      // DBSCAN: all-pairs eps graph, degree-based cores, recursive
+      // reachability over core-core edges (min label = the engine's
+      // min-label-propagation component), border = min neighboring
+      // core label — deterministic min-id tie rules on both sides
+      "q72_dbscan" -> {
+        val gc = "atan2(sqrt((a.ny*b.nz - a.nz*b.ny)*(a.ny*b.nz - a.nz*b.ny) + " +
+          "(a.nz*b.nx - a.nx*b.nz)*(a.nz*b.nx - a.nx*b.nz) + " +
+          "(a.nx*b.ny - a.ny*b.nx)*(a.nx*b.ny - a.ny*b.nx)), " +
+          "a.nx*b.nx + a.ny*b.ny + a.nz*b.nz)"
+        s"""WITH RECURSIVE keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+           | pts AS (SELECT k, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM keyed),
+           | pairs AS (SELECT a.k AS ka, b.k AS kb FROM pts a JOIN pts b
+           |   ON a.k <> b.k AND $gc * ${fmt(R)} <= 600000.0),
+           | cores AS (SELECT ka AS k FROM pairs GROUP BY ka HAVING count(*) + 1 >= 4),
+           | ce AS (SELECT p.ka, p.kb FROM pairs p JOIN cores x ON p.ka = x.k JOIN cores y ON p.kb = y.k),
+           | reach AS (SELECT k AS node, k AS lab FROM cores
+           |   UNION SELECT e.ka, r.lab FROM ce e JOIN reach r ON r.node = e.kb),
+           | corelbl AS (SELECT node AS k, min(lab) AS cluster FROM reach GROUP BY node),
+           | nbr AS (SELECT p.ka AS k, min(cl.cluster) AS cluster FROM pairs p JOIN corelbl cl ON p.kb = cl.k GROUP BY p.ka)
+           | SELECT c.k AS c_custkey, coalesce(cl.cluster, nbr.cluster, -1) AS cluster,
+           |   CASE WHEN cl.k IS NOT NULL THEN 'core' WHEN nbr.k IS NOT NULL THEN 'border' ELSE 'noise' END AS kind
+           | FROM pts c LEFT JOIN corelbl cl ON cl.k = c.k LEFT JOIN nbr ON nbr.k = c.k
+           | ORDER BY c_custkey""".stripMargin.replace("\n", " ")
       },
       // URL normalization: identical planted text and pattern chain
       // (WebText.normalizeUrlSql keeps the two engines' patterns from

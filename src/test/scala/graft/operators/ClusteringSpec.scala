@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.functions.geo
+import graft.geo.{Ellipsoids, Gade, Vec3}
+
+/** Geodesic DBSCAN vs an independently-written brute-force reference
+  * (all-pairs distances, BFS components, same min-id tie rules).
+  */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference: (id -> (clusterOrNull, kind)). */
+  private def refDbscan(pts: Seq[(Long, Vec3)], epsM: Double,
+                        minPts: Int): Map[Long, (Option[Long], String)] = {
+    val r = Ellipsoids.MeanEarthRadius
+    val nbrs: Map[Long, Seq[Long]] = pts.map { case (i, p) =>
+      i -> pts.collect { case (j, q)
+        if i != j && Gade.greatCircleDistanceRad(p, q) * r <= epsM => j }
+    }.toMap
+    val core = pts.map(_._1).filter(i => nbrs(i).size + 1 >= minPts).toSet
+    // BFS components over core-core edges; label = min core id
+    var label = Map.empty[Long, Long]
+    core.toSeq.sorted.foreach { s =>
+      if (!label.contains(s)) {
+        var seen = Set(s); var frontier = List(s)
+        while (frontier.nonEmpty) {
+          val nxt = frontier.flatMap(n => nbrs(n).filter(core)).filterNot(seen)
+          seen ++= nxt; frontier = nxt
+        }
+        val m = seen.min
+        seen.foreach(n => label += n -> m)
+      }
+    }
+    pts.map { case (i, _) =>
+      if (core(i)) i -> (Some(label(i)), "core")
+      else {
+        val coreNbrLabels = nbrs(i).filter(core).map(label)
+        if (coreNbrLabels.nonEmpty) i -> (Some(coreNbrLabels.min), "border")
+        else i -> (None, "noise")
+      }
+    }.toMap
+  }
+
+  /** Two dense blobs + a bridge point + scattered noise. */
+  private val pts: Seq[(Long, Double, Double)] = {
+    val blobA = (0 until 12).map(i =>
+      (i.toLong, 10.0 + (i % 4) * 0.5, 20.0 + (i / 4) * 0.5))
+    val blobB = (0 until 9).map(i =>
+      (100L + i, -30.0 + (i % 3) * 0.4, 150.0 + (i / 3) * 0.4))
+    val border = Seq((200L, 10.0 + 2.2, 20.0)) // near blob A, low degree
+    val noise = (0 until 15).map(i =>
+      (300L + i, -80.0 + i * 9.7, -170.0 + i * 21.3))
+    blobA ++ blobB ++ border ++ noise
+  }
+
+  test("dbscan equals the brute-force reference across eps/minPts settings") {
+    val df = pts.toDF("id", "lat", "lon")
+      .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+    val vec = pts.map { case (i, la, lo) =>
+      (i, Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))) }
+    for ((epsKm, minPts) <- Seq((120.0, 4), (120.0, 3), (260.0, 5), (60.0, 2))) {
+      val got = Clustering.dbscan(df, "id", "n", epsKm * 1000.0, minPts)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))))
+        .toMap
+      val want = refDbscan(vec, epsKm * 1000.0, minPts)
+      assert(got == want, {
+        val diff = (got.keySet ++ want.keySet)
+          .filter(k => got.get(k) != want.get(k)).take(6)
+        s"eps=$epsKm km minPts=$minPts: first diffs " +
+          diff.map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; ")
+      })
+    }
+  }
+
+  test("degenerate settings: minPts=1 makes everything a core; huge eps one cluster") {
+    val df = pts.toDF("id", "lat", "lon")
+      .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+    val all1 = Clustering.dbscan(df, "id", "n", 1000.0, 1)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(all1.forall(_._2 == "core"))
+    val one = Clustering.dbscan(df, "id", "n", 1.9e7, 2)
+      .select("cluster").distinct().collect()
+    assert(one.length == 1 && one(0).getLong(0) == 0L)
+  }
+}

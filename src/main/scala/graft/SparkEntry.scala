@@ -1072,6 +1072,40 @@ object SparkEntry {
           coalesce(col("cluster"), lit(-1L)).as("cluster"), col("kind"))
         .orderBy("c_custkey")
     }),
+    "q73_idw" -> ((s, dir) => {
+      // IDW field interpolation: estimate the customer-balance field
+      // at each supplier position from customers within 2000 km —
+      // the oracle recomputes every pair brute-force, so the
+      // ring-cell candidate pruning must lose no in-range sample.
+      // est rounded to 2 decimals: sum order differs between engines
+      // and cents-level noise is ~1e-9, so the boundary-straddle
+      // probability is negligible (q24's integer-exact trick does
+      // not apply to a weighted quotient).
+      graft.operators.Raster.idw(
+          suppPts(s, dir).select(col("s_suppkey"), col("s_n")), "s_n",
+          custPts(s, dir).select(col("n"), col("c_acctbal")), "n", "c_acctbal",
+          radiusMeters = 2000e3, power = 2.0, minDistMeters = 1.0,
+          sphereRadius = R)
+        .select(col("s_suppkey"),
+          coalesce(round(col("est"), 2), lit(-999.0)).as("est"),
+          col("n_samples"))
+        .orderBy("s_suppkey")
+    }),
+    "q74_joint_neardups" -> ((s, dir) => {
+      // joint image+caption dedup: fingerprint-hamming candidates
+      // (q45's banded join, exact by pigeonhole) verified by exact
+      // caption trigram Jaccard — a pair must be near on BOTH
+      // modalities. The gate fingerprints the documents corpus with
+      // the md5-basis simhash so DuckDB can replay both predicates.
+      val sigs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHashMd5(col("text")).as("fp"),
+          col("text"))
+      Dedup.jointNearDups(sigs, "doc_id", "fp", "text",
+          maxDist = 3, minJaccard = 0.975, bits = 60, bands = 6)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "q68_url_normalize" -> ((s, dir) => {
       // web-corpus URL plumbing: the corpus carries no URLs, so the
       // gate PLANTS deterministic ones (upper-case host, default
@@ -2198,6 +2232,62 @@ object SparkEntry {
            | FROM pts c LEFT JOIN corelbl cl ON cl.k = c.k LEFT JOIN nbr ON nbr.k = c.k
            | ORDER BY c_custkey""".stripMargin.replace("\n", " ")
       },
+      // IDW: brute-force all-pairs mirror of the ring-cell join +
+      // weighted quotient, identical distance formula and clamp
+      "q73_idw" -> {
+        val gc = "atan2(sqrt((s.ny*q.sz - s.nz*q.sy)*(s.ny*q.sz - s.nz*q.sy) + " +
+          "(s.nz*q.sx - s.nx*q.sz)*(s.nz*q.sx - s.nx*q.sz) + " +
+          "(s.nx*q.sy - s.ny*q.sx)*(s.nx*q.sy - s.ny*q.sx)), " +
+          "s.nx*q.sx + s.ny*q.sy + s.nz*q.sz)"
+        s"""WITH ck AS (SELECT c_custkey AS k, c_acctbal AS v, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+           | c AS (SELECT k, v, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM ck),
+           | sk AS (SELECT s_suppkey AS sk2, ${latSql(suppKeySql)} AS lat, ${lonSql(suppKeySql)} AS lon FROM supplier),
+           | sp AS (SELECT sk2, cos(lat)*cos(lon) AS sx, cos(lat)*sin(lon) AS sy, sin(lat) AS sz FROM sk),
+           | pairs AS (SELECT sk2, v, d FROM (SELECT q.sk2, s.v, $gc * ${fmt(R)} AS d FROM sp q CROSS JOIN c s) WHERE d <= 2000000.0),
+           | agg AS (SELECT sk2, sum(v / pow(greatest(d, 1.0), 2)) / sum(1.0 / pow(greatest(d, 1.0), 2)) AS est,
+           |   count(*) AS n FROM pairs GROUP BY sk2)
+           | SELECT q.sk2 AS s_suppkey, coalesce(round(agg.est, 2), -999.0) AS est,
+           |   coalesce(agg.n, 0) AS n_samples
+           | FROM sp q LEFT JOIN agg ON agg.sk2 = q.sk2 ORDER BY s_suppkey""".stripMargin.replace("\n", " ")
+      },
+      // joint multimodal dedup: q45's fingerprint brute-force mirror
+      // (star + representative pairs) filtered by q52's word-trigram
+      // Jaccard convention — both predicates replayed relationally
+      "q74_joint_neardups" ->
+        """WITH sh AS (SELECT doc_id, substr(lower(text), t.i + 1, 5) AS s
+          |   FROM documents CROSS JOIN generate_series(0, 2047) t(i)
+          |   WHERE t.i <= greatest(length(text) - 5, 0)),
+          | hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+          | votes AS (SELECT doc_id, gb.b AS b,
+          |   sum(CASE WHEN (h >> gb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |   FROM hs CROSS JOIN generate_series(0, 59) gb(b) GROUP BY doc_id, gb.b),
+          | sg AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+          |   FROM votes GROUP BY doc_id),
+          | star AS (SELECT min(doc_id) OVER (PARTITION BY fp) AS rep, doc_id, fp FROM sg),
+          | starpairs AS (SELECT rep AS id_a, doc_id AS id_b, 0 AS hamming
+          |   FROM star WHERE doc_id <> rep),
+          | reps AS (SELECT doc_id, fp FROM star WHERE doc_id = rep),
+          | brute AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |     CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+          |   FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          |   WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+          | pairs0 AS (SELECT id_a, id_b, hamming FROM brute
+          |   UNION ALL SELECT id_a, id_b, hamming FROM starpairs),
+          | words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          | grams AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS g
+          |   FROM (SELECT doc_id, w,
+          |     unnest(generate_series(0, greatest(len(w) - 3, 0))) AS i FROM words)),
+          | gn AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+          | it AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs0 p
+          |   JOIN grams ga ON ga.doc_id = p.id_a
+          |   JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+          |   GROUP BY p.id_a, p.id_b),
+          | jac AS (SELECT p.id_a, p.id_b, p.hamming,
+          |   CAST(coalesce(it.c, 0) AS DOUBLE) / greatest(ga.c + gb.c - coalesce(it.c, 0), 1) AS j
+          |   FROM pairs0 p JOIN gn ga ON ga.doc_id = p.id_a JOIN gn gb ON gb.doc_id = p.id_b
+          |   LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b)
+          | SELECT id_a, id_b, hamming, round(j, 6) AS jaccard FROM jac
+          | WHERE j >= 0.975 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       // URL normalization: identical planted text and pattern chain
       // (WebText.normalizeUrlSql keeps the two engines' patterns from
       // drifting); RE2 replacement syntax (\1) differs from Java's

@@ -527,6 +527,37 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Joint multimodal near-dup pairs over an image+caption corpus:
+    * an emitted pair satisfies BOTH the fingerprint predicate
+    * (perceptual-hash hamming <= maxDist) and the caption predicate
+    * (word n-gram Jaccard >= minJaccard).
+    *
+    * Candidates come from the banded [[hammingNearDups]] join —
+    * exact for the hamming predicate by pigeonhole — so the Jaccard
+    * verify only touches fingerprint-near pairs; captions never
+    * enter a shuffle until the (small) candidate set is known.
+    * Identical-fingerprint floods keep the star encoding of
+    * [[hammingNearDups]]: the Jaccard verify applies per EMITTED
+    * edge (rep <-> member), not to the implied member <-> member
+    * closure.
+    */
+  def jointNearDups(df: DataFrame, idCol: String, fpCol: String,
+                    textCol: String, maxDist: Int, minJaccard: Double,
+                    n: Int = 3, bits: Int = 64, bands: Int = 0,
+                    maxBucket: Int = 4096): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0,1] (got $minJaccard)")
+    val pairs = hammingNearDups(df.select(col(idCol), col(fpCol)),
+      idCol, fpCol, maxDist, bits, bands, maxBucket)
+    val txt = df.select(col(idCol), col(textCol))
+    pairs
+      .join(txt.toDF("id_a", "__ta"), "id_a")
+      .join(txt.toDF("id_b", "__tb"), "id_b")
+      .withColumn("jaccard", ngramJaccardFast(col("__ta"), col("__tb"), n))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("jaccard"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns
     * (exact, for verification / small candidate sets).
     */

@@ -75,4 +75,43 @@ object Raster {
       .withColumn("corner_lon_deg", transform(sequence(lit(0), lit(3)),
         i => degrees(atan2(cy(i), cx(i)))))
   }
+
+  /** Inverse-distance-weighted interpolation of `valueCol` from
+    * sample points onto query points: for each query q,
+    * `est = sum(v_s / d^p) / sum(1 / d^p)` over samples within
+    * `radiusMeters` great-circle distance, with d clamped below by
+    * `minDistMeters` (an exact-hit sample dominates at weight
+    * 1/minDist^p instead of dividing by zero). Queries with no
+    * sample in range emit `n_samples = 0` and a null estimate.
+    *
+    * Scale shape: one ring-cell [[SpatialJoins.distanceJoin]]
+    * (queries x samples confined to cells of the radius, never all
+    * pairs) then a single per-query aggregation — partial aggregates
+    * combine map-side, so the shuffle carries two doubles per query,
+    * not the candidate pairs. Output: query columns + `est` +
+    * `n_samples`.
+    */
+  def idw(queries: DataFrame, queryNvec: String,
+          samples: DataFrame, sampleNvec: String, valueCol: String,
+          radiusMeters: Double, power: Double = 2.0,
+          minDistMeters: Double = 1.0,
+          sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius,
+          estCol: String = "est"): DataFrame = {
+    require(radiusMeters > 0.0, s"radius must be > 0 (got $radiusMeters)")
+    require(minDistMeters > 0.0, s"minDist must be > 0 (got $minDistMeters)")
+    val qCols = queries.columns.map(col).toSeq
+    val joined = SpatialJoins.distanceJoin(
+        queries, samples.select(col(sampleNvec), col(valueCol).as("__v")),
+        queryNvec, sampleNvec, radiusMeters, sphereRadius)
+      .withColumn("__w",
+        lit(1.0) / pow(greatest(col("dist_m"), lit(minDistMeters)), power))
+    joined.groupBy(qCols: _*)
+      .agg(sum(col("__w") * col("__v")).as("__num"),
+        sum(col("__w")).as("__den"),
+        count(lit(1)).as("n_samples"))
+      .join(queries, queries.columns.toSeq, "right")
+      .select(qCols ++ Seq(
+        (col("__num") / col("__den")).as(estCol),
+        coalesce(col("n_samples"), lit(0L)).as("n_samples")): _*)
+  }
 }

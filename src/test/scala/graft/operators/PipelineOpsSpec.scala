@@ -219,6 +219,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 11L, 12L))
   }
 
+  test("jointNearDups requires BOTH fingerprint and caption nearness") {
+    val rows = Seq(
+      // fp-near AND caption-near -> emitted
+      (1L, 0x0FL, "the quick brown fox jumps over the lazy dog"),
+      (2L, 0x0EL, "the quick brown fox jumps over the lazy cat"),
+      // fp-near but caption-far -> rejected by the jaccard verify
+      (3L, 0xF0L, "completely different words about sailing ships"),
+      (4L, 0xF1L, "unrelated sentence concerning mountain weather patterns"),
+      // caption-identical but fp-far -> never a candidate
+      (5L, 0x0FL ^ -1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "fp", "cap")
+    val got = Dedup.jointNearDups(rows, "id", "fp", "cap",
+        maxDist = 3, minJaccard = 0.5, bits = 64, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
   test("identical-fingerprint flood stays linear in hamming near-dup join") {
     val flood = spark.range(3000)
       .select(col("id"), lit(0x1234L).as("fp"))

@@ -36,6 +36,57 @@ class RasterSpec extends AnyFunSuite {
     }
   }
 
+  test("idw equals brute force; zero-sample queries null; exact hits clamped") {
+    val samples = points.limit(400).select(col("id"), col("n").as("sn"), col("v"))
+    // queries: 30 scattered points, one EXACTLY on a sample (id 7),
+    // one in the south-pacific void beyond any sample's 1500 km
+    val qBase = (0 until 30).map { i =>
+      (1000L + i, -60.0 + i * 4.1, -170.0 + i * 11.3)
+    } :+ ((2000L, -48.8, -123.4))
+    val qdf = qBase.toDF("qid", "qlat", "qlon")
+      .select(col("qid"), geo.nvecDeg(col("qlat"), col("qlon")).as("qn"))
+      .union(points.filter(col("id") === 7)
+        .select(lit(3000L).as("qid"), col("n").as("qn")))
+    val radius = 1500e3
+    val got = Raster.idw(qdf, "qn", samples, "sn", "v", radius,
+        power = 2.0, minDistMeters = 1.0)
+      .select("qid", "est", "n_samples")
+      .collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))))
+      .toMap
+    // brute reference
+    val sRows = samples.select("sn", "v").collect().map { r =>
+      val s = r.getStruct(0)
+      (graft.geo.Vec3(s.getDouble(0), s.getDouble(1), s.getDouble(2)), r.getDouble(1))
+    }
+    val qRows = qdf.select("qid", "qn").collect().map { r =>
+      val s = r.getStruct(1)
+      (r.getLong(0), graft.geo.Vec3(s.getDouble(0), s.getDouble(1), s.getDouble(2)))
+    }
+    val R = graft.geo.Ellipsoids.MeanEarthRadius
+    qRows.foreach { case (qid, q) =>
+      val inRange = sRows
+        .map { case (s, v) => (graft.geo.Gade.greatCircleDistanceRad(q, s) * R, v) }
+        .filter(_._1 <= radius)
+      assert(got(qid)._2 == inRange.length, s"query $qid sample count")
+      if (inRange.isEmpty) assert(got(qid)._1.isEmpty, s"query $qid must be null")
+      else {
+        val num = inRange.map { case (d, v) => v / math.pow(math.max(d, 1.0), 2) }.sum
+        val den = inRange.map { case (d, _) => 1.0 / math.pow(math.max(d, 1.0), 2) }.sum
+        assert(math.abs(got(qid)._1.get - num / den) < 1e-9,
+          s"query $qid est ${got(qid)._1.get} vs ${num / den}")
+      }
+    }
+    // the exact-hit query must be dominated by its coincident sample
+    val hitVal = points.filter(col("id") === 7).select("v").collect()(0).getDouble(0)
+    assert(math.abs(got(3000L)._1.get - hitVal) < 1e-3)
+    // guaranteed zero-sample case: 10 m radius around a non-sample point
+    val none = Raster.idw(qdf.filter(col("qid") === 2000L), "qn",
+        samples, "sn", "v", 10.0).select("qid", "est", "n_samples").collect()(0)
+    assert(none.isNullAt(1) && none.getLong(2) == 0L)
+  }
+
   test("vectorized cell polygons contain their centers and their points") {
     val raster = Raster.rasterize(points, "n", 6, Seq(count(lit(1)).as("cnt")))
     val vec = Raster.vectorize(raster)

@@ -48,12 +48,20 @@ object Clustering {
     // exchange: the self-join is the expensive subtree and three
     // branches consume it — without the explicit repartition each
     // branch would re-run the spatial join.
+    // PERSISTED, not just exchange-staged: the component resolution
+    // below runs its own actions (persist + count + label rounds),
+    // so the final output plan would otherwise re-execute the
+    // spatial join once per consuming action. The pair list is two
+    // ids per eps edge — the neighbor graph, orders of magnitude
+    // smaller than the candidate set — and spills to disk if not.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = SpatialJoins
       .distanceJoin(left, right, "__an", "__bn", epsMeters, sphereRadius,
         skewSalt = skewSalt)
       .filter(col("__a") =!= col("__b"))
       .select("__a", "__b")
       .repartition(col("__a"))
+      .persist(lvl)
     // minPts <= 1: every point (even isolated ones, which have no
     // pair rows and so never reach the degree frame) is a core.
     // For minPts >= 2 a core necessarily has >= 1 neighbor, so the
@@ -63,29 +71,35 @@ object Clustering {
       else pairs.groupBy("__a").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") + 1 >= minPts)
         .select(col("__a").as("__core"))
-    val coreEdges = pairs
-      .join(cores.withColumnRenamed("__core", "__a"), "__a")
-      .join(cores.withColumnRenamed("__core", "__b"), "__b")
-      .filter(col("__a") < col("__b"))
-    val comp = Dedup.connectedComponents(coreEdges, "__a", "__b")
-    val coreLabel = cores
-      .join(comp.withColumnRenamed("node", "__core"), Seq("__core"), "left")
-      .select(col("__core"),
-        coalesce(col("component"), col("__core")).as("__cluster"))
-    // border candidates: any point with a core neighbor takes the
-    // min neighboring label; for core points the own-component label
-    // below wins instead
-    val nbrLabel = pairs
-      .join(coreLabel.select(col("__core").as("__b"),
-        col("__cluster").as("__bc")), "__b")
-      .groupBy("__a").agg(min("__bc").as("__nbrCluster"))
-    ids.select(col(idCol))
-      .join(coreLabel.withColumnRenamed("__core", idCol), Seq(idCol), "left")
-      .join(nbrLabel.withColumnRenamed("__a", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__cluster"), col("__nbrCluster")).as("cluster"),
-        when(col("__cluster").isNotNull, "core")
-          .when(col("__nbrCluster").isNotNull, "border")
-          .otherwise("noise").as("kind"))
+    try {
+      val coreEdges = pairs
+        .join(cores.withColumnRenamed("__core", "__a"), "__a")
+        .join(cores.withColumnRenamed("__core", "__b"), "__b")
+        .filter(col("__a") < col("__b"))
+      val comp = Dedup.connectedComponents(coreEdges, "__a", "__b")
+      val coreLabel = cores
+        .join(comp.withColumnRenamed("node", "__core"), Seq("__core"), "left")
+        .select(col("__core"),
+          coalesce(col("component"), col("__core")).as("__cluster"))
+      // border candidates: any point with a core neighbor takes the
+      // min neighboring label; for core points the own-component
+      // label below wins instead
+      val nbrLabel = pairs
+        .join(coreLabel.select(col("__core").as("__b"),
+          col("__cluster").as("__bc")), "__b")
+        .groupBy("__a").agg(min("__bc").as("__nbrCluster"))
+      val out = ids.select(col(idCol))
+        .join(coreLabel.withColumnRenamed("__core", idCol), Seq(idCol), "left")
+        .join(nbrLabel.withColumnRenamed("__a", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__cluster"), col("__nbrCluster")).as("cluster"),
+          when(col("__cluster").isNotNull, "core")
+            .when(col("__nbrCluster").isNotNull, "border")
+            .otherwise("noise").as("kind"))
+        .persist(lvl)
+      out.count() // materialize before the finally releases the pairs
+      comp.unpersist(blocking = false)
+      out
+    } finally pairs.unpersist(blocking = false)
   }
 }

@@ -71,9 +71,21 @@ object SpatialJoins {
     val angle = radiusMeters / sphereRadius
     require(radiusMeters >= 0 && angle <= math.Pi,
       s"radiusMeters=$radiusMeters out of range for sphereRadius=$sphereRadius")
-    val plan = Seq(1, 2).iterator
-      .map(k => (CellIndex.levelForRadiusSafe(angle, k), k))
-      .find(_._1 >= 0)
+    // Among the provably-covering (level, ring k) plans, take the one
+    // with the smallest BLOCK FRACTION (2k+1)^2 / 4^level — that is
+    // the expected candidate volume per (probe, build) pair under
+    // any roughly uniform density. Wider rings reach FINER levels
+    // (e.g. 600 km: k=1 only proves level 2 -> 9/16 of a face per
+    // probe, while k=3 proves level 4 -> 49/256, a ~3x candidate
+    // reduction measured at sf0.1); ties break toward smaller k
+    // (fewer exploded probe rows).
+    val plan = (1 to 4).flatMap { k =>
+        val l = CellIndex.levelForRadiusSafe(angle, k)
+        if (l >= 0) Some((l, k)) else None
+      }
+      .sortBy { case (l, k) =>
+        ((2.0 * k + 1) * (2.0 * k + 1) / math.pow(4.0, l), k) }
+      .headOption
     if (plan.isEmpty) {
       // beyond any provable ring block (~0.26 rad): per-row quadtree
       // disc covers at a coarse level keep pruning — every right row

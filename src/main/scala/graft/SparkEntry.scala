@@ -105,6 +105,54 @@ object SparkEntry {
   private val BoxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
   private val BoxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
 
+  private val RouteA = Seq((0.0, 0.0), (10.0, 10.0), (10.0, 25.0), (20.0, 40.0))
+  private val RouteB = Seq((-30.0, -60.0), (-10.0, -55.0), (5.0, -40.0))
+
+  /** SQL mirror of CellKernels.snapToPolyline for a LITERAL route:
+    * per-segment rows (k, route_id, seg, d, fx, fy, fz) over the
+    * `pts` CTE — distance is segDistRad's formula verbatim, the foot
+    * is the normalized in-arc perpendicular or the nearer endpoint
+    * (same strict-< endpoint pick as the kernel). q75 takes the
+    * global argmin by (d, route_id, seg) — the engine's `least`
+    * struct order.
+    */
+  private def snapRouteSql(id: String, vs: Seq[(Double, Double)]): String = {
+    import graft.geo.{Vec3, VecMath}
+    val vn = vs.map { case (la, lo) =>
+      graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+    def segSql(i: Int): String = {
+      val a = vn(i); val b = vn(i + 1)
+      val c = VecMath.unit(a cross b)
+      val cd = s"${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz"
+      val sub = s"SELECT k, nx, ny, nz, ($cd) AS cd, " +
+        s"nx - ($cd)*${fmt(c.x)} AS gx, ny - ($cd)*${fmt(c.y)} AS gy, " +
+        s"nz - ($cd)*${fmt(c.z)} AS gz FROM pts"
+      val winA = s"(${fmt(a.y)}*gz - ${fmt(a.z)}*gy)*${fmt(c.x)} + " +
+        s"(${fmt(a.z)}*gx - ${fmt(a.x)}*gz)*${fmt(c.y)} + " +
+        s"(${fmt(a.x)}*gy - ${fmt(a.y)}*gx)*${fmt(c.z)} >= 0"
+      val winB = s"(gy*${fmt(b.z)} - gz*${fmt(b.y)})*${fmt(c.x)} + " +
+        s"(gz*${fmt(b.x)} - gx*${fmt(b.z)})*${fmt(c.y)} + " +
+        s"(gx*${fmt(b.y)} - gy*${fmt(b.x)})*${fmt(c.z)} >= 0"
+      def ep(v: Vec3) =
+        s"atan2(sqrt((ny*${fmt(v.z)} - nz*${fmt(v.y)})*(ny*${fmt(v.z)} - nz*${fmt(v.y)}) + " +
+          s"(nz*${fmt(v.x)} - nx*${fmt(v.z)})*(nz*${fmt(v.x)} - nx*${fmt(v.z)}) + " +
+          s"(nx*${fmt(v.y)} - ny*${fmt(v.x)})*(nx*${fmt(v.y)} - ny*${fmt(v.x)})), " +
+          s"nx*${fmt(v.x)} + ny*${fmt(v.y)} + nz*${fmt(v.z)})"
+      val gn = "sqrt(gx*gx + gy*gy + gz*gz)"
+      val win = s"($winA) AND ($winB)"
+      def foot(ax: String, gxc: String, aLit: Double, bLit: Double) =
+        s"CASE WHEN $win THEN $gxc / $gn " +
+          s"WHEN ${ep(b)} < ${ep(a)} THEN ${fmt(bLit)} ELSE ${fmt(aLit)} END AS $ax"
+      s"SELECT k, '$id' AS route_id, $i AS seg, " +
+        s"CASE WHEN $win THEN atan2(abs(cd), $gn) ELSE least(${ep(a)}, ${ep(b)}) END AS d, " +
+        foot("fx", "gx", a.x, b.x) + ", " +
+        foot("fy", "gy", a.y, b.y) + ", " +
+        foot("fz", "gz", a.z, b.z) +
+        s" FROM ($sub)"
+    }
+    (0 until vn.length - 1).map(i => s"(${segSql(i)})").mkString(" UNION ALL ")
+  }
+
   /** Engine-side twin of `Karney.inverseSqlMirror`'s general-position
     * filter: selects pairs where the inverse solver provably takes the
     * Newton + hybrid path (not meridional / equatorial / short /
@@ -1105,6 +1153,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+    "q75_snap_route" -> ((s, dir) => {
+      // map-matching-lite: snap each customer to the nearest segment
+      // across two literal routes — one kernel call per (point,
+      // route) in a single map-only projection, winner by `least`
+      // over (dist, route) structs; the oracle replays every segment
+      // and takes the same (d, route, seg) argmin
+      val routes = Seq(SpatialJoins.Route("alpha", RouteA),
+        SpatialJoins.Route("beta", RouteB))
+      SpatialJoins.snapToRoutes(
+          custPts(s, dir).select(col("c_custkey"), col("n")), "n", routes, R)
+        .select(col("c_custkey"), col("route_id"), col("seg"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"),
+          round(geo.latDeg(col("snap_n")), 6).as("snap_lat"),
+          round(geo.lonDeg(col("snap_n")), 6).as("snap_lon"))
+        .orderBy("c_custkey")
     }),
     "q68_url_normalize" -> ((s, dir) => {
       // web-corpus URL plumbing: the corpus carries no URLs, so the
@@ -2288,6 +2352,19 @@ object SparkEntry {
           |   LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b)
           | SELECT id_a, id_b, hamming, round(j, 6) AS jaccard FROM jac
           | WHERE j >= 0.975 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      // snap-to-route: every (route, segment) distance + foot
+      // replayed relationally, argmin by (d, route, seg) = the
+      // engine's least-struct order
+      "q75_snap_route" -> {
+        val all = s"(${snapRouteSql("alpha", RouteA)}) UNION ALL (${snapRouteSql("beta", RouteB)})"
+        ptsSql("customer", "c_custkey") +
+          s""", best AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY d, route_id, seg) AS rn
+             |   FROM ($all))
+             | SELECT k AS c_custkey, route_id, seg, round(d * ${fmt(R)} / 1000.0, 6) AS dist_km,
+             |   round(degrees(atan2(fz, sqrt(fx*fx + fy*fy))), 6) AS snap_lat,
+             |   round(degrees(atan2(fy, fx)), 6) AS snap_lon
+             | FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin.replace("\n", " ")
+      },
       // URL normalization: identical planted text and pattern chain
       // (WebText.normalizeUrlSql keeps the two engines' patterns from
       // drifting); RE2 replacement syntax (\1) differs from Java's

@@ -145,6 +145,67 @@ object CellKernels {
     if (pointInPolygon(px, py, pz, verts)) -best else best
   }
 
+  /** Snap a point to an OPEN polyline (vertices flattened
+    * [x0,y0,z0,...], >= 2 vertices, n-1 segments): returns
+    * (seg: Int, dist: Double [rad], fx, fy, fz) for the nearest
+    * segment — first segment wins distance ties (strict <). The
+    * distance is [[segDistRad]]'s value verbatim (the SQL mirrors
+    * replay it); the foot is the clamped closest point on that
+    * segment: unit(p - (p.c)c) when the perpendicular foot lies on
+    * the arc (same triple-product tests as segDistRad), else the
+    * nearer endpoint (or `a` for a degenerate edge).
+    */
+  def snapToPolyline(px: Double, py: Double, pz: Double,
+                     verts: ArrayData): InternalRow = {
+    val vs = verts.toDoubleArray()
+    if (vs.length % 3 != 0 || vs.length < 6)
+      throw new IllegalArgumentException(
+        s"polyline vertex array length ${vs.length}: flattened " +
+          "[x0,y0,z0,x1,...] with >= 2 vertices expected")
+    val n = vs.length / 3
+    var best = Double.MaxValue
+    var bi = -1
+    var i = 0
+    while (i < n - 1) {
+      val d = segDistRad(px, py, pz,
+        vs(3 * i), vs(3 * i + 1), vs(3 * i + 2),
+        vs(3 * i + 3), vs(3 * i + 4), vs(3 * i + 5))
+      if (d < best) { best = d; bi = i }
+      i += 1
+    }
+    // foot of the winning segment (the foot-branch of segDistRad)
+    val ax = vs(3 * bi); val ay = vs(3 * bi + 1); val az = vs(3 * bi + 2)
+    val bx = vs(3 * bi + 3); val by = vs(3 * bi + 4); val bz = vs(3 * bi + 5)
+    val ux = ay * bz - az * by
+    val uy = az * bx - ax * bz
+    val uz = ax * by - ay * bx
+    val un = math.sqrt(ux * ux + uy * uy + uz * uz)
+    var fx = ax; var fy = ay; var fz = az
+    if (un >= 1e-15) {
+      val cx = ux / un; val cy = uy / un; val cz = uz / un
+      val cd = cx * px + cy * py + cz * pz
+      val gx = px - cd * cx; val gy = py - cd * cy; val gz = pz - cd * cz
+      val winA = (ay * gz - az * gy) * cx + (az * gx - ax * gz) * cy +
+        (ax * gy - ay * gx) * cz >= 0
+      val winB = (gy * bz - gz * by) * cx + (gz * bx - gx * bz) * cy +
+        (gx * by - gy * bx) * cz >= 0
+      if (winA && winB) {
+        val gn = math.sqrt(gx * gx + gy * gy + gz * gz)
+        fx = gx / gn; fy = gy / gn; fz = gz / gn
+      } else {
+        def ang(vx: Double, vy: Double, vz: Double): Double = {
+          val kx = py * vz - pz * vy
+          val ky = pz * vx - px * vz
+          val kz = px * vy - py * vx
+          math.atan2(math.sqrt(kx * kx + ky * ky + kz * kz),
+            px * vx + py * vy + pz * vz)
+        }
+        if (ang(bx, by, bz) < ang(ax, ay, az)) { fx = bx; fy = by; fz = bz }
+      }
+    }
+    new GenericInternalRow(Array[Any](bi, best, fx, fy, fz))
+  }
+
   /** Great-circle distance [rad] from p to the minor arc a->b:
     * foot-on-arc test via signed triple products against the edge's
     * great-circle normal, endpoint fallback otherwise. A degenerate

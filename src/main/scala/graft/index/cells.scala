@@ -124,6 +124,22 @@ object cells {
       Seq(geo.vx(n), geo.vy(n), geo.vz(n), verts),
       Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
 
+  /** Nearest-segment snap onto an OPEN polyline (flat vertex array):
+    * struct (seg int, dist double [rad], fx, fy, fz) — see
+    * CellKernels.snapToPolyline.
+    */
+  def snapToPolyline(n: Column, verts: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass,
+      StructType(Seq(
+        StructField("seg", IntegerType, nullable = false),
+        StructField("dist", DoubleType, nullable = false),
+        StructField("fx", DoubleType, nullable = false),
+        StructField("fy", DoubleType, nullable = false),
+        StructField("fz", DoubleType, nullable = false))),
+      "snapToPolyline",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), verts),
+      Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
+
   /** Flat n-vector vertex array literal from (latDeg, lonDeg) pairs. */
   def polygonLiteral(latLonDeg: Seq[(Double, Double)]): Column = {
     val flat = latLonDeg.flatMap { case (la, lo) =>

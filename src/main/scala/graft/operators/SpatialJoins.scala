@@ -534,6 +534,53 @@ object SpatialJoins {
       .drop("__cell", "__verts")
   }
 
+  /** An open polyline for snapping: (latDeg, lonDeg) vertices in
+    * order. The map-matching primitive's "road".
+    */
+  case class Route(id: String, verts: Seq[(Double, Double)]) {
+    require(verts.length >= 2, s"route '$id' needs >= 2 vertices")
+    def flatVerts: Seq[Double] = verts.flatMap { case (la, lo) =>
+      val n = graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Seq(n.x, n.y, n.z)
+    }
+  }
+
+  /** Snap every point to the nearest segment over a literal set of
+    * routes (map-matching-lite): output = point columns + `route_id`
+    * + `seg` (0-based segment ordinal) + `dist_m` + `snap_n` (the
+    * clamped closest point on that segment). Ties break to the
+    * smaller (route id, segment ordinal).
+    *
+    * Scale shape: MAP-ONLY — one JITed [[cells.snapToPolyline]]
+    * kernel call per (point, route) inside a single projection, with
+    * the winner chosen by `least` over (dist, route) structs; no
+    * shuffle, no window, no join. Routes are plan literals like the
+    * AOI joins — for route sets too large to inline, cell-index the
+    * route segments and equi-join instead.
+    */
+  def snapToRoutes(points: DataFrame, pointNvec: String,
+                   routes: Seq[Route],
+                   radius: Double = MeanEarthRadius): DataFrame = {
+    require(routes.nonEmpty)
+    require(routes.map(_.id).distinct.length == routes.length,
+      "route ids must be unique")
+    val cands = routes.sortBy(_.id).map { r =>
+      val s = cells.snapToPolyline(col(pointNvec),
+        array(r.flatVerts.map(lit): _*))
+      struct(s.getField("dist").as("dist"), lit(r.id).as("route_id"),
+        s.getField("seg").as("seg"), s.getField("fx").as("fx"),
+        s.getField("fy").as("fy"), s.getField("fz").as("fz"))
+    }
+    val withBest = points.withColumn("__best",
+      if (cands.length == 1) cands.head else least(cands: _*))
+    withBest.select(points.columns.map(col) ++ Seq(
+      col("__best.route_id").as("route_id"),
+      col("__best.seg").as("seg"),
+      (col("__best.dist") * lit(radius)).as("dist_m"),
+      geo.vec(col("__best.fx"), col("__best.fy"), col("__best.fz"))
+        .as("snap_n")): _*)
+  }
+
   /** Signed great-circle distance from every point to each AOI's
     * BOUNDARY: negative inside the polygon, positive outside (the
     * buffer/erosion primitive — `dist_m <= b` selects the polygon

@@ -125,6 +125,56 @@ class BoundaryDistSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("snapToRoutes: nearest route/segment matches brute sampling, foot consistent") {
+    import graft.operators.SpatialJoins.Route
+    val r1 = Route("alpha", Seq((0.0, 0.0), (10.0, 10.0), (10.0, 25.0), (20.0, 40.0)))
+    val r2 = Route("beta", Seq((-30.0, -60.0), (-10.0, -55.0), (5.0, -40.0)))
+    val pts = (0 until 120).map { i =>
+      (i.toLong, -40.0 + (i * 37 % 800) * 0.1, -80.0 + (i * 53 % 1300) * 0.1)
+    }
+    val df = pts.toDF("id", "lat", "lon")
+      .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+    val out = SpatialJoins.snapToRoutes(df, "n", Seq(r1, r2), radius = 1.0)
+      .select("id", "route_id", "seg", "dist_m", "snap_n").collect()
+    val routes = Map("alpha" -> r1, "beta" -> r2)
+    def vertsN(r: Route) = r.verts.map { case (la, lo) =>
+      Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+    // brute: dense slerp sampling along every segment of every route
+    def bruteNearest(p: Vec3): (String, Int, Double) =
+      routes.toSeq.sortBy(_._1).flatMap { case (id, r) =>
+        val vs = vertsN(r)
+        (0 until vs.length - 1).map { s =>
+          val a = vs(s); val b = vs(s + 1)
+          val w = Gade.greatCircleDistanceRad(a, b)
+          val d = (0 to 4000).map { t =>
+            val f = t / 4000.0
+            val q = VecMath.unit(a * (math.sin((1 - f) * w) / math.sin(w)) +
+              b * (math.sin(f * w) / math.sin(w)))
+            Gade.greatCircleDistanceRad(p, q)
+          }.min
+          (id, s, d)
+        }
+      }.minBy(t => (t._3, t._1, t._2))
+    out.foreach { row =>
+      val id = row.getLong(0)
+      val p = {
+        val (_, la, lo) = pts(id.toInt)
+        Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      }
+      val (bid, bseg, bdist) = bruteNearest(p)
+      assert(row.getString(1) == bid && row.getInt(2) == bseg,
+        s"point $id: got (${row.getString(1)},${row.getInt(2)}) want ($bid,$bseg)")
+      // 4000-sample slerp resolution bounds the brute error ~2e-7
+      assert(math.abs(row.getDouble(3) - bdist) < 1e-6,
+        s"point $id: dist ${row.getDouble(3)} vs brute $bdist")
+      // foot consistency: gc(p, snap) == dist and snap is unit
+      val s = row.getStruct(4)
+      val f = Vec3(s.getDouble(0), s.getDouble(1), s.getDouble(2))
+      assert(math.abs(math.sqrt(f dot f) - 1.0) < 1e-12)
+      assert(math.abs(Gade.greatCircleDistanceRad(p, f) - row.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("Column segmentDistanceRad agrees with the kernel on single edges") {
     val a = Gade.latLonToNvec(math.toRadians(-10.0), math.toRadians(-20.0))
     val b = Gade.latLonToNvec(math.toRadians(-10.0), math.toRadians(20.0))

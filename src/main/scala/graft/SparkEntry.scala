@@ -980,6 +980,30 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("hausdorff_m"), 6).as("hausdorff_m"))
         .orderBy("a")
     }),
+    "q76_track_frechet" -> ((s, dir) => {
+      // discrete Frechet for the same pair list as q60 — the
+      // order-aware track distance. No SQL oracle: the coupled DP
+      // has a within-row prefix dependency recursive CTEs cannot
+      // express; rows-only gate, exactness evidence is the
+      // independent-recursion + dominance specs
+      // (TrajectoryRetrievalSpec).
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
+          (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("lon", lonRad(col("user_id") * 13 + 1) * 0.97 +
+          (((col("event_id") * 40503L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("nv", geo.nvec(col("lat"), col("lon")))
+      val users = ev.select("user_id").distinct()
+      val pairs = users.filter(col("user_id") % 3 === 0)
+        .select(col("user_id").as("a"))
+        .withColumn("b", col("a") + 1)
+        .join(users.select(col("user_id").as("b")), "b")
+        .select("a", "b")
+      graft.operators.TrajectoryDist.frechet(ev, "user_id", "event_id", "nv",
+          pairs, "a", "b")
+        .select(col("a"), col("b"), round(col("frechet_m"), 6).as("frechet_m"))
+        .orderBy("a")
+    }),
     "q61_bm25" -> ((s, dir) => {
       // Okapi BM25 lexical scoring of the document corpus against a
       // fixed 3-term query: tf/df/length normalization all mirrored

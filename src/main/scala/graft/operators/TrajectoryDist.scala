@@ -61,4 +61,112 @@ object TrajectoryDist {
       .select(col(aCol), col(bCol),
         greatest(col("__ha"), col("__hb")).as("hausdorff_m"))
   }
+
+  private val ptsType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ord",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+    containsNull = false)
+
+  /** Discrete Frechet distance for explicit track pairs — the
+    * ORDER-AWARE companion of [[hausdorff]] (two tracks tracing the
+    * same path in opposite directions are Hausdorff-close but
+    * Frechet-far). The coupled min-max recursion is inherently
+    * sequential, so each pair is ONE JITed kernel call over the two
+    * ord-sorted point arrays (O(|A|·|B|) time, O(|B|) memory —
+    * upstream sessionization bounds track length by contract); the
+    * pair list is the unit of parallelism. No SQL oracle exists (the
+    * DP row has a within-row prefix dependency recursive CTEs cannot
+    * express); correctness evidence is the independent recursive
+    * reference + the Frechet >= Hausdorff dominance property in
+    * TrajectoryRetrievalSpec.
+    *
+    * @return (aCol, bCol, frechet_m)
+    */
+  def frechet(points: DataFrame, trackCol: String, pointCol: String,
+              nvecCol: String,
+              pairs: DataFrame, aCol: String, bCol: String,
+              sphereRadius: Double = MeanEarthRadius): DataFrame = {
+    val kernelsClass = Class.forName("graft.operators.TrajectoryKernels")
+    val tr = points
+      .filter(col(pointCol).isNotNull && col(nvecCol).isNotNull)
+      .groupBy(trackCol)
+      .agg(sort_array(collect_list(struct(
+        col(pointCol).cast("long").as("ord"),
+        geo.vx(col(nvecCol)).as("x"),
+        geo.vy(col(nvecCol)).as("y"),
+        geo.vz(col(nvecCol)).as("z")))).as("__pts"))
+    pairs.select(aCol, bCol)
+      .join(tr.select(col(trackCol).as(aCol), col("__pts").as("__pa")), aCol)
+      .join(tr.select(col(trackCol).as(bCol), col("__pts").as("__pb")), bCol)
+      .select(col(aCol), col(bCol),
+        (org.apache.spark.sql.GraftSqlBridge.staticInvoke(kernelsClass,
+          org.apache.spark.sql.types.DoubleType, "frechet",
+          Seq(col("__pa"), col("__pb")), Seq(ptsType, ptsType))
+          * lit(sphereRadius)).as("frechet_m"))
+  }
+}
+
+/** JIT-compiled trajectory kernels (StaticInvoke targets). */
+object TrajectoryKernels {
+
+  /** Discrete Frechet distance [rad] between two ord-sorted
+    * (ord, x, y, z) arrays: rolling-row DP of
+    * dp(i,j) = max(d(i,j), min(dp(i-1,j), dp(i-1,j-1), dp(i,j-1))).
+    */
+  def frechet(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0)
+      throw new IllegalArgumentException("frechet needs non-empty tracks")
+    val ax = new Array[Double](n); val ay = new Array[Double](n)
+    val az = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val e = a.getStruct(i, 4)
+      ax(i) = e.getDouble(1); ay(i) = e.getDouble(2); az(i) = e.getDouble(3)
+      i += 1
+    }
+    val bx = new Array[Double](m); val by = new Array[Double](m)
+    val bz = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val e = b.getStruct(j, 4)
+      bx(j) = e.getDouble(1); by(j) = e.getDouble(2); bz(j) = e.getDouble(3)
+      j += 1
+    }
+    def d(i: Int, j: Int): Double = {
+      val cx = ay(i) * bz(j) - az(i) * by(j)
+      val cy = az(i) * bx(j) - ax(i) * bz(j)
+      val cz = ax(i) * by(j) - ay(i) * bx(j)
+      math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
+        ax(i) * bx(j) + ay(i) * by(j) + az(i) * bz(j))
+    }
+    val prev = new Array[Double](m)
+    val cur = new Array[Double](m)
+    j = 0
+    while (j < m) {
+      prev(j) = math.max(if (j == 0) 0.0 else prev(j - 1), d(0, j))
+      j += 1
+    }
+    i = 1
+    while (i < n) {
+      cur(0) = math.max(prev(0), d(i, 0))
+      j = 1
+      while (j < m) {
+        val reach = math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        cur(j) = math.max(reach, d(i, j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
 }

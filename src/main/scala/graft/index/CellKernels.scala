@@ -163,9 +163,13 @@ object CellKernels {
         s"polyline vertex array length ${vs.length}: flattened " +
           "[x0,y0,z0,x1,...] with >= 2 vertices expected")
     val n = vs.length / 3
-    var best = Double.MaxValue
-    var bi = -1
-    var i = 0
+    // seed from segment 0 so a NaN point (all distances NaN) still
+    // yields a well-formed row (seg 0, NaN dist, vertex-0 foot) that
+    // downstream filters drop — never an out-of-bounds foot lookup
+    var best = segDistRad(px, py, pz,
+      vs(0), vs(1), vs(2), vs(3), vs(4), vs(5))
+    var bi = 0
+    var i = 1
     while (i < n - 1) {
       val d = segDistRad(px, py, pz,
         vs(3 * i), vs(3 * i + 1), vs(3 * i + 2),

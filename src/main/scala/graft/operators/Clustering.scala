@@ -33,7 +33,10 @@ object Clustering {
   /** @param skewSalt forwarded to the eps self-join ([[SpatialJoins
     *   .distanceJoin]]) for dense-hot-cell inputs.
     *  @return one row per input point: (idCol, cluster, kind) with
-    *   kind in core/border/noise and cluster null for noise.
+    *   kind in core/border/noise and cluster null for noise. The
+    *   frame is MATERIALIZED and persisted at MEMORY_AND_DISK (the
+    *   intermediate eps graph is released before return) — unpersist
+    *   it when done, as with [[Dedup.connectedComponents]].
     */
   def dbscan(points: DataFrame, idCol: String, nvecCol: String,
              epsMeters: Double, minPts: Int,

@@ -81,8 +81,14 @@ object Raster {
     * `est = sum(v_s / d^p) / sum(1 / d^p)` over samples within
     * `radiusMeters` great-circle distance, with d clamped below by
     * `minDistMeters` (an exact-hit sample dominates at weight
-    * 1/minDist^p instead of dividing by zero). Queries with no
-    * sample in range emit `n_samples = 0` and a null estimate.
+    * 1/minDist^p instead of dividing by zero). Samples with a null
+    * value carry no field information and are dropped up front
+    * (otherwise their weight would enter the denominator while the
+    * numerator skips them — a silent bias toward 0). Queries with no
+    * usable sample in range emit `n_samples = 0` and a null
+    * estimate; duplicate query rows each aggregate independently
+    * (keyed by a synthetic row id, not by value equality — a null
+    * in a query payload column must not detach its aggregates).
     *
     * Scale shape: one ring-cell [[SpatialJoins.distanceJoin]]
     * (queries x samples confined to cells of the radius, never all
@@ -100,16 +106,24 @@ object Raster {
     require(radiusMeters > 0.0, s"radius must be > 0 (got $radiusMeters)")
     require(minDistMeters > 0.0, s"minDist must be > 0 (got $minDistMeters)")
     val qCols = queries.columns.map(col).toSeq
+    // synthetic key: stable across the two references below because
+    // both branches share this exact plan subtree (same source scan
+    // order); value-equality re-association would break on null
+    // payload columns and merge duplicate query rows
+    val keyed = queries.withColumn("__qid", monotonically_increasing_id())
     val joined = SpatialJoins.distanceJoin(
-        queries, samples.select(col(sampleNvec), col(valueCol).as("__v")),
+        keyed,
+        samples.filter(col(valueCol).isNotNull)
+          .select(col(sampleNvec), col(valueCol).as("__v")),
         queryNvec, sampleNvec, radiusMeters, sphereRadius)
       .withColumn("__w",
         lit(1.0) / pow(greatest(col("dist_m"), lit(minDistMeters)), power))
-    joined.groupBy(qCols: _*)
-      .agg(sum(col("__w") * col("__v")).as("__num"),
-        sum(col("__w")).as("__den"),
-        count(lit(1)).as("n_samples"))
-      .join(queries, queries.columns.toSeq, "right")
+    keyed.join(
+        joined.groupBy("__qid")
+          .agg(sum(col("__w") * col("__v")).as("__num"),
+            sum(col("__w")).as("__den"),
+            count(lit(1)).as("n_samples")),
+        Seq("__qid"), "left")
       .select(qCols ++ Seq(
         (col("__num") / col("__den")).as(estCol),
         coalesce(col("n_samples"), lit(0L)).as("n_samples")): _*)

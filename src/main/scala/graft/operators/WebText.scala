@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * Normalization semantics (deliberately minimal and deterministic —
   * NOT a full WHATWG URL parser):
   *  1. drop the fragment (`#...`);
-  *  2. drop tracking parameters (`utm_*`, `fbclid`, `gclid`);
-  *  3. repair a parameter list whose leading `?` was consumed by (2)
-  *     (`path&id=2` -> `path?id=2`) and drop a dangling `?`/`&`;
-  *  4. drop an explicit default port (`:80`/`:443`);
-  *  5. drop one trailing slash.
+  *  2. drop tracking parameters (`utm_*`, `fbclid`, `gclid`) from
+  *     the QUERY PART only (split at the first `?`, normalize every
+  *     param to `&`-prefixed form, one global rule, rejoin — the
+  *     `?` disappears with the last param and path `&` is never
+  *     touched), then drop a dangling `?`/`&`;
+  *  3. drop an explicit default port (`:80`/`:443`);
+  *  4. drop one trailing slash.
   * [[urlKey]] additionally lower-cases — hosts are case-insensitive
   * and mixed-case paths are rare enough that the extra collisions are
   * the right trade for a DEDUP KEY (the normalized URL itself keeps
@@ -34,16 +36,14 @@ object WebText {
     * trimmed (deterministic > clever).
     */
   val UrlRe = "https?://[^ \\t\\n<>\"]+"
-  // Tracking-param removal preserves separators BY CONSTRUCTION
-  // (three cases: non-leading, leading-with-kept-successor, leading-
-  // at-end) instead of remove-then-repair: a repair regex keyed on
-  // "first '&' with no '?' before it" would also fire on URLs whose
-  // PATH legitimately contains '&' (an RFC 3986 sub-delim) and no
-  // query at all, rewriting /a&b=2 into /a?b=2 — a different URL.
-  private val TrackingParam = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"
-  val MidTrackRe = s"&$TrackingParam=[^&]*"
-  val LeadTrackKeepRe = s"\\?$TrackingParam=[^&]*&"
-  val LeadTrackOnlyRe = s"\\?$TrackingParam=[^&]*$$"
+  // Tracking params are removed from the QUERY PART ONLY: the URL is
+  // split at its first '?', a synthetic leading '&' turns every
+  // param into the one mid-form shape, and one global rule removes
+  // them — so an '&' (or even a 'utm_'-looking segment) in the PATH
+  // is never touched, and no remove-then-repair orphan rule exists
+  // to misfire. A literal second '?' inside the query is data per
+  // RFC 3986 and rides along inside the preceding param's value.
+  val MidTrackRe = "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*"
   val DanglingSepRe = "[?&]$"
   val DefaultPortRe = "^(https?://[^/:?#]+):(80|443)([/?#].*)?$"
   val TrailingSlashRe = "/$"
@@ -66,10 +66,14 @@ object WebText {
     */
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val noMid = regexp_replace(noFrag, MidTrackRe, "")
-    val noLeadKeep = regexp_replace(noMid, LeadTrackKeepRe, "?")
-    val noTrack = regexp_replace(noLeadKeep, LeadTrackOnlyRe, "")
-    val noDangle = regexp_replace(noTrack, DanglingSepRe, "")
+    val path = substring_index(noFrag, "?", 1)
+    val query = when(length(noFrag) > length(path),
+      noFrag.substr(length(path) + 2, length(noFrag))).otherwise(lit(""))
+    val cleaned = regexp_replace(concat(lit("&"), query), MidTrackRe, "")
+    val kept = cleaned.substr(lit(2), length(cleaned))
+    val rejoined = concat(path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+    val noDangle = regexp_replace(rejoined, DanglingSepRe, "")
     val noPort = regexp_replace(noDangle, DefaultPortRe, "$1$3")
     regexp_replace(noPort, TrailingSlashRe, "")
   }
@@ -82,12 +86,18 @@ object WebText {
     * pattern lists cannot drift apart.
     */
   def normalizeUrlSql(c: String): String = {
-    val s1 = s"regexp_replace($c, '#.*$$', '', 'g')"
-    val s2 = s"regexp_replace($s1, '$MidTrackRe', '', 'g')"
-    val s2b = s"regexp_replace($s2, '$LeadTrackKeepRe', '?')"
-    val s3 = s"regexp_replace($s2b, '$LeadTrackOnlyRe', '')"
-    val s4 = s"regexp_replace($s3, '[?&]$$', '')"
-    val s5 = s"regexp_replace($s4, '$DefaultPortRe', '\\1\\3')"
-    s"regexp_replace($s5, '/$$', '')"
+    val noFrag = s"regexp_replace($c, '#.*$$', '', 'g')"
+    // DuckDB evaluates the argument expression once per reference at
+    // the optimizer's discretion; spell it via a lambda-free nested
+    // SELECT-less form by repeating the expression (values identical)
+    val path = s"split_part($noFrag, '?', 1)"
+    val query = s"CASE WHEN length($noFrag) > length($path) " +
+      s"THEN substr($noFrag, length($path) + 2) ELSE '' END"
+    val cleaned = s"regexp_replace('&' || ($query), '$MidTrackRe', '', 'g')"
+    val kept = s"substr($cleaned, 2)"
+    val rejoined = s"($path) || (CASE WHEN ($kept) <> '' THEN '?' || ($kept) ELSE '' END)"
+    val noDangle = s"regexp_replace($rejoined, '[?&]$$', '')"
+    val noPort = s"regexp_replace($noDangle, '$DefaultPortRe', '\\1\\3')"
+    s"regexp_replace($noPort, '/$$', '')"
   }
 }

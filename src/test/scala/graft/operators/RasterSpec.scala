@@ -87,6 +87,28 @@ class RasterSpec extends AnyFunSuite {
     assert(none.isNullAt(1) && none.getLong(2) == 0L)
   }
 
+  test("idw ignores null-value samples and keeps duplicate/null-payload queries intact") {
+    // one real sample 100 km east, one NULL-value sample 1 km east:
+    // the null sample must affect neither est nor n_samples
+    val samples = Seq(
+      (1L, 10.0, 1.0, Some(42.0)),
+      (2L, 10.0, 0.01, None: Option[Double]))
+      .toDF("sid", "slat", "slon", "v")
+      .select(geo.nvecDeg(col("slat"), col("slon")).as("sn"), col("v"))
+    val queries = Seq(
+      (1L, Some("x")), (2L, None: Option[String]), (3L, Some("x")), (3L, Some("x")))
+      .toDF("qid", "label")
+      .withColumn("qn", geo.nvecDeg(lit(10.0), lit(0.0)))
+    val out = Raster.idw(queries, "qn", samples, "sn", "v", 500e3)
+      .select("qid", "label", "est", "n_samples").collect()
+    assert(out.length == 4, "duplicate and null-payload query rows must all survive")
+    out.foreach { r =>
+      assert(r.getLong(3) == 1L, s"row $r: null-value sample leaked into n_samples")
+      assert(math.abs(r.getDouble(2) - 42.0) < 1e-9,
+        s"row $r: est biased by the null-value sample's weight")
+    }
+  }
+
   test("vectorized cell polygons contain their centers and their points") {
     val raster = Raster.rasterize(points, "n", 6, Seq(count(lit(1)).as("cnt")))
     val vec = Raster.vectorize(raster)

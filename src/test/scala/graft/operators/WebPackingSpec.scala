@@ -28,6 +28,11 @@ class WebPackingSpec extends AnyFunSuite {
     assert(norm("https://ex.com/a&b?utm_source=1&c=3") == "https://ex.com/a&b?c=3")
     // only tracking params: query gone entirely, no dangling '?'
     assert(norm("https://a.com/x?utm_a=1&utm_b=2") == "https://a.com/x")
+    // tracking-LOOKING segment in the PATH (no '?'): untouched
+    assert(norm("https://ex.com/a&utm_source=x/b") == "https://ex.com/a&utm_source=x/b")
+    // a second literal '?' is DATA inside the preceding param's value
+    assert(norm("https://h/p?utm_a=1&x=1?utm_b=2&y=2") == "https://h/p?x=1?utm_b=2&y=2")
+    assert(norm("https://h/p?x=1?utm_b=2") == "https://h/p?x=1?utm_b=2")
   }
 
   test("extractUrls / urlCount / urlHost") {

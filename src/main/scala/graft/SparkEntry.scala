@@ -1194,6 +1194,20 @@ object SparkEntry {
           round(geo.lonDeg(col("snap_n")), 6).as("snap_lon"))
         .orderBy("c_custkey")
     }),
+    "q77_convex_hull" -> ((s, dir) => {
+      // spherical convex hull per group (customers restricted to a
+      // hemispheric window, 5 hash groups): gnomonic monotone-chain
+      // kernel vs the oracle's O(n^3) vertex characterization —
+      // completely different formulations that must agree id-for-id
+      val pts = custPts(s, dir)
+        .filter(col("lat") > lit(math.toRadians(10.0)) &&
+          col("lat") < lit(math.toRadians(70.0)) &&
+          col("lon") > lit(math.toRadians(-40.0)) &&
+          col("lon") < lit(math.toRadians(40.0)))
+        .withColumn("grp", (col("c_custkey") % 5).cast("int"))
+      graft.operators.Hull.convexHull(pts, "grp", "c_custkey", "n")
+        .orderBy("grp", "c_custkey")
+    }),
     "q68_url_normalize" -> ((s, dir) => {
       // web-corpus URL plumbing: the corpus carries no URLs, so the
       // gate PLANTS deterministic ones (upper-case host, default
@@ -2388,6 +2402,29 @@ object SparkEntry {
              |   round(degrees(atan2(fz, sqrt(fx*fx + fy*fy))), 6) AS snap_lat,
              |   round(degrees(atan2(fy, fx)), 6) AS snap_lon
              | FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin.replace("\n", " ")
+      },
+      // convex hull: i is a hull vertex iff SOME great circle through
+      // i and another point j has every OTHER point on one closed
+      // side (k = i/j excluded — their dets are mathematically zero
+      // but float to ~1e-17 either sign); groups of <= 2 points are
+      // their own hull
+      "q77_convex_hull" -> {
+        val det = "(i.ny*j.nz - i.nz*j.ny)*k.nx + (i.nz*j.nx - i.nx*j.nz)*k.ny + " +
+          "(i.nx*j.ny - i.ny*j.nx)*k.nz"
+        s"""WITH keyed AS (SELECT c_custkey AS ck, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+           | p0 AS (SELECT ck, lat, lon, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM keyed),
+           | f AS (SELECT ck, CAST(ck % 5 AS INT) AS grp, nx, ny, nz FROM p0
+           |   WHERE lat > radians(10.0) AND lat < radians(70.0)
+           |     AND lon > radians(-40.0) AND lon < radians(40.0)),
+           | cnt AS (SELECT grp, count(*) AS c FROM f GROUP BY grp),
+           | trips AS (SELECT i.grp, i.ck AS ki, j.ck AS kj, min($det) AS mn, max($det) AS mx
+           |   FROM f i JOIN f j ON j.grp = i.grp AND j.ck <> i.ck
+           |   JOIN f k ON k.grp = i.grp AND k.ck <> i.ck AND k.ck <> j.ck
+           |   GROUP BY i.grp, i.ck, j.ck),
+           | hull AS (SELECT DISTINCT grp, ki FROM trips WHERE mn >= 0 OR mx <= 0),
+           | small AS (SELECT f.grp, f.ck AS ki FROM f JOIN cnt USING (grp) WHERE cnt.c <= 2)
+           | SELECT grp, ki AS c_custkey FROM (SELECT * FROM hull UNION SELECT * FROM small)
+           | ORDER BY grp, c_custkey""".stripMargin.replace("\n", " ")
       },
       // URL normalization: identical planted text and pattern chain
       // (WebText.normalizeUrlSql keeps the two engines' patterns from

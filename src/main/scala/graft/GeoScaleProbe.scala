@@ -65,6 +65,10 @@ object GeoScaleProbe {
       SpatialJoins.Route("r2", Seq((-30.0, -60.0), (-10.0, -55.0), (5.0, -40.0))),
       SpatialJoins.Route("r3", Seq((40.0, 100.0), (50.0, 120.0), (45.0, 140.0))))
     for (rows <- sizes) {
+      require(rows >= 800000,
+        s"probe construction needs >= 800k rows for >= 8 members per " +
+          s"planted blob (got $rows) — the cluster-count check below " +
+          "would fail on the INPUT, not the machinery")
       val path = s"/tmp/graft_geo_probe_v1_$rows"
       if (!new java.io.File(path + "/_SUCCESS").exists())
         cloud(spark, rows, cpus.toInt * 4).write.mode("overwrite")

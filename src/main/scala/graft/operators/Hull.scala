@@ -21,7 +21,10 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   * hull vertex here) — this matches the relational vertex
   * characterization the oracle uses (exists j such that every k lies
   * on one side of the great circle through i and j, side tests with
-  * >= 0).
+  * >= 0). Exact duplicate positions collapse before the chain (they
+  * would stall the keep-collinear pop rule) and every id sharing a
+  * kept hull position is emitted — a duplicate of a hull vertex is a
+  * hull vertex, an interior duplicate never is.
   *
   * Scale shape: like [[Simplify]], the GROUP is the unit of
   * parallelism — one shuffle on the group key, ids + coordinates
@@ -113,16 +116,33 @@ object HullKernels {
       vs(i) = (xs(i) * e2x + ys(i) * e2y + zs(i) * e2z) / d
       i += 1
     }
-    // sort indices by (u, v); entries are ord-sorted so ties (exact
-    // duplicate positions) stay deterministic
-    val idx = Array.range(0, n).sortBy(j => (us(j), vs(j)))
+    // DISTINCT positions only go through the chain: adjacent exact
+    // duplicates make every cross() with them zero, which stalls the
+    // keep-collinear (strictly-negative) pop rule and leaks interior
+    // points. Every ord sharing a kept hull position is emitted ("a
+    // duplicate of a hull vertex is a hull vertex").
+    val sorted = Array.range(0, n).sortBy(j => (us(j), vs(j)))
+    val idxB = Array.newBuilder[Int]
+    i = 0
+    while (i < n) {
+      if (i == 0 || us(sorted(i)) != us(sorted(i - 1)) ||
+        vs(sorted(i)) != vs(sorted(i - 1))) idxB += sorted(i)
+      i += 1
+    }
+    val idx = idxB.result()
+    val m = idx.length
+    if (m == 1) {
+      // all positions coincide: every ord is the hull
+      val all = ord.clone().sorted
+      return new GenericArrayData(all)
+    }
     def cross(o: Int, a: Int, b: Int): Double =
       (us(a) - us(o)) * (vs(b) - vs(o)) - (vs(a) - vs(o)) * (us(b) - us(o))
-    val hull = new Array[Int](2 * n)
+    val hull = new Array[Int](2 * m)
     var k = 0
     // lower chain
     i = 0
-    while (i < n) {
+    while (i < m) {
       val j = idx(i)
       while (k >= 2 && cross(hull(k - 2), hull(k - 1), j) < 0) k -= 1
       hull(k) = j; k += 1
@@ -130,18 +150,24 @@ object HullKernels {
     }
     // upper chain
     val lower = k + 1
-    i = n - 2
+    i = m - 2
     while (i >= 0) {
       val j = idx(i)
       while (k >= lower && cross(hull(k - 2), hull(k - 1), j) < 0) k -= 1
       hull(k) = j; k += 1
       i -= 1
     }
-    // last point repeats the first; dedupe ords (collinear-kept
-    // chains can also visit a vertex twice) and sort ascending
+    // last point repeats the first; collect every ord at a kept
+    // position (collinear-kept chains can also visit a vertex twice)
+    val keptPos = scala.collection.mutable.HashSet.empty[(Double, Double)]
+    i = 0
+    while (i < k - 1) { keptPos += ((us(hull(i)), vs(hull(i)))); i += 1 }
     val set = new java.util.TreeSet[java.lang.Long]()
     i = 0
-    while (i < k - 1) { set.add(ord(hull(i))); i += 1 }
+    while (i < n) {
+      if (keptPos.contains((us(i), vs(i)))) set.add(ord(i))
+      i += 1
+    }
     val out = new Array[Long](set.size())
     val it = set.iterator()
     i = 0

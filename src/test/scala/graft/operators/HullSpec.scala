@@ -73,6 +73,20 @@ class HullSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("hemispheric")))
   }
 
+  test("exact duplicate positions: hull-vertex dups all emitted, interior dups never") {
+    // triangle + interior position carried by TWO ids + a duplicated
+    // corner: the old chain stalled on adjacent duplicates (cross
+    // identically 0 defeats the strictly-negative pop) and leaked
+    // the interior pair
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 10.0), (3L, 10.0, 5.0),
+      (4L, 3.0, 5.0), (5L, 3.0, 5.0),   // interior duplicate pair
+      (6L, 10.0, 5.0))                   // duplicate of corner 3
+    val got = Hull.convexHull(mkDf(Seq((1, pts))), "g", "id", "n")
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 2L, 3L, 6L), s"got $got")
+  }
+
   test("collinear boundary points are kept as hull vertices") {
     // three points on the equator segment + one north: the middle
     // equator point lies ON the hull edge and must be reported

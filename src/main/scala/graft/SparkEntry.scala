@@ -1208,6 +1208,19 @@ object SparkEntry {
       graft.operators.Hull.convexHull(pts, "grp", "c_custkey", "n")
         .orderBy("grp", "c_custkey")
     }),
+    "q78_tile_assign" -> ((s, dir) => {
+      // web-mercator (slippy z/x/y) per-image tile assignment at
+      // zooms 2..8: the engine projects ONCE at zoom 8 and derives
+      // coarser tiles by bit-shift and quadkeys by substring; the
+      // oracle recomputes EVERY zoom directly from lat/lon — equality
+      // machine-checks the shift/prefix derivation. Full-range lats
+      // (+-90 deg) exercise the +-85.05 deg mercator clamp rows.
+      graft.index.WebMercator.assign(
+          custPts(s, dir).select(col("c_custkey").as("k"), col("lat"), col("lon")),
+          "lat", "lon", finest = 8, coarsest = 2)
+        .select("k", "zoom", "tx", "ty", "qk")
+        .orderBy("zoom", "k")
+    }),
     "q68_url_normalize" -> ((s, dir) => {
       // web-corpus URL plumbing: the corpus carries no URLs, so the
       // gate PLANTS deterministic ones (upper-case host, default
@@ -2425,6 +2438,37 @@ object SparkEntry {
            | small AS (SELECT f.grp, f.ck AS ki FROM f JOIN cnt USING (grp) WHERE cnt.c <= 2)
            | SELECT grp, ki AS c_custkey FROM (SELECT * FROM hull UNION SELECT * FROM small)
            | ORDER BY grp, c_custkey""".stripMargin.replace("\n", " ")
+      },
+      // web-mercator tiles: the oracle projects EVERY zoom directly
+      // (floor(f * 2^z) with the OSM formula) and rebuilds each
+      // zoom's quadkey digit-by-digit — the engine only projects the
+      // finest zoom and shifts/substrings, so equality machine-checks
+      // the floor(f*2^finest) >> d == floor(f*2^z) derivation and the
+      // quadkey prefix property at once. c_custkey = 0 sits EXACTLY on
+      // the south pole (lat = -pi/2 -> half-angle tan arg = 0), where
+      // Spark's log yields NULL (coalesced to +inf -> bottom row) but
+      // DuckDB's ln(0) ERRORS — the CASE mirrors the clamp with a
+      // finite sentinel (1e15 * 2^8 stays far inside BIGINT)
+      "q78_tile_assign" -> {
+        def zSql(z: Int): String = {
+          val n = 1L << z
+          val qk = (1 to z).map { i =>
+            val s = z - i
+            s"CAST(((tx >> $s) & 1) + ((ty >> $s) & 1) * 2 AS VARCHAR)"
+          }.mkString(" || ")
+          s"""SELECT k, $z AS zoom, tx, ty, $qk AS qk FROM
+             | (SELECT k,
+             |   least(${n - 1}, greatest(0, CAST(floor(fx * $n) AS BIGINT))) AS tx,
+             |   least(${n - 1}, greatest(0, CAST(floor(fy * $n) AS BIGINT))) AS ty
+             |  FROM m)""".stripMargin.replace("\n", " ")
+        }
+        s"""WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, ${lonSql("c_custkey")} AS lon FROM customer),
+           | m AS (SELECT k, lon / (2 * pi()) + 0.5 AS fx,
+           |   CASE WHEN tan(pi() / 4 + lat / 2) > 0
+           |     THEN 0.5 - ln(tan(pi() / 4 + lat / 2)) / (2 * pi())
+           |     ELSE 1e15 END AS fy FROM keyed)
+           | ${(2 to 8).map(zSql).mkString(" UNION ALL ")}
+           | ORDER BY zoom, k""".stripMargin.replace("\n", " ")
       },
       // URL normalization: identical planted text and pattern chain
       // (WebText.normalizeUrlSql keeps the two engines' patterns from

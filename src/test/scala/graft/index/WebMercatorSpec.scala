@@ -1,0 +1,99 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.SparkTestSession.rnd
+
+class WebMercatorSpec extends AnyFunSuite {
+
+  /** Independent scalar reference: the OSM formula evaluated directly
+    * at the requested zoom (no shift derivation). */
+  private def refTile(latRad: Double, lonRad: Double, z: Int): (Long, Long) = {
+    val n = 1L << z
+    val fx = lonRad / (2 * math.Pi) + 0.5
+    val fy = 0.5 - math.log(math.tan(math.Pi / 4 + latRad / 2)) / (2 * math.Pi)
+    def clamp(v: Double) = math.min(n - 1, math.max(0L, math.floor(v * n).toLong))
+    (clamp(fx), clamp(fy))
+  }
+
+  private def refQuadkey(tx: Long, ty: Long, z: Int): String =
+    (1 to z).map { i =>
+      val s = z - i
+      (((tx >> s) & 1) + ((ty >> s) & 1) * 2).toString
+    }.mkString
+
+  test("Bing documented example: tile (3,5) level 3 has quadkey 213") {
+    assert(refQuadkey(3, 5, 3) == "213")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val got = Seq((3L, 5L)).toDF("tx", "ty")
+      .select(WebMercator.quadkey(col("tx"), col("ty"), 3).as("qk"))
+      .head.getString(0)
+    assert(got == "213")
+  }
+
+  test("tileX/tileY match the direct scalar reference on random points") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val pts = (1L to 400L).map { i =>
+      (i, math.asin(2 * rnd(i * 2) - 1), math.Pi * (2 * rnd(i * 2 + 1) - 1))
+    }
+    val df = pts.toDF("k", "lat", "lon")
+    for (z <- Seq(0, 1, 5, 12, WebMercator.MaxZoom)) {
+      val got = df.select(col("k"), WebMercator.tileX(col("lon"), z).as("tx"),
+          WebMercator.tileY(col("lat"), z).as("ty"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      pts.foreach { case (k, lat, lon) =>
+        assert(got(k) == refTile(lat, lon, z), s"k=$k z=$z")
+      }
+    }
+  }
+
+  test("polar latitudes clamp to the edge tile rows") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, math.toRadians(89.9), 0.0), (2L, math.toRadians(-89.9), 0.0),
+      (3L, math.Pi / 2, 0.0), (4L, -math.Pi / 2, 0.0)).toDF("k", "lat", "lon")
+    val rows = df.select(col("k"), WebMercator.tileY(col("lat"), 6).as("ty"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == 0L && rows(3L) == 0L)
+    assert(rows(2L) == 63L && rows(4L) == 63L)
+  }
+
+  test("assign: shift/substring derivation equals direct projection at every zoom") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val pts = (1L to 300L).map { i =>
+      (i, math.asin(2 * rnd(i * 7 + 1) - 1), math.Pi * (2 * rnd(i * 7 + 2) - 1))
+    }
+    val out = WebMercator.assign(pts.toDF("k", "lat", "lon"), "lat", "lon",
+        finest = 11, coarsest = 0)
+      .select("k", "zoom", "tx", "ty", "qk").collect()
+    assert(out.length == 300 * 12)
+    out.foreach { r =>
+      val (k, z) = (r.getLong(0), r.getInt(1))
+      val (lat, lon) = (pts(k.toInt - 1)._2, pts(k.toInt - 1)._3)
+      val (tx, ty) = refTile(lat, lon, z)
+      assert(r.getLong(2) == tx && r.getLong(3) == ty, s"k=$k z=$z")
+      assert(r.getString(4) == refQuadkey(tx, ty, z), s"qk k=$k z=$z")
+    }
+    // quadkey prefix property: zoom-z key is a prefix of the zoom-11 key
+    val byK = out.groupBy(_.getLong(0))
+    byK.values.foreach { rs =>
+      val fin = rs.maxBy(_.getInt(1)).getString(4)
+      rs.foreach(r => assert(fin.startsWith(r.getString(4))))
+    }
+  }
+
+  test("zoom 0 is the single world tile with empty quadkey") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val out = WebMercator.assign(Seq((1L, 0.7, -2.1)).toDF("k", "lat", "lon"),
+      "lat", "lon", finest = 0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("tx")) == 0 && r.getLong(r.fieldIndex("ty")) == 0 &&
+      r.getString(r.fieldIndex("qk")) == "")
+  }
+}

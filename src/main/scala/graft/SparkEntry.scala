@@ -982,11 +982,10 @@ object SparkEntry {
     }),
     "q76_track_frechet" -> ((s, dir) => {
       // discrete Frechet for the same pair list as q60 — the
-      // order-aware track distance. No SQL oracle: the coupled DP
-      // has a within-row prefix dependency recursive CTEs cannot
-      // express; rows-only gate, exactness evidence is the
-      // independent-recursion + dominance specs
-      // (TrajectoryRetrievalSpec).
+      // order-aware track distance. Oracle: the DP's within-row
+      // prefix dependency disappears iterated by ANTI-DIAGONALS
+      // (diagonal s needs only s-1 and s-2), which a two-generation
+      // recursive CTE expresses — see dpTrackOracleSql.
       val ev = t(s, dir, "events")
         .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
           (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
@@ -1002,6 +1001,27 @@ object SparkEntry {
       graft.operators.TrajectoryDist.frechet(ev, "user_id", "event_id", "nv",
           pairs, "a", "b")
         .select(col("a"), col("b"), round(col("frechet_m"), 6).as("frechet_m"))
+        .orderBy("a")
+    }),
+    "q79_track_dtw" -> ((s, dir) => {
+      // dynamic-time-warping alignment cost for the same pair list as
+      // q60/q76 — the SUM-along-coupling companion of Frechet. Same
+      // anti-diagonal recursive-CTE oracle with the + min update.
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
+          (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("lon", lonRad(col("user_id") * 13 + 1) * 0.97 +
+          (((col("event_id") * 40503L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("nv", geo.nvec(col("lat"), col("lon")))
+      val users = ev.select("user_id").distinct()
+      val pairs = users.filter(col("user_id") % 3 === 0)
+        .select(col("user_id").as("a"))
+        .withColumn("b", col("a") + 1)
+        .join(users.select(col("user_id").as("b")), "b")
+        .select("a", "b")
+      graft.operators.TrajectoryDist.dtw(ev, "user_id", "event_id", "nv",
+          pairs, "a", "b")
+        .select(col("a"), col("b"), round(col("dtw_m"), 6).as("dtw_m"))
         .orderBy("a")
     }),
     "q61_bm25" -> ((s, dir) => {
@@ -1308,6 +1328,66 @@ object SparkEntry {
   private def nvecSqlConst(latDeg: Double, lonDeg: Double): (String, String, String) = {
     val n = graft.geo.Gade.latLonToNvec(math.toRadians(latDeg), math.toRadians(lonDeg))
     (fmt(n.x), fmt(n.y), fmt(n.z))
+  }
+
+  /** Anti-diagonal recursive-CTE mirror of the track-pair DP kernels
+    * (TrajectoryKernels.frechet/dtw) over the q60 events-derived
+    * tracks and pair list. Row-major the DP has a within-row prefix
+    * dependency no recursive CTE can express; iterated by
+    * ANTI-DIAGONALS, diagonal s depends only on diagonals s-1 (up /
+    * left preds) and s-2 (diagonal pred), so the recursion carries
+    * TWO generations: each step computes diagonal s+1 from the
+    * working set (age-0 rows = diagonal s, age-1 rows = s-1 re-aged)
+    * and re-emits diagonal s as age 1. All pairs march in lockstep
+    * (every pair's diagonal s materializes at global step s), shorter
+    * pairs just stop producing. `update` is the DP combine over c.d
+    * (the great-circle cost) and min(w.val) (the best predecessor):
+    * `greatest(c.d, min(w.val))` = Frechet, `c.d + min(w.val)` = DTW
+    * — the additions then happen in the SAME order as the kernel's
+    * rolling-row DP, so agreement is expected to the rounding digit.
+    */
+  private def dpTrackOracleSql(update: String, outCol: String): String = {
+    val gc =
+      """atan2(sqrt((ay*bz - az*by)*(ay*bz - az*by) + (az*bx - ax*bz)*(az*bx - ax*bz)
+        | + (ax*by - ay*bx)*(ax*by - ay*bx)), ax*bx + ay*by + az*bz)""".stripMargin.replace("\n", " ")
+    s"""WITH RECURSIVE p AS (SELECT user_id, event_id,
+       |   ${latSql("(user_id * 13 + 1)")} * 0.95
+       |     + (((event_id * 2654435761) % 4001) / 2000.0 - 1.0) * 0.01 AS lat,
+       |   ${lonSql("(user_id * 13 + 1)")} * 0.97
+       |     + (((event_id * 40503) % 4001) / 2000.0 - 1.0) * 0.01 AS lon FROM events),
+       | v AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx,
+       |   cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM p),
+       | us AS (SELECT DISTINCT user_id FROM events),
+       | pr AS (SELECT ua.user_id AS a, ub.user_id AS b FROM us ua
+       |   JOIN us ub ON ub.user_id = ua.user_id + 1 WHERE ua.user_id % 3 = 0),
+       | ia AS (SELECT pr.a, pr.b, row_number() OVER (PARTITION BY pr.a, pr.b ORDER BY va.event_id) - 1 AS i,
+       |   va.nx AS ax, va.ny AS ay, va.nz AS az FROM pr JOIN v va ON va.user_id = pr.a),
+       | ib AS (SELECT pr.a, pr.b, row_number() OVER (PARTITION BY pr.a, pr.b ORDER BY vb.event_id) - 1 AS j,
+       |   vb.nx AS bx, vb.ny AS by, vb.nz AS bz FROM pr JOIN v vb ON vb.user_id = pr.b),
+       | c AS (SELECT ia.a, ia.b, i, j, $gc AS d
+       |   FROM ia JOIN ib ON ib.a = ia.a AND ib.b = ia.b),
+       | dp AS (
+       |   SELECT a, b, i, j, d AS val, 0 AS age FROM c WHERE i = 0 AND j = 0
+       |   UNION ALL
+       |   SELECT * FROM (
+       |     SELECT c.a, c.b, c.i, c.j, $update AS val, 0 AS age
+       |     FROM c JOIN dp w ON w.a = c.a AND w.b = c.b
+       |       AND ((w.age = 0 AND w.i + w.j = c.i + c.j - 1
+       |             AND ((w.i = c.i - 1 AND w.j = c.j) OR (w.i = c.i AND w.j = c.j - 1)))
+       |         OR (w.age = 1 AND w.i = c.i - 1 AND w.j = c.j - 1))
+       |     WHERE c.i + c.j = (SELECT max(i + j) FROM dp WHERE age = 0) + 1
+       |     GROUP BY c.a, c.b, c.i, c.j, c.d
+       |     UNION ALL
+       |     SELECT a, b, i, j, val, 1 AS age FROM dp WHERE age = 0
+       |   )
+       | ),
+       | nn AS (SELECT a, b, max(i) AS ni FROM ia GROUP BY a, b),
+       | mm AS (SELECT a, b, max(j) AS mj FROM ib GROUP BY a, b)
+       | SELECT dp.a, dp.b, round(dp.val * ${fmt(graft.geo.Ellipsoids.MeanEarthRadius)}, 6) AS $outCol
+       | FROM dp JOIN nn ON nn.a = dp.a AND nn.b = dp.b
+       |   JOIN mm ON mm.a = dp.a AND mm.b = dp.b
+       | WHERE dp.age = 0 AND dp.i = nn.ni AND dp.j = mm.mj
+       | ORDER BY dp.a""".stripMargin.replace("\n", " ")
   }
 
   def oracleSql: Map[String, String] = {
@@ -2206,6 +2286,10 @@ object SparkEntry {
            | FROM ha JOIN hb ON hb.a = ha.a AND hb.b = ha.b
            | ORDER BY ha.a""".stripMargin.replace("\n", " ")
       },
+      // track-pair DP mirrors (see dpTrackOracleSql): the Frechet and
+      // DTW kernels replayed as anti-diagonal recursive CTEs
+      "q76_track_frechet" -> dpTrackOracleSql("greatest(c.d, min(w.val))", "frechet_m"),
+      "q79_track_dtw" -> dpTrackOracleSql("c.d + min(w.val)", "dtw_m"),
       "q61_bm25" ->
         """WITH dl AS (SELECT doc_id,
           |   len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),

@@ -81,18 +81,46 @@ object TrajectoryDist {
     * sequential, so each pair is ONE JITed kernel call over the two
     * ord-sorted point arrays (O(|A|·|B|) time, O(|B|) memory —
     * upstream sessionization bounds track length by contract); the
-    * pair list is the unit of parallelism. No SQL oracle exists (the
-    * DP row has a within-row prefix dependency recursive CTEs cannot
-    * express); correctness evidence is the independent recursive
-    * reference + the Frechet >= Hausdorff dominance property in
-    * TrajectoryRetrievalSpec.
+    * pair list is the unit of parallelism. SQL oracle: the DP's
+    * within-row prefix dependency vanishes when iterated by
+    * ANTI-DIAGONALS (diagonal s depends only on s-1 and s-2), which a
+    * two-generation recursive CTE expresses — q76's mirror; the
+    * independent recursive reference + Frechet >= Hausdorff dominance
+    * in TrajectoryRetrievalSpec cover it from a third angle.
     *
     * @return (aCol, bCol, frechet_m)
     */
   def frechet(points: DataFrame, trackCol: String, pointCol: String,
               nvecCol: String,
               pairs: DataFrame, aCol: String, bCol: String,
-              sphereRadius: Double = MeanEarthRadius): DataFrame = {
+              sphereRadius: Double = MeanEarthRadius): DataFrame =
+    dpDistance(points, trackCol, pointCol, nvecCol, pairs, aCol, bCol,
+      sphereRadius, "frechet", "frechet_m")
+
+  /** Dynamic-time-warping distance for explicit track pairs: the SUM
+    * of great-circle point costs along the cheapest monotone coupling
+    * (dp(i,j) = d(i,j) + min(dp(i-1,j), dp(i-1,j-1), dp(i,j-1))) —
+    * the alignment-cost companion of [[frechet]] (which takes the MAX
+    * along the coupling; DTW >= Frechet always, spec-pinned). Same
+    * execution shape: one JITed rolling-row kernel call per listed
+    * pair, pair list = parallelism unit; same anti-diagonal
+    * recursive-CTE oracle (q79).
+    *
+    * @return (aCol, bCol, dtw_m) — dtw_m is the summed cost in
+    *         meters (radians x sphereRadius), NOT a per-point mean.
+    */
+  def dtw(points: DataFrame, trackCol: String, pointCol: String,
+          nvecCol: String,
+          pairs: DataFrame, aCol: String, bCol: String,
+          sphereRadius: Double = MeanEarthRadius): DataFrame =
+    dpDistance(points, trackCol, pointCol, nvecCol, pairs, aCol, bCol,
+      sphereRadius, "dtw", "dtw_m")
+
+  private def dpDistance(points: DataFrame, trackCol: String, pointCol: String,
+                         nvecCol: String,
+                         pairs: DataFrame, aCol: String, bCol: String,
+                         sphereRadius: Double, method: String,
+                         outCol: String): DataFrame = {
     val kernelsClass = Class.forName("graft.operators.TrajectoryKernels")
     val tr = points
       .filter(col(pointCol).isNotNull && col(nvecCol).isNotNull)
@@ -107,14 +135,29 @@ object TrajectoryDist {
       .join(tr.select(col(trackCol).as(bCol), col("__pts").as("__pb")), bCol)
       .select(col(aCol), col(bCol),
         (org.apache.spark.sql.GraftSqlBridge.staticInvoke(kernelsClass,
-          org.apache.spark.sql.types.DoubleType, "frechet",
+          org.apache.spark.sql.types.DoubleType, method,
           Seq(col("__pa"), col("__pb")), Seq(ptsType, ptsType))
-          * lit(sphereRadius)).as("frechet_m"))
+          * lit(sphereRadius)).as(outCol))
   }
 }
 
 /** JIT-compiled trajectory kernels (StaticInvoke targets). */
 object TrajectoryKernels {
+
+  private def unpack(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                     what: String): (Array[Double], Array[Double], Array[Double]) = {
+    val n = a.numElements()
+    if (n == 0) throw new IllegalArgumentException(s"$what needs non-empty tracks")
+    val x = new Array[Double](n); val y = new Array[Double](n)
+    val z = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val e = a.getStruct(i, 4)
+      x(i) = e.getDouble(1); y(i) = e.getDouble(2); z(i) = e.getDouble(3)
+      i += 1
+    }
+    (x, y, z)
+  }
 
   /** Discrete Frechet distance [rad] between two ord-sorted
     * (ord, x, y, z) arrays: rolling-row DP of
@@ -122,25 +165,9 @@ object TrajectoryKernels {
     */
   def frechet(a: org.apache.spark.sql.catalyst.util.ArrayData,
               b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = a.numElements(); val m = b.numElements()
-    if (n == 0 || m == 0)
-      throw new IllegalArgumentException("frechet needs non-empty tracks")
-    val ax = new Array[Double](n); val ay = new Array[Double](n)
-    val az = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      val e = a.getStruct(i, 4)
-      ax(i) = e.getDouble(1); ay(i) = e.getDouble(2); az(i) = e.getDouble(3)
-      i += 1
-    }
-    val bx = new Array[Double](m); val by = new Array[Double](m)
-    val bz = new Array[Double](m)
-    var j = 0
-    while (j < m) {
-      val e = b.getStruct(j, 4)
-      bx(j) = e.getDouble(1); by(j) = e.getDouble(2); bz(j) = e.getDouble(3)
-      j += 1
-    }
+    val (ax, ay, az) = unpack(a, "frechet")
+    val (bx, by, bz) = unpack(b, "frechet")
+    val n = ax.length; val m = bx.length
     def d(i: Int, j: Int): Double = {
       val cx = ay(i) * bz(j) - az(i) * by(j)
       val cy = az(i) * bx(j) - ax(i) * bz(j)
@@ -150,18 +177,57 @@ object TrajectoryKernels {
     }
     val prev = new Array[Double](m)
     val cur = new Array[Double](m)
-    j = 0
+    var j = 0
     while (j < m) {
       prev(j) = math.max(if (j == 0) 0.0 else prev(j - 1), d(0, j))
       j += 1
     }
-    i = 1
+    var i = 1
     while (i < n) {
       cur(0) = math.max(prev(0), d(i, 0))
       j = 1
       while (j < m) {
         val reach = math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
         cur(j) = math.max(reach, d(i, j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
+
+  /** Dynamic-time-warping cost [rad] between two ord-sorted
+    * (ord, x, y, z) arrays: rolling-row DP of
+    * dp(i,j) = d(i,j) + min(dp(i-1,j), dp(i-1,j-1), dp(i,j-1)),
+    * with the standard boundary chains along the first row/column.
+    */
+  def dtw(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val (ax, ay, az) = unpack(a, "dtw")
+    val (bx, by, bz) = unpack(b, "dtw")
+    val n = ax.length; val m = bx.length
+    def d(i: Int, j: Int): Double = {
+      val cx = ay(i) * bz(j) - az(i) * by(j)
+      val cy = az(i) * bx(j) - ax(i) * bz(j)
+      val cz = ax(i) * by(j) - ay(i) * bx(j)
+      math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
+        ax(i) * bx(j) + ay(i) * by(j) + az(i) * bz(j))
+    }
+    val prev = new Array[Double](m)
+    val cur = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      prev(j) = (if (j == 0) 0.0 else prev(j - 1)) + d(0, j)
+      j += 1
+    }
+    var i = 1
+    while (i < n) {
+      cur(0) = prev(0) + d(i, 0)
+      j = 1
+      while (j < m) {
+        val reach = math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        cur(j) = d(i, j) + reach
         j += 1
       }
       System.arraycopy(cur, 0, prev, 0, m)

@@ -106,6 +106,60 @@ class TrajectoryRetrievalSpec extends AnyFunSuite {
     assert(got((0L, 10L)) > 1000.0, s"frechet to reversed twin ${got((0L, 10L))}")
   }
 
+  test("dtw equals an independent memoized recursion; dominates frechet; zero on identical tracks") {
+    val R = graft.geo.Ellipsoids.MeanEarthRadius
+    val pts = (0 until 6).flatMap { t =>
+      (0 until (12 + t * 2)).map { p =>
+        val la = math.toRadians(5.0 + t * 3 + p * 0.15 + 0.4 * math.sin(p * 0.6 + t))
+        val lo = math.toRadians(-20.0 + t * 2 + p * 0.25 + 0.3 * math.cos(p * 0.9 + t))
+        (t.toLong, p.toLong, la, lo)
+      }
+    }
+    // track 20 = exact copy of track 0 (identical point sequence)
+    val twin = pts.filter(_._1 == 0L).map { case (_, p, la, lo) => (20L, p, la, lo) }
+    val all = (pts ++ twin).toDF("tid", "pid", "la", "lo")
+      .withColumn("nv", geo.nvec(col("la"), col("lo")))
+    val pairs = Seq((0L, 1L), (2L, 3L), (4L, 5L), (1L, 4L), (0L, 20L)).toDF("a", "b")
+    val got = TrajectoryDist.dtw(all, "tid", "pid", "nv", pairs, "a", "b")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    def nv(la: Double, lo: Double) = Gade.latLonToNvec(la, lo)
+    val byTrack = (pts ++ twin).groupBy(_._1).map { case (t, ps) =>
+      t -> ps.sortBy(_._2).map(p => nv(p._3, p._4)).toIndexedSeq }
+    // independent reference: memoized top-down recursion
+    def refDtw(a: IndexedSeq[graft.geo.Vec3], b: IndexedSeq[graft.geo.Vec3]): Double = {
+      val memo = collection.mutable.Map.empty[(Int, Int), Double]
+      def d(i: Int, j: Int) = Gade.greatCircleDistanceRad(a(i), b(j))
+      def go(i: Int, j: Int): Double = memo.getOrElseUpdate((i, j), {
+        val dij = d(i, j)
+        if (i == 0 && j == 0) dij
+        else if (i == 0) go(0, j - 1) + dij
+        else if (j == 0) go(i - 1, 0) + dij
+        else math.min(go(i - 1, j),
+          math.min(go(i - 1, j - 1), go(i, j - 1))) + dij
+      })
+      go(a.length - 1, b.length - 1)
+    }
+    got.foreach { case ((a, b), dm) =>
+      val want = refDtw(byTrack(a), byTrack(b)) * R
+      assert(math.abs(dm - want) <= 1e-9 * math.max(1.0, want),
+        s"pair ($a,$b): $dm vs $want")
+    }
+    // symmetry (the DP and its transpose share the optimal coupling)
+    val sw = TrajectoryDist.dtw(all, "tid", "pid", "nv",
+        Seq((1L, 0L)).toDF("a", "b"), "a", "b").collect().head.getDouble(2)
+    assert(math.abs(sw - got((0L, 1L))) <= 1e-9)
+    // dominance: dtw sums along its optimal coupling, so it is >= the
+    // max along that coupling >= the frechet optimum
+    val f = TrajectoryDist.frechet(all, "tid", "pid", "nv", pairs, "a", "b")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (k, v) =>
+      assert(v >= f(k) - 1e-9, s"pair $k: dtw $v < frechet ${f(k)}")
+    }
+    // identical tracks align point-for-point at zero cost
+    assert(got((0L, 20L)) <= 1e-9, s"dtw to identical twin ${got((0L, 20L))}")
+  }
+
   test("bm25 equals a reference implementation on a small corpus") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -1003,6 +1003,18 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("frechet_m"), 6).as("frechet_m"))
         .orderBy("a")
     }),
+    "q80_kde_heatmap" -> ((s, dir) => {
+      // grid KDE heatmap: truncated-Gaussian smoothing of per-cell
+      // counts at level 4 (sigma 300 km, cutoff 1000 km — ring k=4
+      // provably covers). The oracle ignores the ring machinery
+      // entirely: occupied-cell counts + an ALL-PAIRS distance-filtered
+      // join over cell centers — equality proves the ring expansion
+      // reaches every in-cutoff source.
+      graft.operators.Raster.kdeDensity(custPts(s, dir), "n", level = 4,
+          sigmaMeters = 300e3, cutoffMeters = 1000e3)
+        .select(col("cell"), col("n"), round(col("density"), 6).as("density"))
+        .orderBy("cell")
+    }),
     "q79_track_dtw" -> ((s, dir) => {
       // dynamic-time-warping alignment cost for the same pair list as
       // q60/q76 — the SUM-along-coupling companion of Frechet. Same
@@ -2290,6 +2302,51 @@ object SparkEntry {
       // DTW kernels replayed as anti-diagonal recursive CTEs
       "q76_track_frechet" -> dpTrackOracleSql("greatest(c.d, min(w.val))", "frechet_m"),
       "q79_track_dtw" -> dpTrackOracleSql("c.d + min(w.val)", "dtw_m"),
+      // grid KDE: counts per level-4 cell (q14/q59 cell-id mirror),
+      // centers by the inverse face projection (dirOf CASE table),
+      // then ALL-PAIRS within the cutoff — no ring arithmetic, so
+      // equality machine-checks the engine's ring-cover completeness.
+      // Centers stay UNNORMALIZED: atan2(|a x b|, a.b) is scale-
+      // invariant, so the angle matches the kernel's unit-vector form
+      // to ulps, absorbed by round(, 6)
+      "q80_kde_heatmap" -> {
+        val scale = 16; val lvl = 4
+        val sigma = 300e3; val cutoff = 1000e3
+        s"""${ptsSql("customer", "c_custkey")},
+           | faced AS (SELECT k, nx, ny, nz,
+           |  CASE WHEN abs(nx) >= abs(ny) AND abs(nx) >= abs(nz) THEN (CASE WHEN nx >= 0 THEN 0 ELSE 1 END)
+           |       WHEN abs(ny) >= abs(nz) THEN (CASE WHEN ny >= 0 THEN 2 ELSE 3 END)
+           |       ELSE (CASE WHEN nz >= 0 THEN 4 ELSE 5 END) END AS face FROM pts),
+           | uv0 AS (SELECT k, face,
+           |  CASE face WHEN 0 THEN ny/nx WHEN 1 THEN nz/(-nx) WHEN 2 THEN nz/ny
+           |            WHEN 3 THEN nx/(-ny) WHEN 4 THEN nx/nz ELSE ny/(-nz) END AS u,
+           |  CASE face WHEN 0 THEN nz/nx WHEN 1 THEN ny/(-nx) WHEN 2 THEN nx/ny
+           |            WHEN 3 THEN nz/(-ny) WHEN 4 THEN ny/nz ELSE nx/(-nz) END AS v FROM faced),
+           | cnt AS (SELECT face,
+           |   least(${scale - 1}, greatest(0, CAST(floor((u + 1.0) * 0.5 * $scale) AS BIGINT))) AS i,
+           |   least(${scale - 1}, greatest(0, CAST(floor((v + 1.0) * 0.5 * $scale) AS BIGINT))) AS j,
+           |   count(*) AS n FROM uv0 GROUP BY 1, 2, 3),
+           | ctr AS (SELECT face * 144115188075855872 + $lvl * 4503599627370496
+           |     + i * 67108864 + j AS cell, n,
+           |   CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 WHEN 2 THEN cv
+           |        WHEN 3 THEN cu WHEN 4 THEN cu ELSE cv END AS cx,
+           |   CASE face WHEN 0 THEN cu WHEN 1 THEN cv WHEN 2 THEN 1.0
+           |        WHEN 3 THEN -1.0 WHEN 4 THEN cv ELSE cu END AS cy,
+           |   CASE face WHEN 0 THEN cv WHEN 1 THEN cu WHEN 2 THEN cu
+           |        WHEN 3 THEN cv WHEN 4 THEN 1.0 ELSE -1.0 END AS cz
+           |  FROM (SELECT face, i, j, n, (i + 0.5) * 2.0 / $scale - 1.0 AS cu,
+           |          (j + 0.5) * 2.0 / $scale - 1.0 AS cv FROM cnt)),
+           | pairs AS (SELECT t.cell, t.n,
+           |   atan2(sqrt((t.cy*s.cz - t.cz*s.cy)*(t.cy*s.cz - t.cz*s.cy)
+           |     + (t.cz*s.cx - t.cx*s.cz)*(t.cz*s.cx - t.cx*s.cz)
+           |     + (t.cx*s.cy - t.cy*s.cx)*(t.cx*s.cy - t.cy*s.cx)),
+           |     t.cx*s.cx + t.cy*s.cy + t.cz*s.cz)
+           |     * ${fmt(graft.geo.Ellipsoids.MeanEarthRadius)} AS d, s.n AS sn
+           |  FROM ctr t JOIN ctr s ON true)
+           | SELECT cell, n, round(sum(sn * exp(-(d * d) / ${fmt(2.0 * sigma * sigma)})), 6) AS density
+           | FROM pairs WHERE d <= $cutoff GROUP BY cell, n
+           | ORDER BY cell""".stripMargin.replace("\n", " ")
+      },
       "q61_bm25" ->
         """WITH dl AS (SELECT doc_id,
           |   len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '),

@@ -128,4 +128,62 @@ object Raster {
         (col("__num") / col("__den")).as(estCol),
         coalesce(col("n_samples"), lit(0L)).as("n_samples")): _*)
   }
+
+  /** Grid KDE heatmap: truncated-Gaussian-smoothed point density per
+    * OCCUPIED cell at `level` — what a heatmap tile service renders.
+    * density(t) = Σ over occupied cells c' with
+    * gc(center(t), center(c')) <= cutoff of
+    * n(c') * exp(-d_m^2 / (2 sigma^2)), including t itself at weight
+    * 1 (exact grid KDE over cell-aggregated counts, NOT a per-point
+    * KDE: points collapse to their cell center first — the standard
+    * heatmap quantization, error bounded by the cell diagonal).
+    *
+    * Scale shape: the raw points are scanned and shuffled ONCE into
+    * per-cell counts; the smoothing is counts x ring(counts) — each
+    * occupied cell explodes into its (2k+1)^2 ring as candidate
+    * targets with k the SMALLEST ring width whose provable coverage
+    * ([[CellIndex.coverageLowerBound]]) reaches the cutoff, so the
+    * candidate factor is a small constant and the exact distance
+    * filter drops the ring corners. Targets are kept only if
+    * occupied (one equi-join against the counts), so the output is
+    * bounded by the occupied-cell count, never by the grid size.
+    * Completeness: apply the coverage bound AT the source c' (its
+    * center is a valid query position inside c'): d(center t,
+    * center c') <= cutoff <= coverage means center(t) falls in a
+    * cell of ring(c', k), and the cell containing center(t) IS t —
+    * so expanding sources reaches every in-cutoff target.
+    *
+    * @return (cell, n, density) — n the cell's own point count.
+    */
+  def kdeDensity(df: DataFrame, nvecCol: String, level: Int,
+                 sigmaMeters: Double, cutoffMeters: Double,
+                 sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius,
+                 maxRing: Int = 8): DataFrame = {
+    require(sigmaMeters > 0.0, s"sigma must be > 0 (got $sigmaMeters)")
+    require(cutoffMeters > 0.0, s"cutoff must be > 0 (got $cutoffMeters)")
+    val cutoffRad = cutoffMeters / sphereRadius
+    val k = (1 to maxRing).find(k =>
+        CellIndex.coverageLowerBound(level, k) >= cutoffRad)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ring width <= $maxRing provably covers ${cutoffMeters} m at " +
+          s"level $level (bound saturates ~0.26 rad; coarsen the level or " +
+          s"shrink the cutoff)"))
+    val counts = df
+      .groupBy(cells.cellAt(col(nvecCol), level).as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val twoSigmaSq = 2.0 * sigmaMeters * sigmaMeters
+    val spread = counts
+      .select(col("cell").as("__src"), col("n").as("__sn"))
+      .withColumn("cell", explode(cells.ringCells(col("__src"), k)))
+      .join(counts, "cell")
+      .withColumn("__d", geo.gcDistance(
+        cells.cellCenter(col("cell")), cells.cellCenter(col("__src")),
+        sphereRadius))
+      .filter(col("__d") <= cutoffMeters)
+    spread
+      .groupBy("cell")
+      .agg(first(col("n")).as("n"),
+        sum(col("__sn") * exp(-col("__d") * col("__d") / twoSigmaSq))
+          .as("density"))
+  }
 }

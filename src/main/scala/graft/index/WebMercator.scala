@@ -45,16 +45,22 @@ object WebMercator {
     * argument goes to exactly 0 there instead, so ln -> -inf and the
     * clamp lands them on the bottom row (WebMercatorSpec pins both
     * poles). Spark's `log` returns NULL (not -inf) for non-positive
-    * input, which `greatest` would then skip — and a non-positive
-    * argument can only mean lat at/below the south pole, so the NULL
-    * coalesces to +inf and clamps to the bottom row. */
+    * input — and a non-positive argument on a NON-NULL lat can only
+    * mean lat at/below the south pole, so that NULL coalesces to
+    * +inf and clamps to the bottom row; a NULL lat stays NULL (it
+    * must not be mistaken for a pole). */
   def fracY(latRad: Column): Column =
-    coalesce(
-      lit(0.5) - log(tan(lit(math.Pi / 4) + latRad / 2)) / (2 * math.Pi),
-      lit(Double.PositiveInfinity))
+    when(latRad.isNull, lit(null).cast("double"))
+      .otherwise(coalesce(
+        lit(0.5) - log(tan(lit(math.Pi / 4) + latRad / 2)) / (2 * math.Pi),
+        lit(Double.PositiveInfinity)))
 
+  /** Clamp to [0, n). Spark's greatest/least SKIP nulls (a null raw
+    * index would silently clamp to tile 0), so null propagates
+    * explicitly: null in, null out. */
   private def clampIdx(raw: Column, n: Long): Column =
-    least(lit(n - 1), greatest(lit(0L), raw.cast("long")))
+    when(raw.isNull, lit(null).cast("long"))
+      .otherwise(least(lit(n - 1), greatest(lit(0L), raw.cast("long"))))
 
   /** Tile column index at `zoom`, clamped to [0, 2^zoom). */
   def tileX(lonRad: Column, zoom: Int): Column = {
@@ -97,7 +103,10 @@ object WebMercator {
     checkZoom(finest)
     require(coarsest >= 0 && coarsest <= finest,
       s"bad zoom range [$coarsest, $finest]")
+    // null-coordinate rows are dropped by contract (same convention
+    // as the track operators): a row with no position has no tile
     val staged = df
+      .filter(col(latCol).isNotNull && col(lonCol).isNotNull)
       .withColumn("__tx", tileX(col(lonCol), finest))
       .withColumn("__ty", tileY(col(latCol), finest))
       .withColumn("__qk", quadkey(col("__tx"), col("__ty"), finest))

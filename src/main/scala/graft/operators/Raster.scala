@@ -168,16 +168,23 @@ object Raster {
         s"no ring width <= $maxRing provably covers ${cutoffMeters} m at " +
           s"level $level (bound saturates ~0.26 rad; coarsen the level or " +
           s"shrink the cutoff)"))
+    // centers computed ONCE per distinct occupied cell — on the
+    // source side below the ring explode (the Generate only carries
+    // child columns, it does not recompute them) and on the target
+    // side inside the join's aggregate branch — never per candidate
+    // pair
     val counts = df
       .groupBy(cells.cellAt(col(nvecCol), level).as("cell"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("__c", cells.cellCenter(col("cell")))
     val twoSigmaSq = 2.0 * sigmaMeters * sigmaMeters
     val spread = counts
-      .select(col("cell").as("__src"), col("n").as("__sn"))
+      .select(col("cell").as("__src"), col("n").as("__sn"),
+        col("__c").as("__sc"))
       .withColumn("cell", explode(cells.ringCells(col("__src"), k)))
-      .join(counts, "cell")
-      .withColumn("__d", geo.gcDistance(
-        cells.cellCenter(col("cell")), cells.cellCenter(col("__src")),
+      .join(counts.select(col("cell"), col("n"), col("__c").as("__tc")),
+        "cell")
+      .withColumn("__d", geo.gcDistance(col("__tc"), col("__sc"),
         sphereRadius))
       .filter(col("__d") <= cutoffMeters)
     spread

@@ -159,6 +159,20 @@ object TrajectoryKernels {
     (x, y, z)
   }
 
+  /** Great-circle angle [rad] between point i of (ax, ay, az) and
+    * point j of (bx, by, bz) — the ONE distance formulation both DP
+    * kernels share (they are spec-pinned to satisfy dtw >= frechet,
+    * which only holds when the per-pair costs are identical). */
+  @inline private def gcRad(
+      ax: Array[Double], ay: Array[Double], az: Array[Double], i: Int,
+      bx: Array[Double], by: Array[Double], bz: Array[Double], j: Int): Double = {
+    val cx = ay(i) * bz(j) - az(i) * by(j)
+    val cy = az(i) * bx(j) - ax(i) * bz(j)
+    val cz = ax(i) * by(j) - ay(i) * bx(j)
+    math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
+      ax(i) * bx(j) + ay(i) * by(j) + az(i) * bz(j))
+  }
+
   /** Discrete Frechet distance [rad] between two ord-sorted
     * (ord, x, y, z) arrays: rolling-row DP of
     * dp(i,j) = max(d(i,j), min(dp(i-1,j), dp(i-1,j-1), dp(i,j-1))).
@@ -168,13 +182,7 @@ object TrajectoryKernels {
     val (ax, ay, az) = unpack(a, "frechet")
     val (bx, by, bz) = unpack(b, "frechet")
     val n = ax.length; val m = bx.length
-    def d(i: Int, j: Int): Double = {
-      val cx = ay(i) * bz(j) - az(i) * by(j)
-      val cy = az(i) * bx(j) - ax(i) * bz(j)
-      val cz = ax(i) * by(j) - ay(i) * bx(j)
-      math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
-        ax(i) * bx(j) + ay(i) * by(j) + az(i) * bz(j))
-    }
+    def d(i: Int, j: Int): Double = gcRad(ax, ay, az, i, bx, by, bz, j)
     val prev = new Array[Double](m)
     val cur = new Array[Double](m)
     var j = 0
@@ -207,13 +215,7 @@ object TrajectoryKernels {
     val (ax, ay, az) = unpack(a, "dtw")
     val (bx, by, bz) = unpack(b, "dtw")
     val n = ax.length; val m = bx.length
-    def d(i: Int, j: Int): Double = {
-      val cx = ay(i) * bz(j) - az(i) * by(j)
-      val cy = az(i) * bx(j) - ax(i) * bz(j)
-      val cz = ax(i) * by(j) - ay(i) * bx(j)
-      math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
-        ax(i) * bx(j) + ay(i) * by(j) + az(i) * bz(j))
-    }
+    def d(i: Int, j: Int): Double = gcRad(ax, ay, az, i, bx, by, bz, j)
     val prev = new Array[Double](m)
     val cur = new Array[Double](m)
     var j = 0

@@ -86,6 +86,25 @@ class WebMercatorSpec extends AnyFunSuite {
     }
   }
 
+  test("null coordinates drop from assign and null-propagate through tileX/tileY") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, Some(0.4), Some(0.9)), (2L, None, Some(0.9)),
+      (3L, Some(0.4), None)).toDF("k", "lat", "lon")
+    // assign: rows with any null coordinate are dropped by contract —
+    // they must NOT land on edge tiles (null lat once clamped to the
+    // bottom row via the pole-coalesce; null lon to tile 0)
+    val out = WebMercator.assign(df, "lat", "lon", finest = 4, coarsest = 4)
+    assert(out.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // column forms: null in, null out (greatest/least skip nulls, so
+    // an unguarded clamp would fabricate tile 0)
+    val r = df.select(WebMercator.tileX(col("lon"), 4).as("tx"),
+      WebMercator.tileY(col("lat"), 4).as("ty")).collect()
+    assert(!r(0).isNullAt(0) && !r(0).isNullAt(1))
+    assert(r(1).isNullAt(1), "null lat must not produce a tile row")
+    assert(r(2).isNullAt(0), "null lon must not produce a tile column")
+  }
+
   test("zoom 0 is the single world tile with empty quadkey") {
     val spark = SparkTestSession.spark
     import spark.implicits._

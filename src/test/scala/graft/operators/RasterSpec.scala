@@ -111,47 +111,50 @@ class RasterSpec extends AnyFunSuite {
 
   test("kde density equals the all-pairs truncated-Gaussian brute force") {
     val R = graft.geo.Ellipsoids.MeanEarthRadius
-    val level = 5
-    val sigma = 400e3; val cutoff = 1000e3
-    val got = Raster.kdeDensity(points, "n", level, sigma, cutoff)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-
     // brute force: counts per cell, then every occupied pair within
     // the cutoff (no ring machinery at all)
     val pts = points.select("lat", "lon").collect()
       .map(r => graft.geo.Gade.latLonToNvec(
         math.toRadians(r.getDouble(0)), math.toRadians(r.getDouble(1))))
-    val counts = pts.groupBy(p => CellIndex.cellAt(p.x, p.y, p.z, level))
-      .map { case (c, ps) => c -> ps.length.toLong }
-    val centers = counts.keys.map(c =>
-      c -> graft.geo.VecMath.unit(CellIndex.centerXYZ(c))).toMap
-    val want = counts.keys.map { t =>
-      val dens = counts.toSeq.flatMap { case (s, n) =>
-        val d = graft.geo.Gade.greatCircleDistanceRad(centers(t), centers(s)) * R
-        if (d <= cutoff) Some(n * math.exp(-d * d / (2 * sigma * sigma))) else None
-      }.sum
-      t -> (counts(t), dens)
-    }.toMap
-    assert(got.keySet == want.keySet)
-    want.foreach { case (cell, (n, dens)) =>
-      assert(got(cell)._1 == n, s"cell $cell count")
-      assert(math.abs(got(cell)._2 - dens) <= 1e-9 * math.max(1.0, dens),
-        s"cell $cell density ${got(cell)._2} vs $dens")
+    def brute(level: Int, sigma: Double, cutoff: Double): Map[Long, (Long, Double)] = {
+      val counts = pts.groupBy(p => CellIndex.cellAt(p.x, p.y, p.z, level))
+        .map { case (c, ps) => c -> ps.length.toLong }
+      val centers = counts.keys.map(c =>
+        c -> graft.geo.VecMath.unit(CellIndex.centerXYZ(c))).toMap
+      counts.keys.map { t =>
+        val dens = counts.toSeq.flatMap { case (s, n) =>
+          val d = graft.geo.Gade.greatCircleDistanceRad(centers(t), centers(s)) * R
+          if (d <= cutoff) Some(n * math.exp(-d * d / (2 * sigma * sigma))) else None
+        }.sum
+        t -> (counts(t), dens)
+      }.toMap
     }
-    // the own-cell contribution alone gives density >= n
-    got.foreach { case (cell, (n, dens)) =>
-      assert(dens >= n - 1e-9, s"cell $cell density $dens < own count $n")
+    def check(level: Int, sigma: Double, cutoff: Double): Unit = {
+      val got = Raster.kdeDensity(points, "n", level, sigma, cutoff)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = brute(level, sigma, cutoff)
+      assert(got.keySet == want.keySet, s"level $level")
+      want.foreach { case (cell, (n, dens)) =>
+        assert(got(cell)._1 == n, s"level $level cell $cell count")
+        assert(math.abs(got(cell)._2 - dens) <= 1e-9 * math.max(1.0, dens),
+          s"level $level cell $cell density ${got(cell)._2} vs $dens")
+      }
+      // the own-cell contribution alone gives density >= n
+      got.foreach { case (cell, (n, dens)) =>
+        assert(dens >= n - 1e-9, s"level $level cell $cell density $dens < n $n")
+      }
     }
+    check(level = 5, sigma = 400e3, cutoff = 1000e3)
+    // coarse level + planet-scale cutoff: the ring wraps the face and
+    // enumerates every cell — the degradation path must ALSO be exact
+    // all-pairs, not just non-empty
+    check(level = 2, sigma = 400e3, cutoff = 12000e3)
     // an uncoverable cutoff (fine level, ring cannot wrap the face)
     // fails loudly instead of under-smoothing
     val e = intercept[IllegalArgumentException] {
-      Raster.kdeDensity(points, "n", 10, sigma, 12000e3)
+      Raster.kdeDensity(points, "n", 10, 400e3, 12000e3)
     }
     assert(e.getMessage.contains("provably covers"))
-    // at a COARSE level the same cutoff is fine: the ring wraps the
-    // face and enumerates every cell, degrading to exact all-pairs
-    val wide = Raster.kdeDensity(points, "n", 2, sigma, 12000e3)
-    assert(wide.count() > 0)
   }
 
   test("vectorized cell polygons contain their centers and their points") {

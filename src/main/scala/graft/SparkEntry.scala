@@ -1015,6 +1015,40 @@ object SparkEntry {
         .select(col("cell"), col("n"), round(col("density"), 6).as("density"))
         .orderBy("cell")
     }),
+    "q81_geofence" -> ((s, dir) => {
+      // geofence enter/exit events along the q60 jittered tracks:
+      // fence boxes are centered ON the track centers of users 3 and
+      // 6 with a lat half-width (0.004 rad) INSIDE the jitter range
+      // (+-0.01 rad), so those tracks repeatedly cross the fence at
+      // every SF. Winding kernel + lag window vs the oracle's convex
+      // half-plane chain + identical window.
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
+          (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("lon", lonRad(col("user_id") * 13 + 1) * 0.97 +
+          (((col("event_id") * 40503L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("nv", geo.nvec(col("lat"), col("lon")))
+      graft.operators.SpatialJoins.geofenceTransitions(ev, "user_id",
+          "event_id", "nv", geofenceAois)
+        .orderBy("user_id", "aoi_id", "event_id")
+    }),
+    "q82_speed_flags" -> ((s, dir) => {
+      // implied-speed outlier flags over the same tracks (event_id as
+      // the time axis): great-circle step distance / id gap, flagged
+      // above 400 m per id unit; first fix null-speed unflagged.
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
+          (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("lon", lonRad(col("user_id") * 13 + 1) * 0.97 +
+          (((col("event_id") * 40503L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("nv", geo.nvec(col("lat"), col("lon")))
+        .withColumn("tsec", col("event_id").cast("double"))
+      graft.operators.Tracks.speedFlags(ev, "user_id", "tsec", "nv",
+          maxSpeedMps = 400.0)
+        .select(col("user_id"), col("event_id"),
+          round(col("speed_mps"), 6).as("speed_mps"), col("too_fast"))
+        .orderBy("user_id", "event_id")
+    }),
     "q79_track_dtw" -> ((s, dir) => {
       // dynamic-time-warping alignment cost for the same pair list as
       // q60/q76 — the SUM-along-coupling companion of Frechet. Same
@@ -1340,6 +1374,29 @@ object SparkEntry {
   private def nvecSqlConst(latDeg: Double, lonDeg: Double): (String, String, String) = {
     val n = graft.geo.Gade.latLonToNvec(math.toRadians(latDeg), math.toRadians(lonDeg))
     (fmt(n.x), fmt(n.y), fmt(n.z))
+  }
+
+  /** Fence boxes for q81, shared by the gate and its oracle: centered
+    * on the q60-track centers of users 3 and 6, lat half-width
+    * 0.004 rad (INSIDE the tracks' +-0.01 rad jitter, so the fence is
+    * crossed repeatedly at every SF), lon half-width 0.03 rad
+    * (outside it, so latitude drives the transitions). */
+  private lazy val geofenceAois: Seq[graft.operators.SpatialJoins.Aoi] = {
+    def center(uid: Long): (Double, Double) = {
+      val k = uid * 13 + 1
+      val u = (((k % 180001L) * (2654435761L % 180001L)) % 180001L) / 90000.5 - 1.0
+      val lonU = (((k % 360001L) * 40503L) % 360001L) / 180000.5 - 1.0
+      (math.asin(u) * 0.95, lonU * math.Pi * 0.97)
+    }
+    Seq(3L, 6L).map { uid =>
+      val (la, lo) = center(uid)
+      val (dla, dlo) = (0.004, 0.03)
+      graft.operators.SpatialJoins.Aoi(s"fence_u$uid", Seq(
+        (math.toDegrees(la - dla), math.toDegrees(lo - dlo)),
+        (math.toDegrees(la - dla), math.toDegrees(lo + dlo)),
+        (math.toDegrees(la + dla), math.toDegrees(lo + dlo)),
+        (math.toDegrees(la + dla), math.toDegrees(lo - dlo))))
+    }
   }
 
   /** Anti-diagonal recursive-CTE mirror of the track-pair DP kernels
@@ -2302,6 +2359,65 @@ object SparkEntry {
       // DTW kernels replayed as anti-diagonal recursive CTEs
       "q76_track_frechet" -> dpTrackOracleSql("greatest(c.d, min(w.val))", "frechet_m"),
       "q79_track_dtw" -> dpTrackOracleSql("c.d + min(w.val)", "dtw_m"),
+      // geofence transitions: inside flag per (point, fence) via the
+      // convex half-plane chain (equivalence with the engine's
+      // winding kernel is q15-pinned for convex boxes), then the
+      // identical lag window — enter on null-prev-inside or
+      // false->true, exit on true->false
+      "q81_geofence" -> {
+        def inzSql(a: graft.operators.SpatialJoins.Aoi): String = {
+          val vs = a.vertsN
+          vs.indices.map { i =>
+            val p = vs(i); val q = vs((i + 1) % vs.length)
+            val c = p cross q
+            s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
+          }.mkString("(", " AND ", ")")
+        }
+        val flags = geofenceAois.map { a =>
+          s"SELECT user_id, event_id, '${a.id}' AS aoi_id, ${inzSql(a)} AS inz FROM v"
+        }.mkString(" UNION ALL ")
+        s"""WITH p AS (SELECT user_id, event_id,
+           |   ${latSql("(user_id * 13 + 1)")} * 0.95
+           |     + (((event_id * 2654435761) % 4001) / 2000.0 - 1.0) * 0.01 AS lat,
+           |   ${lonSql("(user_id * 13 + 1)")} * 0.97
+           |     + (((event_id * 40503) % 4001) / 2000.0 - 1.0) * 0.01 AS lon FROM events),
+           | v AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx,
+           |   cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM p),
+           | f AS ($flags),
+           | lagged AS (SELECT user_id, event_id, aoi_id, inz,
+           |   lag(inz) OVER (PARTITION BY user_id, aoi_id ORDER BY event_id) AS previn FROM f)
+           | SELECT user_id, event_id, aoi_id,
+           |   CASE WHEN inz THEN 'enter' ELSE 'exit' END AS event
+           | FROM lagged
+           | WHERE (previn IS NULL AND inz) OR (previn IS NOT NULL AND previn <> inz)
+           | ORDER BY user_id, aoi_id, event_id""".stripMargin.replace("\n", " ")
+      },
+      // implied speed: identical lag window + the q07 great-circle
+      // contract divided by the id gap; first fix null speed,
+      // COALESCE(false) for the flag exactly as the engine
+      "q82_speed_flags" -> {
+        val gc =
+          """atan2(sqrt((py*nz - pz*ny)*(py*nz - pz*ny) + (pz*nx - px*nz)*(pz*nx - px*nz)
+            | + (px*ny - py*nx)*(px*ny - py*nx)), px*nx + py*ny + pz*nz)""".stripMargin.replace("\n", " ")
+        s"""WITH p AS (SELECT user_id, event_id,
+           |   ${latSql("(user_id * 13 + 1)")} * 0.95
+           |     + (((event_id * 2654435761) % 4001) / 2000.0 - 1.0) * 0.01 AS lat,
+           |   ${lonSql("(user_id * 13 + 1)")} * 0.97
+           |     + (((event_id * 40503) % 4001) / 2000.0 - 1.0) * 0.01 AS lon FROM events),
+           | v AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx,
+           |   cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM p),
+           | lagged AS (SELECT user_id, event_id, nx, ny, nz,
+           |   lag(nx) OVER w AS px, lag(ny) OVER w AS py, lag(nz) OVER w AS pz,
+           |   lag(CAST(event_id AS DOUBLE)) OVER w AS pt
+           |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+           | sp AS (SELECT user_id, event_id,
+           |   CASE WHEN px IS NULL THEN NULL
+           |     ELSE ($gc * ${fmt(graft.geo.Ellipsoids.MeanEarthRadius)})
+           |       / (CAST(event_id AS DOUBLE) - pt) END AS speed FROM lagged)
+           | SELECT user_id, event_id, round(speed, 6) AS speed_mps,
+           |   COALESCE(speed > 400.0, false) AS too_fast
+           | FROM sp ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+      },
       // grid KDE: counts per level-4 cell (q14/q59 cell-id mirror),
       // centers by the inverse face projection (dirOf CASE table),
       // then ALL-PAIRS within the cutoff — no ring arithmetic, so

@@ -609,4 +609,46 @@ object SpatialJoins {
             typedLit(a.flatVerts.toSeq)) * lit(radius))
     }.reduce(_ unionByName _)
   }
+
+  /** Geofence enter/exit events: for each (track, AOI), one row per
+    * containment TRANSITION along the time-ordered track — `enter`
+    * when the fence is entered (including a track whose first fix is
+    * already inside — the fence session has begun), `exit` when left;
+    * a track that ends inside emits no trailing exit (no later fix to
+    * anchor it). Null time / null position rows are dropped by
+    * contract (same convention as sessionize / the track operators).
+    *
+    * Scale shape: the inside flag is ONE winding-kernel call per
+    * (point, AOI) in a map-only projection over a broadcast literal
+    * AOI set (the operator is for named fence sets, not an AOI
+    * table — route big polygon TABLES through aoiJoin's cover join);
+    * the only shuffle is the window's (track, aoi) hash partition,
+    * carrying points x |aois| rows of (track, time, aoi_id, flag) —
+    * payload columns do not ride through the fan-out.
+    *
+    * @return (trackCol, timeCol, aoi_id, event) ordered rows per
+    *         window; event in {enter, exit}.
+    */
+  def geofenceTransitions(points: DataFrame, trackCol: String,
+                          timeCol: String, pointNvec: String,
+                          aois: Seq[Aoi]): DataFrame = {
+    require(aois.nonEmpty)
+    aois.foreach(_.validated) // winding-test hemisphere contract
+    val spark = points.sparkSession
+    import spark.implicits._
+    val vertsDf = broadcast(
+      aois.map(a => (a.id, a.flatVerts.toSeq)).toDF("aoi_id", "__verts"))
+    val w = Window.partitionBy(col(trackCol), col("aoi_id"))
+      .orderBy(col(timeCol))
+    points
+      .filter(col(timeCol).isNotNull && col(pointNvec).isNotNull)
+      .select(col(trackCol), col(timeCol), col(pointNvec))
+      .crossJoin(vertsDf)
+      .withColumn("__in", cells.pointInPolygon(col(pointNvec), col("__verts")))
+      .withColumn("__prev", lag(col("__in"), 1).over(w))
+      .filter((col("__prev").isNull && col("__in")) ||
+        (col("__prev").isNotNull && col("__prev") =!= col("__in")))
+      .select(col(trackCol), col(timeCol), col("aoi_id"),
+        when(col("__in"), lit("enter")).otherwise(lit("exit")).as("event"))
+  }
 }

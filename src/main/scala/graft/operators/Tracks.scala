@@ -733,6 +733,41 @@ object Tracks {
       .drop("__prev", "__next", "__from", "__to")
   }
 
+  /** Implied-speed outlier flagging — the standard GPS track-cleaning
+    * filter: each fix's speed is the great-circle distance from the
+    * PREVIOUS fix divided by the elapsed time, and fixes faster than
+    * `maxSpeedMps` are flagged (teleports from multipath / wrong-unit
+    * timestamps / identity mixups). The first fix of a track has no
+    * predecessor: null speed, never flagged. A duplicate timestamp is
+    * assigned +Infinity speed EXPLICITLY and flagged (loudly visible,
+    * and independent of spark.sql.ansi.enabled — the raw division
+    * would throw DIVIDE_BY_ZERO under ANSI, killing the job for one
+    * bad fix); null time/position rows are dropped as in the other
+    * track operators. Map-only except the one (track) window shuffle.
+    *
+    * @return input columns + speed_mps (double, null on first fix) +
+    *         too_fast (boolean, false on first fix).
+    */
+  def speedFlags(fixes: DataFrame, trackCol: String, tCol: String,
+                 nvecCol: String, maxSpeedMps: Double,
+                 sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius)
+      : DataFrame = {
+    require(maxSpeedMps > 0.0, s"maxSpeed must be > 0 (got $maxSpeedMps)")
+    val w = Window.partitionBy(trackCol).orderBy(tCol)
+    fixes
+      .filter(col(tCol).isNotNull && col(nvecCol).isNotNull)
+      .withColumn("__prev", lag(col(nvecCol), 1).over(w))
+      .withColumn("__pt", lag(col(tCol), 1).over(w))
+      .withColumn("speed_mps",
+        when(col("__prev").isNull, lit(null).cast("double"))
+          .when(col(tCol) === col("__pt"), lit(Double.PositiveInfinity))
+          .otherwise(geo.gcDistance(col("__prev"), col(nvecCol), sphereRadius)
+            / (col(tCol) - col("__pt"))))
+      .withColumn("too_fast",
+        coalesce(col("speed_mps") > maxSpeedMps, lit(false)))
+      .drop("__prev", "__pt")
+  }
+
   /** ANSI-SQL mirror of the not-a-knot cubic spline track
     * interpolation ([[notAKnotSplineM]] + [[splineEval]]) for the
     * DuckDB correctness oracle: the Thomas forward/backward sweeps run

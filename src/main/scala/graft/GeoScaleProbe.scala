@@ -106,6 +106,66 @@ object GeoScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       println(f"PROBE idw rows=$rows sec=$idwSec%.2f krows_per_sec=${rows / idwSec / 1000}%.0f")
+
+      // --- round-4 late additions ------------------------------------
+      // lat/lon back out of the unit n-vector (assign takes radians)
+      val ll = df
+        .withColumn("lat", asin(col("n.z")))
+        .withColumn("lon", atan2(col("n.y"), col("n.x")))
+      // web-mercator multi-zoom assignment: map-only, 9 rows out per
+      // row in (zooms 4..12); the probe measures the one-projection +
+      // shift/substring fan-out, the operator's whole cost model
+      val (_, tileSec) = time {
+        graft.index.WebMercator.assign(ll, "lat", "lon",
+            finest = 12, coarsest = 4)
+          .select("zoom", "tx", "ty", "qk")
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"PROBE tiles rows=$rows sec=$tileSec%.2f krows_per_sec=${rows / tileSec / 1000}%.0f")
+
+      // grid KDE at level 7 (98k cells, ~all occupied at 4M rows):
+      // one count shuffle + the 81-cell ring explode over CELL rows
+      val (kdeCells, kdeSec) = time {
+        val out = Raster.kdeDensity(df, "n", level = 7,
+          sigmaMeters = 50e3, cutoffMeters = 150e3)
+        out.count()
+      }
+      println(f"PROBE kde rows=$rows cells=$kdeCells sec=$kdeSec%.2f krows_per_sec=${rows / kdeSec / 1000}%.0f")
+
+      // tracks: 1024 tracks of rows/1024 points, id as the time axis
+      val tracks = ll.withColumn("tid", col("id") % 1024)
+      val fences = Seq(
+        SpatialJoins.Aoi("f1", Seq((-5.0, -5.0), (-5.0, 5.0), (5.0, 5.0), (5.0, -5.0))),
+        SpatialJoins.Aoi("f2", Seq((20.0, 60.0), (20.0, 80.0), (40.0, 80.0), (40.0, 60.0))),
+        SpatialJoins.Aoi("f3", Seq((-50.0, -120.0), (-50.0, -100.0), (-30.0, -100.0), (-30.0, -120.0))))
+      val (gfEvents, gfSec) = time {
+        SpatialJoins.geofenceTransitions(tracks, "tid", "id", "n", fences).count()
+      }
+      println(f"PROBE geofence rows=$rows events=$gfEvents sec=$gfSec%.2f krows_per_sec=${rows / gfSec / 1000}%.0f")
+
+      val (_, spdSec) = time {
+        operators.Tracks.speedFlags(tracks.withColumn("t", col("id").cast("double")),
+            "tid", "t", "n", maxSpeedMps = 1e6)
+          .select("tid", "t", "speed_mps", "too_fast")
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"PROBE speed rows=$rows sec=$spdSec%.2f krows_per_sec=${rows / spdSec / 1000}%.0f")
+
+      // DTW: 64 explicit pairs of ~rows/4096-point tracks — the probe
+      // scales the PAIR DP volume (sum |A|*|B|) linearly with rows^2 /
+      // 4096^2, so krows_per_sec is reported against DP cells
+      val dtwTracks = ll.withColumn("tid", col("id") % 4096)
+        .filter(col("tid") < 128)
+      val dtwPairs = spark.range(0, 64)
+        .select((col("id") * 2).as("a"), (col("id") * 2 + 1).as("b"))
+      val trackLen = rows / 4096
+      val dpCells = 64L * trackLen * trackLen
+      val (_, dtwSec) = time {
+        operators.TrajectoryDist.dtw(dtwTracks, "tid", "id", "n",
+            dtwPairs, "a", "b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"PROBE dtw rows=$rows pairs=64 track_len=$trackLen dp_cells=$dpCells sec=$dtwSec%.2f mcells_per_sec=${dpCells / dtwSec / 1e6}%.0f")
     }
     spark.stop()
   }

@@ -1015,6 +1015,19 @@ object SparkEntry {
         .select(col("cell"), col("n"), round(col("density"), 6).as("density"))
         .orderBy("cell")
     }),
+    "q83_tile_rollup" -> ((s, dir) => {
+      // XYZ tile-pyramid statistics (the q59 one-scan rollup pattern
+      // on the web-mercator index family): base aggregation at zoom 7
+      // only, coarser zooms re-aggregate AGGREGATES via tx>>1, ty>>1.
+      // Oracle recomputes each zoom directly from lat/lon — equality
+      // proves the shift rollup lossless zoom by zoom.
+      graft.index.WebMercator.rollup(
+          custPts(s, dir).select(col("lat"), col("lon"), col("c_acctbal")),
+          "lat", "lon", finest = 7, coarsest = 2, sumCols = Seq("c_acctbal"))
+        .select(col("zoom"), col("tx"), col("ty"), col("n").as("n_pts"),
+          round(col("c_acctbal_sum"), 4).as("bal_sum"))
+        .orderBy("zoom", "tx", "ty")
+    }),
     "q81_geofence" -> ((s, dir) => {
       // geofence enter/exit events along the q60 jittered tracks:
       // fence boxes are centered ON the track centers of users 3 and
@@ -2359,6 +2372,27 @@ object SparkEntry {
       // DTW kernels replayed as anti-diagonal recursive CTEs
       "q76_track_frechet" -> dpTrackOracleSql("greatest(c.d, min(w.val))", "frechet_m"),
       "q79_track_dtw" -> dpTrackOracleSql("c.d + min(w.val)", "dtw_m"),
+      // XYZ tile pyramid: direct per-zoom aggregation over the q78
+      // mercator fractions (incl. the pole-row CASE) — the engine
+      // only aggregates at zoom 7 and rolls up by shifts
+      "q83_tile_rollup" -> {
+        def zSql(z: Int): String = {
+          val n = 1L << z
+          s"""SELECT $z AS zoom,
+             | least(${n - 1}, greatest(0, CAST(floor(fx * $n) AS BIGINT))) AS tx,
+             | least(${n - 1}, greatest(0, CAST(floor(fy * $n) AS BIGINT))) AS ty,
+             | count(*) AS n_pts, round(sum(bal), 4) AS bal_sum
+             | FROM m GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+        }
+        s"""WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat,
+           |   ${lonSql("c_custkey")} AS lon, c_acctbal AS bal FROM customer),
+           | m AS (SELECT k, bal, lon / (2 * pi()) + 0.5 AS fx,
+           |   CASE WHEN tan(pi() / 4 + lat / 2) > 0
+           |     THEN 0.5 - ln(tan(pi() / 4 + lat / 2)) / (2 * pi())
+           |     ELSE 1e15 END AS fy FROM keyed)
+           | ${(2 to 7).map(zSql).mkString(" UNION ALL ")}
+           | ORDER BY zoom, tx, ty""".stripMargin.replace("\n", " ")
+      },
       // geofence transitions: inside flag per (point, fence) via the
       // convex half-plane chain (equivalence with the engine's
       // winding kernel is q15-pinned for convex boxes), then the

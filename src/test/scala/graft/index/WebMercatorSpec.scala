@@ -86,6 +86,35 @@ class WebMercatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup equals direct per-zoom aggregation at every zoom") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = (1L to 500L).map { i =>
+      (math.asin(2 * rnd(i * 3 + 1) - 1), math.Pi * (2 * rnd(i * 3 + 2) - 1),
+        rnd(i * 3 + 3))
+    }.toDF("lat", "lon", "v")
+    val got = WebMercator.rollup(df, "lat", "lon", finest = 9, coarsest = 3,
+        sumCols = Seq("v"))
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("zoom")), r.getLong(r.fieldIndex("tx")),
+        r.getLong(r.fieldIndex("ty"))) ->
+        (r.getLong(r.fieldIndex("n")), r.getDouble(r.fieldIndex("v_sum")))).toMap
+    for (z <- 3 to 9) {
+      val direct = df.groupBy(WebMercator.tileX(col("lon"), z).as("tx"),
+          WebMercator.tileY(col("lat"), z).as("ty"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .collect()
+        .map(r => (z, r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val atZ = got.filter(_._1._1 == z)
+      assert(atZ.keySet == direct.keySet, s"zoom $z tiles")
+      atZ.foreach { case (k, (n, sv)) =>
+        assert(direct(k)._1 == n, s"$k n")
+        assert(math.abs(direct(k)._2 - sv) <= 1e-9, s"$k sum")
+      }
+    }
+  }
+
   test("null coordinates drop from assign and null-propagate through tileX/tileY") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -34,6 +34,13 @@ object SparkEntry {
     asin((((k % 180001L) * lit(2654435761L % 180001L)) % 180001L) / 90000.5 - 1.0)
   private[graft] def lonRad(k: Column): Column =
     ((((k % 360001L) * lit(40503L)) % 360001L) / 180000.5 - 1.0) * math.Pi
+  // scalar twins of the SAME formula (keep all three forms — Column,
+  // SQL string, scalar — adjacent so none can drift alone); used by
+  // gate constants derived from generated positions (geofenceAois)
+  private[graft] def latRadScalar(k: Long): Double =
+    math.asin((((k % 180001L) * (2654435761L % 180001L)) % 180001L) / 90000.5 - 1.0)
+  private[graft] def lonRadScalar(k: Long): Double =
+    ((((k % 360001L) * 40503L) % 360001L) / 180000.5 - 1.0) * math.Pi
 
   private def latSql(k: String) =
     s"asin(((($k % 180001) * ${2654435761L % 180001L}) % 180001) / 90000.5 - 1.0)"
@@ -1021,7 +1028,7 @@ object SparkEntry {
       // only, coarser zooms re-aggregate AGGREGATES via tx>>1, ty>>1.
       // Oracle recomputes each zoom directly from lat/lon — equality
       // proves the shift rollup lossless zoom by zoom.
-      graft.index.WebMercator.rollup(
+      graft.operators.Pyramid.tileRollup(
           custPts(s, dir).select(col("lat"), col("lon"), col("c_acctbal")),
           "lat", "lon", finest = 7, coarsest = 2, sumCols = Seq("c_acctbal"))
         .select(col("zoom"), col("tx"), col("ty"), col("n").as("n_pts"),
@@ -1395,12 +1402,8 @@ object SparkEntry {
     * crossed repeatedly at every SF), lon half-width 0.03 rad
     * (outside it, so latitude drives the transitions). */
   private lazy val geofenceAois: Seq[graft.operators.SpatialJoins.Aoi] = {
-    def center(uid: Long): (Double, Double) = {
-      val k = uid * 13 + 1
-      val u = (((k % 180001L) * (2654435761L % 180001L)) % 180001L) / 90000.5 - 1.0
-      val lonU = (((k % 360001L) * 40503L) % 360001L) / 180000.5 - 1.0
-      (math.asin(u) * 0.95, lonU * math.Pi * 0.97)
-    }
+    def center(uid: Long): (Double, Double) =
+      (latRadScalar(uid * 13 + 1) * 0.95, lonRadScalar(uid * 13 + 1) * 0.97)
     Seq(3L, 6L).map { uid =>
       val (la, lo) = center(uid)
       val (dla, dlo) = (0.004, 0.03)

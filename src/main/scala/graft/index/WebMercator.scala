@@ -92,47 +92,6 @@ object WebMercator {
   def parentX(tx: Column, steps: Int = 1): Column = shiftright(tx, steps)
   def parentY(ty: Column, steps: Int = 1): Column = shiftright(ty, steps)
 
-  /** Tile-pyramid rollup over web-mercator tiles: per-tile row count
-    * (+ optional double sums) at EVERY zoom from `finest` down to
-    * `coarsest` — the per-tile statistics an XYZ tile service serves.
-    * Same shape as the cell-grid Pyramid.rollup: the data is scanned
-    * and shuffled ONCE at the finest zoom; every coarser zoom
-    * aggregates the PREVIOUS zoom's aggregates via the exact parent
-    * arithmetic (tx >> 1, ty >> 1) — shuffle volume above the base is
-    * bounded by tile counts (4^z), independent of input rows. Null
-    * lat/lon rows are dropped by the same contract as [[assign]].
-    *
-    * @return (zoom, tx, ty, n, <sum cols>) — one row per non-empty
-    *         tile per zoom.
-    */
-  def rollup(df: DataFrame, latCol: String, lonCol: String,
-             finest: Int, coarsest: Int = 0,
-             sumCols: Seq[String] = Nil): DataFrame = {
-    checkZoom(finest)
-    require(coarsest >= 0 && coarsest <= finest,
-      s"bad zoom range [$coarsest, $finest]")
-    val baseAggs = count(lit(1)).as("n") +:
-      sumCols.map(c => sum(col(c)).as(s"${c}_sum"))
-    var cur = df
-      .filter(col(latCol).isNotNull && col(lonCol).isNotNull)
-      .groupBy(tileX(col(lonCol), finest).as("tx"),
-        tileY(col(latCol), finest).as("ty"))
-      .agg(baseAggs.head, baseAggs.tail: _*)
-      .withColumn("zoom", lit(finest))
-    var out = cur
-    val rollAggs = sum("n").as("n") +:
-      sumCols.map(c => sum(s"${c}_sum").as(s"${c}_sum"))
-    for (z <- finest - 1 to coarsest by -1) {
-      cur = cur
-        .drop("zoom")
-        .groupBy(parentX(col("tx")).as("tx"), parentY(col("ty")).as("ty"))
-        .agg(rollAggs.head, rollAggs.tail: _*)
-        .withColumn("zoom", lit(z))
-      out = out.unionByName(cur)
-    }
-    out
-  }
-
   /** Multi-zoom tile assignment: one output row per input row per
     * zoom in [coarsest, finest], with columns (zoom, tx, ty, qk)
     * appended. The projection runs once at `finest`; coarser zooms

@@ -617,6 +617,11 @@ object SpatialJoins {
     * a track that ends inside emits no trailing exit (no later fix to
     * anchor it). Null time / null position rows are dropped by
     * contract (same convention as sessionize / the track operators).
+    * Duplicate timestamps order DETERMINISTICALLY outside-first (the
+    * window breaks time ties on the inside flag; equal-flag ties are
+    * interchangeable — no transition between them either way), so a
+    * tied in/out pair always reads as ending INSIDE and the output is
+    * stable across runs and engines.
     *
     * Scale shape: the inside flag is ONE winding-kernel call per
     * (point, AOI) in a map-only projection over a broadcast literal
@@ -639,7 +644,7 @@ object SpatialJoins {
     val vertsDf = broadcast(
       aois.map(a => (a.id, a.flatVerts.toSeq)).toDF("aoi_id", "__verts"))
     val w = Window.partitionBy(col(trackCol), col("aoi_id"))
-      .orderBy(col(timeCol))
+      .orderBy(col(timeCol), col("__in"))
     points
       .filter(col(timeCol).isNotNull && col(pointNvec).isNotNull)
       .select(col(trackCol), col(timeCol), col(pointNvec))

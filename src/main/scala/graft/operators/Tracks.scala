@@ -742,8 +742,12 @@ object Tracks {
     * assigned +Infinity speed EXPLICITLY and flagged (loudly visible,
     * and independent of spark.sql.ansi.enabled — the raw division
     * would throw DIVIDE_BY_ZERO under ANSI, killing the job for one
-    * bad fix); null time/position rows are dropped as in the other
-    * track operators. Map-only except the one (track) window shuffle.
+    * bad fix); the window breaks time ties on the position components
+    * so WHICH duplicate reads as first — and the speed of the fix
+    * after the pair — is deterministic across runs, not left to
+    * partition order; null time/position rows are dropped as in the
+    * other track operators. Map-only except the one (track) window
+    * shuffle.
     *
     * @return input columns + speed_mps (double, null on first fix) +
     *         too_fast (boolean, false on first fix).
@@ -753,7 +757,8 @@ object Tracks {
                  sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius)
       : DataFrame = {
     require(maxSpeedMps > 0.0, s"maxSpeed must be > 0 (got $maxSpeedMps)")
-    val w = Window.partitionBy(trackCol).orderBy(tCol)
+    val w = Window.partitionBy(trackCol).orderBy(col(tCol),
+      col(s"$nvecCol.x"), col(s"$nvecCol.y"), col(s"$nvecCol.z"))
     fixes
       .filter(col(tCol).isNotNull && col(nvecCol).isNotNull)
       .withColumn("__prev", lag(col(nvecCol), 1).over(w))

@@ -93,8 +93,8 @@ class WebMercatorSpec extends AnyFunSuite {
       (math.asin(2 * rnd(i * 3 + 1) - 1), math.Pi * (2 * rnd(i * 3 + 2) - 1),
         rnd(i * 3 + 3))
     }.toDF("lat", "lon", "v")
-    val got = WebMercator.rollup(df, "lat", "lon", finest = 9, coarsest = 3,
-        sumCols = Seq("v"))
+    val got = graft.operators.Pyramid.tileRollup(df, "lat", "lon",
+        finest = 9, coarsest = 3, sumCols = Seq("v"))
       .collect()
       .map(r => (r.getInt(r.fieldIndex("zoom")), r.getLong(r.fieldIndex("tx")),
         r.getLong(r.fieldIndex("ty"))) ->

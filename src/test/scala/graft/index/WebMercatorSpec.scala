@@ -134,6 +134,15 @@ class WebMercatorSpec extends AnyFunSuite {
     assert(r(2).isNullAt(0), "null lon must not produce a tile column")
   }
 
+  test("assign plan is map-only (no exchange) — the 100 TB contract") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val plan = WebMercator.assign(
+        Seq((1L, 0.3, 0.4)).toDF("k", "lat", "lon"), "lat", "lon", 10, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("zoom 0 is the single world tile with empty quadkey") {
     val spark = SparkTestSession.spark
     import spark.implicits._

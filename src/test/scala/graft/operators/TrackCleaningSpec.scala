@@ -51,6 +51,21 @@ class TrackCleaningSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 3L, "box", "enter"), (3L, 0L, "far", "enter")))
   }
 
+  test("geofence and speed plans carry exactly one hash shuffle (the window)") {
+    val pts = Seq((1L, 0.0, 0.5, 0.5), (1L, 1.0, 0.6, 0.5))
+      .toDF("tid", "t", "latd", "lond")
+      .withColumn("nv", geo.nvecDeg(col("latd"), col("lond")))
+    val gfPlan = SpatialJoins.geofenceTransitions(pts, "tid", "t", "nv", Seq(fence))
+      .queryExecution.executedPlan.toString
+    assert(gfPlan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, gfPlan)
+    assert(!gfPlan.contains("CartesianProduct"), gfPlan)
+    val spPlan = Tracks.speedFlags(pts, "tid", "t", "nv", 100.0)
+      .queryExecution.executedPlan.toString
+    assert(spPlan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, spPlan)
+  }
+
   test("speed flags equal scalar reference; first fix null; duplicate timestamp flags") {
     val R = graft.geo.Ellipsoids.MeanEarthRadius
     val pts = Seq(

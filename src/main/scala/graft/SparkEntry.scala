@@ -1022,6 +1022,19 @@ object SparkEntry {
         .select(col("cell"), col("n"), round(col("density"), 6).as("density"))
         .orderBy("cell")
     }),
+    "q84_geohash" -> ((s, dir) => {
+      // geohash addressing (precision 7 = 35 bits: 18 lon + 17 lat)
+      // plus the raw axis indexes: the closed floor-of-fraction form
+      // vs the oracle's identical arithmetic with the bit interleave
+      // and base-32 mapping unrolled in SQL. Full-range lats exercise
+      // the pole clamp; spec separately pins the closed form against
+      // the textbook bisection loop.
+      custPts(s, dir).select(col("c_custkey").as("k"),
+          graft.index.Geohash.encode(col("lat"), col("lon"), 7).as("gh"),
+          graft.index.Geohash.lonIdx(col("lon"), 18).as("lon_idx"),
+          graft.index.Geohash.latIdx(col("lat"), 17).as("lat_idx"))
+        .orderBy("k")
+    }),
     "q83_tile_rollup" -> ((s, dir) => {
       // XYZ tile-pyramid statistics (the q59 one-scan rollup pattern
       // on the web-mercator index family): base aggregation at zoom 7
@@ -2375,6 +2388,28 @@ object SparkEntry {
       // DTW kernels replayed as anti-diagonal recursive CTEs
       "q76_track_frechet" -> dpTrackOracleSql("greatest(c.d, min(w.val))", "frechet_m"),
       "q79_track_dtw" -> dpTrackOracleSql("c.d + min(w.val)", "dtw_m"),
+      // geohash: the same floor-of-fraction axis indexes, then the
+      // bit interleave and base-32 alphabet unrolled character by
+      // character — byte-for-byte string equality across engines
+      "q84_geohash" -> {
+        val p = 7; val nlon = 18; val nlat = 17
+        def bitSql(k: Int): String =
+          if (k % 2 == 0) s"((lon_idx >> ${nlon - 1 - k / 2}) & 1)"
+          else s"((lat_idx >> ${nlat - 1 - (k - 1) / 2}) & 1)"
+        val chars = (0 until p).map { c =>
+          val v = (0 until 5).map(j =>
+            s"${bitSql(5 * c + j)} * ${1L << (4 - j)}").mkString(" + ")
+          s"substr('${graft.index.Geohash.Alphabet}', CAST(($v) AS INT) + 1, 1)"
+        }.mkString(" || ")
+        s"""WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat,
+           |   ${lonSql("c_custkey")} AS lon FROM customer),
+           | idx AS (SELECT k,
+           |   least(${(1L << nlon) - 1}, greatest(0, CAST(floor((lon / (2 * pi()) + 0.5) * ${1L << nlon}) AS BIGINT))) AS lon_idx,
+           |   least(${(1L << nlat) - 1}, greatest(0, CAST(floor((lat / pi() + 0.5) * ${1L << nlat}) AS BIGINT))) AS lat_idx
+           |  FROM keyed)
+           | SELECT k, $chars AS gh, lon_idx, lat_idx FROM idx
+           | ORDER BY k""".stripMargin.replace("\n", " ")
+      },
       // XYZ tile pyramid: direct per-zoom aggregation over the q78
       // mercator fractions (incl. the pole-row CASE) — the engine
       // only aggregates at zoom 7 and rolls up by shifts

@@ -57,8 +57,8 @@ object WebMercator {
 
   /** Clamp to [0, n). Spark's greatest/least SKIP nulls (a null raw
     * index would silently clamp to tile 0), so null propagates
-    * explicitly: null in, null out. */
-  private def clampIdx(raw: Column, n: Long): Column =
+    * explicitly: null in, null out. Shared with [[Geohash]]. */
+  private[index] def clampIdx(raw: Column, n: Long): Column =
     when(raw.isNull, lit(null).cast("long"))
       .otherwise(least(lit(n - 1), greatest(lit(0L), raw.cast("long"))))
 

@@ -757,8 +757,9 @@ object Tracks {
                  sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius)
       : DataFrame = {
     require(maxSpeedMps > 0.0, s"maxSpeed must be > 0 (got $maxSpeedMps)")
-    val w = Window.partitionBy(trackCol).orderBy(col(tCol),
-      col(s"$nvecCol.x"), col(s"$nvecCol.y"), col(s"$nvecCol.z"))
+    // struct ordering is field-by-field in declaration order, so the
+    // nvec column itself is the deterministic position tie-break
+    val w = Window.partitionBy(trackCol).orderBy(col(tCol), col(nvecCol))
     fixes
       .filter(col(tCol).isNotNull && col(nvecCol).isNotNull)
       .withColumn("__prev", lag(col(nvecCol), 1).over(w))

@@ -81,6 +81,28 @@ class GeohashSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeDeg matches the bisection loop ON exact dyadic-degree boundaries") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // boundary inputs 180*k/2^n (e.g. -84.375 at nlat=5) round BELOW
+    // the boundary through the radian form; the degree form divides
+    // by 180/360 exactly and must match the bisection loop bit-for-bit
+    for (p <- Seq(2, 5, 8)) {
+      val nlat = 5 * p / 2; val nlon = (5 * p + 1) / 2
+      val pts = (1 to 40).map { i =>
+        val kLat = (i * 7) % (1 << nlat)
+        val kLon = (i * 11) % (1 << nlon)
+        (-90.0 + 180.0 * kLat / (1 << nlat), -180.0 + 360.0 * kLon / (1 << nlon))
+      } :+ (-84.375, 10.0)
+      val got = pts.toDF("lat", "lon")
+        .select(Geohash.encodeDeg(col("lat"), col("lon"), p).as("gh"))
+        .collect().map(_.getString(0))
+      pts.zip(got).foreach { case ((la, lo), gh) =>
+        assert(gh == refGeohash(la, lo, p), s"p=$p boundary ($la, $lo)")
+      }
+    }
+  }
+
   test("edges clamp and nulls propagate") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -1022,6 +1022,34 @@ object SparkEntry {
         .select(col("cell"), col("n"), round(col("density"), 6).as("density"))
         .orderBy("cell")
     }),
+    "q85_tile_decode" -> ((s, dir) => {
+      // the mercator family's DECODE side: quadkey parsed back to
+      // (tx, ty) — must round-trip the q78 encode — and tile bounds
+      // by the inverse projection, with a containment check for
+      // non-clamped rows (rows beyond +-85.051 deg sit inside the
+      // edge tile but outside its nominal mercator bounds -> null).
+      val z = 8
+      val maxLat = math.atan(math.sinh(math.Pi))
+      val pts = custPts(s, dir)
+        .select(col("c_custkey").as("k"), col("lat"), col("lon"))
+        .withColumn("tx", graft.index.WebMercator.tileX(col("lon"), z))
+        .withColumn("ty", graft.index.WebMercator.tileY(col("lat"), z))
+        .withColumn("rt", graft.index.WebMercator.quadkeyToXY(
+          graft.index.WebMercator.quadkey(col("tx"), col("ty"), z), z))
+        .withColumn("b", graft.index.WebMercator.tileBounds(col("tx"), col("ty"), z))
+      pts.select(col("k"), col("tx"), col("ty"),
+          col("rt.tx").as("tx2"), col("rt.ty").as("ty2"),
+          round(col("b.lat_n"), 9).as("lat_n"), round(col("b.lat_s"), 9).as("lat_s"),
+          round(col("b.lon_w"), 9).as("lon_w"), round(col("b.lon_e"), 9).as("lon_e"),
+          // 1/0/-1 instead of a nullable boolean: the driver's pandas
+          // compare reads DuckDB null booleans as NaN and mismatches
+          when(abs(col("lat")) < maxLat,
+            (col("lat") <= col("b.lat_n") && col("lat") >= col("b.lat_s") &&
+              col("lon") >= col("b.lon_w") && col("lon") <= col("b.lon_e"))
+              .cast("int"))
+            .otherwise(lit(-1)).as("contained"))
+        .orderBy("k")
+    }),
     "q84_geohash" -> ((s, dir) => {
       // geohash addressing (precision 7 = 35 bits: 18 lon + 17 lat)
       // plus the raw axis indexes: the closed floor-of-fraction form
@@ -2388,6 +2416,44 @@ object SparkEntry {
       // DTW kernels replayed as anti-diagonal recursive CTEs
       "q76_track_frechet" -> dpTrackOracleSql("greatest(c.d, min(w.val))", "frechet_m"),
       "q79_track_dtw" -> dpTrackOracleSql("c.d + min(w.val)", "dtw_m"),
+      // tile decode: the oracle re-encodes tiles (q78 arithmetic),
+      // builds the quadkey STRING, parses it back digit-by-digit, and
+      // inverts the projection for bounds — round-trip and
+      // containment both machine-checked cross-engine
+      "q85_tile_decode" -> {
+        val z = 8; val n = 1L << z
+        val maxLat = math.atan(math.sinh(math.Pi))
+        val qk = (1 to z).map { i =>
+          val s = z - i
+          s"CAST(((tx >> $s) & 1) + ((ty >> $s) & 1) * 2 AS VARCHAR)"
+        }.mkString(" || ")
+        def parse(bit: String => String): String = (1 to z).map { i =>
+          s"((${bit(s"CAST(substr(qk, $i, 1) AS BIGINT)")}) << ${z - i})"
+        }.mkString(" + ")
+        def latEdge(row: String): String =
+          s"atan((exp(pi() * (1.0 - $row * ${fmt(2.0 / n)})) - exp(-(pi() * (1.0 - $row * ${fmt(2.0 / n)})))) / 2)"
+        s"""WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat,
+           |   ${lonSql("c_custkey")} AS lon FROM customer),
+           | m AS (SELECT k, lat, lon, lon / (2 * pi()) + 0.5 AS fx,
+           |   CASE WHEN tan(pi() / 4 + lat / 2) > 0
+           |     THEN 0.5 - ln(tan(pi() / 4 + lat / 2)) / (2 * pi())
+           |     ELSE 1e15 END AS fy FROM keyed),
+           | t AS (SELECT k, lat, lon,
+           |   least(${n - 1}, greatest(0, CAST(floor(fx * $n) AS BIGINT))) AS tx,
+           |   least(${n - 1}, greatest(0, CAST(floor(fy * $n) AS BIGINT))) AS ty FROM m),
+           | q AS (SELECT *, $qk AS qk FROM t),
+           | d AS (SELECT *, ${parse(d => s"($d & 1)")} AS tx2, ${parse(d => s"($d >> 1)")} AS ty2,
+           |   ${latEdge("ty")} AS blat_n, ${latEdge("(ty + 1)")} AS blat_s,
+           |   tx / ${fmt(n.toDouble)} * (2 * pi()) - pi() AS blon_w,
+           |   (tx + 1) / ${fmt(n.toDouble)} * (2 * pi()) - pi() AS blon_e FROM q)
+           | SELECT k, tx, ty, tx2, ty2,
+           |   round(blat_n, 9) AS lat_n, round(blat_s, 9) AS lat_s,
+           |   round(blon_w, 9) AS lon_w, round(blon_e, 9) AS lon_e,
+           |   CASE WHEN abs(lat) < ${fmt(maxLat)}
+           |     THEN CAST(lat <= blat_n AND lat >= blat_s AND lon >= blon_w AND lon <= blon_e AS INT)
+           |     ELSE -1 END AS contained
+           | FROM d ORDER BY k""".stripMargin.replace("\n", " ")
+      },
       // geohash: the same floor-of-fraction axis indexes, then the
       // bit interleave and base-32 alphabet unrolled character by
       // character — byte-for-byte string equality across engines

@@ -92,6 +92,44 @@ object WebMercator {
   def parentX(tx: Column, steps: Int = 1): Column = shiftright(tx, steps)
   def parentY(ty: Column, steps: Int = 1): Column = shiftright(ty, steps)
 
+  /** Inverse quadkey: (tx, ty) back out of a `zoom`-character quadkey
+    * string (the exact inverse of [[quadkey]], digit = x-bit + 2*y-bit
+    * MSB first) as a struct (tx, ty). Null quadkey -> null struct;
+    * unrolled per character, so zoom is static like everywhere else. */
+  def quadkeyToXY(qk: Column, zoom: Int): Column = {
+    checkZoom(zoom)
+    // digit d at position i contributes ((d & 1) for x, (d >> 1) for y)
+    // shifted by (zoom - i)
+    val terms = (1 to zoom).map { i =>
+      val d = substring(qk, i, 1).cast("long")
+      (shiftleft(d.bitwiseAND(lit(1L)), zoom - i),
+        shiftleft(shiftright(d, 1), zoom - i))
+    }
+    val tx = if (zoom == 0) lit(0L) else terms.map(_._1).reduce(_ + _)
+    val ty = if (zoom == 0) lit(0L) else terms.map(_._2).reduce(_ + _)
+    struct(tx.as("tx"), ty.as("ty"))
+  }
+
+  /** Tile bounds in RADIANS as a struct (lat_n, lat_s, lon_w, lon_e):
+    * the inverse projection of the tile edges — lon edges are linear,
+    * lat edges are atan(sinh(pi * (1 - 2*row/2^z))). NOTE these are
+    * the MERCATOR-frame edges: rows clamped from beyond +-85.051 deg
+    * (atan(sinh(pi))) lie inside the edge tile but outside its
+    * nominal bounds. */
+  def tileBounds(tx: Column, ty: Column, zoom: Int): Column = {
+    checkZoom(zoom)
+    val n = (1L << zoom).toDouble
+    def latEdge(row: Column): Column = {
+      val t = lit(math.Pi) * (lit(1.0) - row * (2.0 / n))
+      atan((exp(t) - exp(-t)) / 2)
+    }
+    struct(
+      latEdge(ty.cast("double")).as("lat_n"),
+      latEdge((ty + 1).cast("double")).as("lat_s"),
+      (tx.cast("double") / n * (2 * math.Pi) - math.Pi).as("lon_w"),
+      ((tx + 1).cast("double") / n * (2 * math.Pi) - math.Pi).as("lon_e"))
+  }
+
   /** Multi-zoom tile assignment: one output row per input row per
     * zoom in [coarsest, finest], with columns (zoom, tx, ty, qk)
     * appended. The projection runs once at `finest`; coarser zooms

@@ -134,6 +134,45 @@ class WebMercatorSpec extends AnyFunSuite {
     assert(r(2).isNullAt(0), "null lon must not produce a tile column")
   }
 
+  test("quadkey round-trips through quadkeyToXY; bounds contain their points") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val maxLat = math.atan(math.sinh(math.Pi))
+    val pts = (1L to 300L).map { i =>
+      (i, math.asin(2 * rnd(i * 17 + 3) - 1), math.Pi * (2 * rnd(i * 17 + 4) - 1))
+    }
+    val z = 9
+    val df = pts.toDF("k", "lat", "lon")
+      .withColumn("tx", WebMercator.tileX(col("lon"), z))
+      .withColumn("ty", WebMercator.tileY(col("lat"), z))
+      .withColumn("qk", WebMercator.quadkey(col("tx"), col("ty"), z))
+      .withColumn("rt", WebMercator.quadkeyToXY(col("qk"), z))
+      .withColumn("b", WebMercator.tileBounds(col("tx"), col("ty"), z))
+    val rows = df.collect()
+    rows.foreach { r =>
+      // decode is the exact inverse of encode
+      assert(r.getAs[Long]("tx") == r.getStruct(r.fieldIndex("rt")).getLong(0), r)
+      assert(r.getAs[Long]("ty") == r.getStruct(r.fieldIndex("rt")).getLong(1), r)
+      val (lat, lon) = (r.getAs[Double]("lat"), r.getAs[Double]("lon"))
+      val b = r.getStruct(r.fieldIndex("b"))
+      val (latN, latS, lonW, lonE) =
+        (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      assert(latN > latS && lonE > lonW, r)
+      // non-clamped points sit inside their tile's mercator bounds
+      if (math.abs(lat) < maxLat - 1e-9) {
+        assert(lat <= latN + 1e-12 && lat >= latS - 1e-12, s"$lat not in [$latS, $latN]")
+        assert(lon >= lonW - 1e-12 && lon <= lonE + 1e-12, s"$lon not in [$lonW, $lonE]")
+      }
+    }
+    // zoom 0: the world tile spans the full mercator frame
+    val w = Seq((0L, 0L)).toDF("tx", "ty")
+      .select(WebMercator.tileBounds(col("tx"), col("ty"), 0)).head.getStruct(0)
+    assert(math.abs(w.getDouble(0) - maxLat) < 1e-12)
+    assert(math.abs(w.getDouble(1) + maxLat) < 1e-12)
+    assert(math.abs(w.getDouble(2) + math.Pi) < 1e-12)
+    assert(math.abs(w.getDouble(3) - math.Pi) < 1e-12)
+  }
+
   test("assign plan is map-only (no exchange) — the 100 TB contract") {
     val spark = SparkTestSession.spark
     import spark.implicits._

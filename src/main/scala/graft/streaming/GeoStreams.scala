@@ -106,6 +106,73 @@ object GeoStreams {
       }
   }
 
+  final case class FenceFix(track: Long, aoi: String, t: Double, inz: Boolean)
+  final case class FenceState(t: Double, in: Boolean)
+  final case class FenceEvent(track: Long, t: Double, aoi_id: String, event: String)
+
+  /** Streaming geofence enter/exit events — the streaming form of
+    * [[graft.operators.SpatialJoins.geofenceTransitions]] for the
+    * monotone-feed case (fixes per track arrive in time order; the
+    * batch operator remains the replay/backfill path). The winding
+    * inside-test runs map-only against the broadcast literal fence
+    * set BEFORE keying, so state is ONE (t, inside) pair per
+    * (track, fence): enter on first-seen-inside or outside->inside,
+    * exit on inside->outside; cross-batch stragglers (t at or before
+    * the carried state's t) are dropped exactly as in
+    * [[courseOverGroundStream]], and the same opt-in `idleTimeout`
+    * expires dead tracks' state.
+    */
+  def geofenceStream(stream: DataFrame, trackCol: String, tCol: String,
+                     nvecCol: String,
+                     aois: Seq[graft.operators.SpatialJoins.Aoi],
+                     idleTimeout: Option[String] = None): Dataset[FenceEvent] = {
+    require(aois.nonEmpty)
+    aois.foreach(_.validated)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val vertsDf = broadcast(
+      aois.map(a => (a.id, a.flatVerts.toSeq)).toDF("__aoi", "__verts"))
+    stream.select(col(trackCol).cast("long").as("track"),
+        col(tCol).cast("double").as("t"), col(nvecCol).as("__n"))
+      .filter(col("t").isNotNull && col("__n").isNotNull)
+      .crossJoin(vertsDf)
+      .select(col("track"), col("__aoi").as("aoi"), col("t"),
+        graft.index.cells.pointInPolygon(col("__n"), col("__verts")).as("inz"))
+      .as[FenceFix]
+      .groupByKey(f => (f.track, f.aoi))
+      .flatMapGroupsWithState[FenceState, FenceEvent](
+        OutputMode.Append(), timeoutConf) {
+        (key: (Long, String), fixes: Iterator[FenceFix],
+         state: GroupState[FenceState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = fixes.toArray.sortBy(_.t)
+            var last = state.getOption
+            val out = sorted.iterator.flatMap { f =>
+              if (last.exists(_.t >= f.t)) Iterator.empty
+              else {
+                val ev =
+                  if (last.forall(!_.in) && f.inz)
+                    Iterator(FenceEvent(key._1, f.t, key._2, "enter"))
+                  else if (last.exists(_.in) && !f.inz)
+                    Iterator(FenceEvent(key._1, f.t, key._2, "exit"))
+                  else Iterator.empty
+                last = Some(FenceState(f.t, f.inz))
+                ev
+              }
+            }.toVector
+            last.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** STREAM-STREAM distance join: all (left, right) pairs within
     * `radiusMeters` great-circle distance AND `maxTimeDiff` event
     * time of each other. The batch candidate->verify pattern

@@ -330,6 +330,42 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(math.abs(rows(0)._3 - batchAz) < 1e-12)
   }
 
+  test("streaming geofence keeps per-(track,fence) state across batches and replays like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fence = graft.operators.SpatialJoins.Aoi("box",
+      Seq((-1.0, -1.0), (-1.0, 1.0), (1.0, 1.0), (1.0, -1.0)))
+    val input = MemoryStream[(Long, Double, Double, Double)]
+    val df = input.toDF().toDF("track", "t", "latd", "lond")
+      .withColumn("n", geo.nvecDeg(col("latd"), col("lond")))
+    val evs = GeoStreams.geofenceStream(df, "track", "t", "n", Seq(fence))
+    val q = evs.writeStream.format("memory").queryName("gf_out")
+      .outputMode("append").start()
+    // batch 1: track 1 out->in (enter@1); track 2 starts INSIDE (enter@0)
+    input.addData((1L, 0.0, 5.0, 0.0), (1L, 1.0, 0.2, 0.0), (2L, 0.0, 0.0, 0.0))
+    q.processAllAvailable()
+    // batch 2: track 1 exits, relying on the carried inside state;
+    // track 2 stays in (no event); a t=0.5 STRAGGLER for track 1
+    // (inside) must be dropped, not emit a bogus exit/enter pair
+    input.addData((1L, 2.0, 3.0, 0.0), (1L, 0.5, 0.1, 0.0), (2L, 1.0, 0.3, 0.3))
+    q.processAllAvailable()
+    val got = spark.table("gf_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    q.stop()
+    assert(got == Seq((1L, 1.0, "enter"), (1L, 2.0, "exit"), (2L, 0.0, "enter")))
+    // batch replay equality on the ordered (non-straggler) feed
+    val replay = Seq((1L, 0.0, 5.0, 0.0), (1L, 1.0, 0.2, 0.0), (1L, 2.0, 3.0, 0.0),
+        (2L, 0.0, 0.0, 0.0), (2L, 1.0, 0.3, 0.3))
+      .toDF("track", "t", "latd", "lond")
+      .withColumn("n", geo.nvecDeg(col("latd"), col("lond")))
+    val batch = graft.operators.SpatialJoins
+      .geofenceTransitions(replay, "track", "t", "n", Seq(fence))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(batch == got)
+  }
+
   test("streaming windowed cell counts with mean position") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

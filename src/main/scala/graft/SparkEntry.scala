@@ -1022,6 +1022,20 @@ object SparkEntry {
         .select(col("cell"), col("n"), round(col("density"), 6).as("density"))
         .orderBy("cell")
     }),
+    "q86_od_flows" -> ((s, dir) => {
+      // origin-destination flow matrix over the q60 jittered tracks:
+      // consecutive fixes whose level-4 cells differ contribute one
+      // trip. Oracle replays the cell arithmetic + lag window + group
+      // relationally.
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
+          (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("lon", lonRad(col("user_id") * 13 + 1) * 0.97 +
+          (((col("event_id") * 40503L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("nv", geo.nvec(col("lat"), col("lon")))
+      graft.operators.Tracks.cellFlows(ev, "user_id", "event_id", "nv", level = 4)
+        .orderBy("from_cell", "to_cell")
+    }),
     "q85_tile_decode" -> ((s, dir) => {
       // the mercator family's DECODE side: quadkey parsed back to
       // (tx, ty) — must round-trip the q78 encode — and tile bounds
@@ -2416,6 +2430,37 @@ object SparkEntry {
       // DTW kernels replayed as anti-diagonal recursive CTEs
       "q76_track_frechet" -> dpTrackOracleSql("greatest(c.d, min(w.val))", "frechet_m"),
       "q79_track_dtw" -> dpTrackOracleSql("c.d + min(w.val)", "dtw_m"),
+      // OD flows: jittered-track cells at level 4 (q14/q59 cell-id
+      // arithmetic), lag per track, count distinct-cell transitions
+      "q86_od_flows" -> {
+        val scale = 16; val lvl = 4
+        s"""WITH p AS (SELECT user_id, event_id,
+           |   ${latSql("(user_id * 13 + 1)")} * 0.95
+           |     + (((event_id * 2654435761) % 4001) / 2000.0 - 1.0) * 0.01 AS lat,
+           |   ${lonSql("(user_id * 13 + 1)")} * 0.97
+           |     + (((event_id * 40503) % 4001) / 2000.0 - 1.0) * 0.01 AS lon FROM events),
+           | v AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx,
+           |   cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM p),
+           | faced AS (SELECT user_id, event_id, nx, ny, nz,
+           |  CASE WHEN abs(nx) >= abs(ny) AND abs(nx) >= abs(nz) THEN (CASE WHEN nx >= 0 THEN 0 ELSE 1 END)
+           |       WHEN abs(ny) >= abs(nz) THEN (CASE WHEN ny >= 0 THEN 2 ELSE 3 END)
+           |       ELSE (CASE WHEN nz >= 0 THEN 4 ELSE 5 END) END AS face FROM v),
+           | uv AS (SELECT user_id, event_id, face,
+           |  CASE face WHEN 0 THEN ny/nx WHEN 1 THEN nz/(-nx) WHEN 2 THEN nz/ny
+           |            WHEN 3 THEN nx/(-ny) WHEN 4 THEN nx/nz ELSE ny/(-nz) END AS u,
+           |  CASE face WHEN 0 THEN nz/nx WHEN 1 THEN ny/(-nx) WHEN 2 THEN nx/ny
+           |            WHEN 3 THEN nz/(-ny) WHEN 4 THEN ny/nz ELSE nx/(-nz) END AS v FROM faced),
+           | cellrows AS (SELECT user_id, event_id,
+           |   face * 144115188075855872 + $lvl * 4503599627370496
+           |   + least(${scale - 1}, greatest(0, CAST(floor((u + 1.0) * 0.5 * $scale) AS BIGINT))) * 67108864
+           |   + least(${scale - 1}, greatest(0, CAST(floor((v + 1.0) * 0.5 * $scale) AS BIGINT))) AS cell
+           |  FROM uv),
+           | lagged AS (SELECT cell,
+           |   lag(cell) OVER (PARTITION BY user_id ORDER BY event_id) AS prev FROM cellrows)
+           | SELECT prev AS from_cell, cell AS to_cell, count(*) AS n_trips
+           | FROM lagged WHERE prev IS NOT NULL AND prev <> cell
+           | GROUP BY 1, 2 ORDER BY from_cell, to_cell""".stripMargin.replace("\n", " ")
+      },
       // tile decode: the oracle re-encodes tiles (q78 arithmetic),
       // builds the quadkey STRING, parses it back digit-by-digit, and
       // inverts the projection for bounds — round-trip and

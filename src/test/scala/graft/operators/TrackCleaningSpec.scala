@@ -66,6 +66,30 @@ class TrackCleaningSpec extends AnyFunSuite {
       .count(_ == "Exchange hashpartitioning") == 1, spPlan)
   }
 
+  test("cell flows count consecutive distinct-cell transitions, dwell excluded") {
+    // level-2 cells: (0,0) and (0,90) sit on different cube faces;
+    // consecutive same-cell fixes are dwell. Track 1: A A B A ->
+    // A->B, B->A. Track 2: all in A -> no flows. Null-time dropped.
+    val pts = Seq(
+      (1L, Some(0.0), 0.0, 0.0), (1L, Some(1.0), 0.2, 0.2),
+      (1L, Some(2.0), 0.0, 90.0), (1L, Some(3.0), 0.0, 0.0),
+      (1L, None, 0.0, 90.0),
+      (2L, Some(0.0), 0.1, 0.1), (2L, Some(1.0), 0.3, 0.3))
+      .toDF("tid", "t", "latd", "lond")
+      .withColumn("nv", geo.nvecDeg(col("latd"), col("lond")))
+    val a = graft.index.CellIndex.cellAt(
+      Gade.latLonToNvec(0, 0).x, Gade.latLonToNvec(0, 0).y,
+      Gade.latLonToNvec(0, 0).z, 2)
+    val b = {
+      val v = Gade.latLonToNvec(0, math.toRadians(90))
+      graft.index.CellIndex.cellAt(v.x, v.y, v.z, 2)
+    }
+    assert(a != b)
+    val got = Tracks.cellFlows(pts, "tid", "t", "nv", level = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((a, b) -> 1L, (b, a) -> 1L), got)
+  }
+
   test("speed flags equal scalar reference; first fix null; duplicate timestamp flags") {
     val R = graft.geo.Ellipsoids.MeanEarthRadius
     val pts = Seq(

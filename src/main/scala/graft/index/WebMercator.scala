@@ -94,19 +94,24 @@ object WebMercator {
 
   /** Inverse quadkey: (tx, ty) back out of a `zoom`-character quadkey
     * string (the exact inverse of [[quadkey]], digit = x-bit + 2*y-bit
-    * MSB first) as a struct (tx, ty). Null quadkey -> null struct;
-    * unrolled per character, so zoom is static like everywhere else. */
+    * MSB first) as a struct (tx, ty). A null quadkey yields null tx
+    * and ty FIELDS (a struct column is never itself null in Spark —
+    * filter on `.getField("tx").isNull`, not the struct), including
+    * at zoom 0; unrolled per character, so zoom is static like
+    * everywhere else. */
   def quadkeyToXY(qk: Column, zoom: Int): Column = {
     checkZoom(zoom)
     // digit d at position i contributes ((d & 1) for x, (d >> 1) for y)
-    // shifted by (zoom - i)
+    // shifted by (zoom - i); substring/cast of a null quadkey
+    // null-propagates through every term
     val terms = (1 to zoom).map { i =>
       val d = substring(qk, i, 1).cast("long")
       (shiftleft(d.bitwiseAND(lit(1L)), zoom - i),
         shiftleft(shiftright(d, 1), zoom - i))
     }
-    val tx = if (zoom == 0) lit(0L) else terms.map(_._1).reduce(_ + _)
-    val ty = if (zoom == 0) lit(0L) else terms.map(_._2).reduce(_ + _)
+    val zero = when(qk.isNull, lit(null).cast("long")).otherwise(lit(0L))
+    val tx = if (zoom == 0) zero else terms.map(_._1).reduce(_ + _)
+    val ty = if (zoom == 0) zero else terms.map(_._2).reduce(_ + _)
     struct(tx.as("tx"), ty.as("ty"))
   }
 

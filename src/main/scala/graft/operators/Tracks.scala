@@ -752,28 +752,6 @@ object Tracks {
     * @return input columns + speed_mps (double, null on first fix) +
     *         too_fast (boolean, false on first fix).
     */
-  /** Origin-destination cell flows — the movement-analytics flow
-    * matrix: each pair of CONSECUTIVE fixes of a track whose level-
-    * `level` cells differ contributes one trip to (from_cell,
-    * to_cell); same-cell consecutive fixes are dwell, not flow.
-    * One (track) window shuffle + one aggregation whose output is
-    * bounded by occupied-cell-pairs, never fix volume; time ties
-    * break on the position struct as in [[speedFlags]].
-    *
-    * @return (from_cell, to_cell, n_trips)
-    */
-  def cellFlows(fixes: DataFrame, trackCol: String, tCol: String,
-                nvecCol: String, level: Int): DataFrame = {
-    val w = Window.partitionBy(trackCol).orderBy(col(tCol), col(nvecCol))
-    fixes
-      .filter(col(tCol).isNotNull && col(nvecCol).isNotNull)
-      .withColumn("__cell", graft.index.cells.cellAt(col(nvecCol), level))
-      .withColumn("__prev", lag(col("__cell"), 1).over(w))
-      .filter(col("__prev").isNotNull && col("__prev") =!= col("__cell"))
-      .groupBy(col("__prev").as("from_cell"), col("__cell").as("to_cell"))
-      .agg(count(lit(1)).as("n_trips"))
-  }
-
   def speedFlags(fixes: DataFrame, trackCol: String, tCol: String,
                  nvecCol: String, maxSpeedMps: Double,
                  sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius)
@@ -794,6 +772,28 @@ object Tracks {
       .withColumn("too_fast",
         coalesce(col("speed_mps") > maxSpeedMps, lit(false)))
       .drop("__prev", "__pt")
+  }
+
+  /** Origin-destination cell flows — the movement-analytics flow
+    * matrix: each pair of CONSECUTIVE fixes of a track whose level-
+    * `level` cells differ contributes one trip to (from_cell,
+    * to_cell); same-cell consecutive fixes are dwell, not flow.
+    * One (track) window shuffle + one aggregation whose output is
+    * bounded by occupied-cell-pairs, never fix volume; time ties
+    * break on the position struct as in [[speedFlags]].
+    *
+    * @return (from_cell, to_cell, n_trips)
+    */
+  def cellFlows(fixes: DataFrame, trackCol: String, tCol: String,
+                nvecCol: String, level: Int): DataFrame = {
+    val w = Window.partitionBy(trackCol).orderBy(col(tCol), col(nvecCol))
+    fixes
+      .filter(col(tCol).isNotNull && col(nvecCol).isNotNull)
+      .withColumn("__cell", graft.index.cells.cellAt(col(nvecCol), level))
+      .withColumn("__prev", lag(col("__cell"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= col("__cell"))
+      .groupBy(col("__prev").as("from_cell"), col("__cell").as("to_cell"))
+      .agg(count(lit(1)).as("n_trips"))
   }
 
   /** ANSI-SQL mirror of the not-a-knot cubic spline track

@@ -117,8 +117,12 @@ object GeoStreams {
     * inside-test runs map-only against the broadcast literal fence
     * set BEFORE keying, so state is ONE (t, inside) pair per
     * (track, fence): enter on first-seen-inside or outside->inside,
-    * exit on inside->outside; cross-batch stragglers (t at or before
-    * the carried state's t) are dropped exactly as in
+    * exit on inside->outside. Within a batch, time ties process in
+    * (t, inside) order — outside first, matching the batch window's
+    * tie-break, so a tied in/out pair deterministically reads as
+    * ending inside and replay equality with the batch operator holds
+    * even on tied feeds. Cross-batch stragglers (t at or before the
+    * state carried INTO the batch) are dropped exactly as in
     * [[courseOverGroundStream]], and the same opt-in `idleTimeout`
     * expires dead tracks' state.
     */
@@ -151,10 +155,15 @@ object GeoStreams {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = fixes.toArray.sortBy(_.t)
+            val sorted = fixes.toArray.sortBy(f => (f.t, f.inz))
+            // the straggler cut compares against the state carried
+            // INTO the batch (not the running `last`) so equal-t ties
+            // WITHIN the batch both process, in (t, inside) order —
+            // identical to the batch window's tie-break
+            val carriedT = state.getOption.map(_.t)
             var last = state.getOption
             val out = sorted.iterator.flatMap { f =>
-              if (last.exists(_.t >= f.t)) Iterator.empty
+              if (carriedT.exists(_ >= f.t)) Iterator.empty
               else {
                 val ev =
                   if (last.forall(!_.in) && f.inz)

@@ -164,6 +164,13 @@ class WebMercatorSpec extends AnyFunSuite {
         assert(lon >= lonW - 1e-12 && lon <= lonE + 1e-12, s"$lon not in [$lonW, $lonE]")
       }
     }
+    // null quadkey: null tx/ty FIELDS (structs are never null
+    // themselves), including the zoom-0 constant branch
+    val nq = Seq(Option.empty[String]).toDF("qk")
+      .select(WebMercator.quadkeyToXY(col("qk"), 5).as("a"),
+        WebMercator.quadkeyToXY(col("qk"), 0).as("b")).head
+    assert(nq.getStruct(0).isNullAt(0) && nq.getStruct(0).isNullAt(1))
+    assert(nq.getStruct(1).isNullAt(0) && nq.getStruct(1).isNullAt(1))
     // zoom 0: the world tile spans the full mercator frame
     val w = Seq((0L, 0L)).toDF("tx", "ty")
       .select(WebMercator.tileBounds(col("tx"), col("ty"), 0)).head.getStruct(0)

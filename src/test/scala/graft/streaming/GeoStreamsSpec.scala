@@ -349,14 +349,22 @@ class GeoStreamsSpec extends AnyFunSuite {
     // (inside) must be dropped, not emit a bogus exit/enter pair
     input.addData((1L, 2.0, 3.0, 0.0), (1L, 0.5, 0.1, 0.0), (2L, 1.0, 0.3, 0.3))
     q.processAllAvailable()
+    // batch 3: TIED timestamps in one batch — track 3's (t=5 out,
+    // t=5 in) pair must process outside-first like the batch window's
+    // tie-break and deterministically emit enter@5 (ends inside)
+    input.addData((3L, 5.0, 4.0, 0.0), (3L, 5.0, 0.2, 0.0))
+    q.processAllAvailable()
     val got = spark.table("gf_out").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
       .sortBy(x => (x._1, x._2)).toSeq
     q.stop()
-    assert(got == Seq((1L, 1.0, "enter"), (1L, 2.0, "exit"), (2L, 0.0, "enter")))
-    // batch replay equality on the ordered (non-straggler) feed
+    assert(got == Seq((1L, 1.0, "enter"), (1L, 2.0, "exit"), (2L, 0.0, "enter"),
+      (3L, 5.0, "enter")))
+    // batch replay equality on the ordered (non-straggler) feed,
+    // tied pair included
     val replay = Seq((1L, 0.0, 5.0, 0.0), (1L, 1.0, 0.2, 0.0), (1L, 2.0, 3.0, 0.0),
-        (2L, 0.0, 0.0, 0.0), (2L, 1.0, 0.3, 0.3))
+        (2L, 0.0, 0.0, 0.0), (2L, 1.0, 0.3, 0.3),
+        (3L, 5.0, 4.0, 0.0), (3L, 5.0, 0.2, 0.0))
       .toDF("track", "t", "latd", "lond")
       .withColumn("n", geo.nvecDeg(col("latd"), col("lond")))
     val batch = graft.operators.SpatialJoins

@@ -121,9 +121,12 @@ object GeoStreams {
     * (t, inside) order — outside first, matching the batch window's
     * tie-break, so a tied in/out pair deterministically reads as
     * ending inside and replay equality with the batch operator holds
-    * even on tied feeds. Cross-batch stragglers (t at or before the
-    * state carried INTO the batch) are dropped exactly as in
-    * [[courseOverGroundStream]], and the same opt-in `idleTimeout`
+    * for ties that land in the SAME micro-batch (a tie SPLIT across
+    * batches is indistinguishable from an at-least-once redelivery of
+    * the carried fix and is dropped by the straggler cut — the
+    * monotone-feed contract, same as [[courseOverGroundStream]]).
+    * Cross-batch stragglers (t at or before the state carried INTO
+    * the batch) are dropped, and the same opt-in `idleTimeout`
     * expires dead tracks' state.
     */
   def geofenceStream(stream: DataFrame, trackCol: String, tCol: String,

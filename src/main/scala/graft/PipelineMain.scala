@@ -117,6 +117,17 @@ object PipelineMain {
       // (resume is keyed by name), and cell ids at different levels
       // never match — the isin filter would silently commit an EMPTY
       // tile_stats. Read the level back from the data itself.
+      // ... and the cover must target the column the snapshot's zone
+      // maps were actually built on: a 'tiled' snapshot committed by
+      // an older writer with statsCol 'tile' would pass fine-tile ids
+      // through the coarse-cell isin filter and commit an EMPTY
+      // tile_stats. Fail loudly instead of writing wrong (empty) data.
+      store.statsColOf(tiledName).foreach { sc =>
+        if (sc != "tile_coarse") sys.error(
+          s"committed '$tiledName' snapshot carries zone-map stats on " +
+            s"'$sc', not 'tile_coarse' — it was written by an " +
+            "incompatible pipeline version; use a fresh --store")
+      }
       val committedCoarseLevel = {
         val sample = store.read(tiledName).select("tile_coarse").limit(1).collect()
         if (sample.isEmpty) coarseLevel

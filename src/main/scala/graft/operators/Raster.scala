@@ -102,15 +102,28 @@ object Raster {
           radiusMeters: Double, power: Double = 2.0,
           minDistMeters: Double = 1.0,
           sphereRadius: Double = graft.geo.Ellipsoids.MeanEarthRadius,
-          estCol: String = "est"): DataFrame = {
+          estCol: String = "est",
+          queryIdCol: Option[String] = None): DataFrame = {
     require(radiusMeters > 0.0, s"radius must be > 0 (got $radiusMeters)")
     require(minDistMeters > 0.0, s"minDist must be > 0 (got $minDistMeters)")
     val qCols = queries.columns.map(col).toSeq
-    // synthetic key: stable across the two references below because
-    // both branches share this exact plan subtree (same source scan
-    // order); value-equality re-association would break on null
-    // payload columns and merge duplicate query rows
-    val keyed = queries.withColumn("__qid", monotonically_increasing_id())
+    // synthetic key contract: the keyed frame is referenced by TWO
+    // plan subtrees (the distance-join input and the final left
+    // join), and monotonically_increasing_id is only deterministic
+    // per partition CONTENT — a shuffle upstream of `queries` may
+    // order partitions differently across the two executions and
+    // bind __qid to different rows, mis-associating the estimates.
+    // Either the caller names an existing unique id column, or the
+    // keyed frame is pinned with an eager localCheckpoint so both
+    // branches read the SAME materialized rows (executor-local
+    // blocks; on executor loss the job fails rather than silently
+    // recomputing with a different binding).
+    val keyed = queryIdCol match {
+      case Some(c) => queries.withColumn("__qid", col(c))
+      case None =>
+        queries.withColumn("__qid", monotonically_increasing_id())
+          .localCheckpoint()
+    }
     val joined = SpatialJoins.distanceJoin(
         keyed,
         samples.filter(col(valueCol).isNotNull)

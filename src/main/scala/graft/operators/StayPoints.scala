@@ -53,15 +53,19 @@ object StayPoints {
       s"stayAnchors: input columns ${clash.mkString(", ")} collide with outputs/internals")
 
     val wTrack = Window.partitionBy(trackCol)
-    val base = df
-      .filter(col(tMsCol).isNotNull)
+    // null-time AND null-position fixes are dropped (same contract as
+    // speedFlags/geofence): a null-position successor inside the
+    // window would yield a null __d that max() silently skips, so
+    // max_excursion_m would understate and is_stay could assert a
+    // dwell the data never observed
+    val observed = df.filter(col(tMsCol).isNotNull && col(nvecCol).isNotNull)
+    val base = observed
       .withColumn("__tmax", max(col(tMsCol)).over(wTrack))
     // anchors probe their own bucket and the next; successors carry one
     val probes = base.withColumn("__b",
       explode(array(floor(col(tMsCol) / minDwellMs),
         floor(col(tMsCol) / minDwellMs) + 1)))
-    val succ = df
-      .filter(col(tMsCol).isNotNull)
+    val succ = observed
       .select(col(trackCol).as("__trk2"),
         col(tMsCol).as("__t2"), col(nvecCol).as("__n2"))
       .withColumn("__b", floor(col("__t2") / minDwellMs))

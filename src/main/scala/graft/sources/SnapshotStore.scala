@@ -292,6 +292,19 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     finally pool.shutdown()
   }
 
+  /** Zone-map column the current version of `name` was committed
+    * with, straight from the manifest — None when the snapshot
+    * carries no stats. Callers that build pruning predicates against
+    * an ASSUMED column (e.g. a pipeline resuming an old store) must
+    * check this instead of trusting their own configuration: a
+    * mismatch makes the residual filter silently drop every row.
+    */
+  def statsColOf(name: String): Option[String] = versionOf(name).flatMap { v =>
+    val s = Files.readString(snapshotJson(v))
+    ("\"statsCol\": \"(" + JsonStr + ")\"").r
+      .findFirstMatchIn(s).map(m => unesc(m.group(1)))
+  }
+
   /** Read `name` restricted to rows whose zone-map column lies in
     * [lo, hi]: manifest min/max stats select only the OVERLAPPING
     * data files (files committed without stats are conservatively

@@ -109,6 +109,32 @@ class RasterSpec extends AnyFunSuite {
     }
   }
 
+  test("idw associates estimates correctly with a shuffle upstream of the queries") {
+    // queries arrive through a repartition (nondeterministic partition
+    // order): __qid must bind once, not per-branch — a distinct value
+    // per query lets any mis-association show up as a wrong estimate
+    val samples = (0 until 50).map(i => (10.0 + i * 0.5, 0.0, i * 1.0))
+      .toDF("slat", "slon", "v")
+      .select(geo.nvecDeg(col("slat"), col("slon")).as("sn"), col("v"))
+    val queries = (0 until 50).map(i => (i.toLong, 10.0 + i * 0.5, 0.0))
+      .toDF("qid", "qlat", "qlon")
+      .repartition(8, col("qlat"))
+      .select(col("qid"), geo.nvecDeg(col("qlat"), col("qlon")).as("qn"))
+    val got = Raster.idw(queries, "qn", samples, "sn", "v", 1000.0)
+      .select("qid", "est").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until 50).foreach { i =>
+      assert(math.abs(got(i.toLong) - i.toDouble) < 1e-9,
+        s"query $i got estimate ${got(i.toLong)} — __qid mis-association")
+    }
+    // and the caller-provided id path gives the same answer, no checkpoint
+    val got2 = Raster.idw(queries, "qn", samples, "sn", "v", 1000.0,
+        queryIdCol = Some("qid"))
+      .select("qid", "est").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 === got)
+  }
+
   test("kde density equals the all-pairs truncated-Gaussian brute force") {
     val R = graft.geo.Ellipsoids.MeanEarthRadius
     // brute force: counts per cell, then every occupied pair within

@@ -92,4 +92,26 @@ class StayPointsSpec extends AnyFunSuite {
     assert(got(40L) === false)
     assert(got(50L) === false)
   }
+
+  test("null-position fixes are dropped, not silently skipped by max()") {
+    import spark.implicits._
+    val lat0 = math.toRadians(40.0)
+    val lon0 = math.toRadians(10.0)
+    // track 1: anchor + one null-position fix inside the window + a
+    // coverage fix after it; the null row must be EXCLUDED from the
+    // output and from the window (n_window = 1, only the far fix)
+    val df = Seq(
+      (1L, 10L, 0L, Some(lat0), Some(lon0)),
+      (1L, 11L, Dwell / 2, None: Option[Double], None: Option[Double]),
+      (1L, 12L, Dwell + 1L, Some(lat0), Some(lon0)))
+      .toDF("trk", "id", "t", "lat", "lon")
+      .withColumn("n", when(col("lat").isNotNull,
+        geo.nvec(col("lat"), col("lon"))))
+    val out = StayPoints.stayAnchors(df, "trk", "id", "t", "n", Radius, Dwell)
+    val rows = out.select("id", "is_stay", "n_window").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(!rows.contains(11L), "null-position fix must not be emitted")
+    assert(rows(10L) === ((true, 0L)),
+      "anchor window must not count the dropped null-position fix")
+  }
 }

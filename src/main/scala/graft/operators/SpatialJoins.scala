@@ -59,6 +59,19 @@ object SpatialJoins {
     * quadratic and pruning cannot help — take the exact-filtered
     * cross join.
     */
+  /** @param probeSideBloom when true, the ring-exploded probe rows
+    *   are prefiltered by a Bloom filter over the build side's
+    *   OCCUPIED cells before the shuffle. At low cell occupancy
+    *   (build rows << cells in reach) most exploded rows target an
+    *   empty cell and would ride the exchange for nothing — the
+    *   probe-side explode factor (2k+1)^2 dominates the join cost
+    *   there, and the bloom cuts it to ~occupied hits. False
+    *   positives only ADD candidates (the exact distance filter
+    *   still decides); false negatives cannot occur, so results are
+    *   unchanged. Costs one extra pass over the build side (cheap
+    *   when the caller has it persisted) — leave off for small or
+    *   broadcast builds.
+    */
   def distanceJoin(left: DataFrame, right: DataFrame,
                    leftNvec: String, rightNvec: String,
                    radiusMeters: Double,
@@ -67,7 +80,8 @@ object SpatialJoins {
                    broadcastRight: Boolean = false,
                    skewSalt: Int = 0,
                    hotCellThreshold: Long = 1000000L,
-                   sampleCellFraction: Double = 0.001): DataFrame = {
+                   sampleCellFraction: Double = 0.001,
+                   probeSideBloom: Boolean = false): DataFrame = {
     val angle = radiusMeters / sphereRadius
     require(radiusMeters >= 0 && angle <= math.Pi,
       s"radiusMeters=$radiusMeters out of range for sphereRadius=$sphereRadius")
@@ -114,9 +128,24 @@ object SpatialJoins {
         .filter(col(distCol) <= radiusMeters)
     }
     val (level, ringK) = plan.get
-    val probes0 = left.withColumn("__cell",
+    val probesAll = left.withColumn("__cell",
       explode(cells.ringCells(cells.cellAt(col(leftNvec), level), ringK)))
     val build0 = right.withColumn("__cell", cells.cellAt(col(rightNvec), level))
+    val probes0 =
+      if (!probeSideBloom) probesAll
+      else {
+        // sized from an exact build count (one cheap job, opt-in);
+        // 2% fpp keeps the filter ~1.1 B/row while letting through
+        // only a trickle of empty-cell probes. An empty build side
+        // NPEs Spark's bloom aggregate — and matches nothing anyway.
+        val bn = build0.count()
+        if (bn == 0L) probesAll.filter(lit(false))
+        else {
+          val bf = build0.stat.bloomFilter("__cell", math.max(1000L, bn), 0.02)
+          val might = udf((c: Long) => bf.mightContainLong(c))
+          probesAll.filter(might(col("__cell")))
+        }
+      }
     val (probes, build1) =
       if (skewSalt <= 1) (probes0.withColumn("__salt", lit(0)),
         build0.withColumn("__salt", lit(0)))

@@ -78,6 +78,47 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("planted clique straddling a contraction-cell corner stays exact") {
+    // eps = 50 km -> contraction level 9 (cell ~0.45 deg); (0 N, 0 E)
+    // is a 4-cell corner at any even scale, so a 2 km-radius clique
+    // jittered around it splits across 4 cells and must reconnect
+    // through PROVEN cell edges (tiny data radii), while a ring of
+    // points seeded near exactly eps from the center exercises the
+    // uncertain-annulus member fallback on both sides of the cut
+    val R = Ellipsoids.MeanEarthRadius
+    val eps = 50e3
+    val clique = (0 until 240).map { i =>
+      val ang = i * 0.7; val rad = (i % 17) * 120.0 / R
+      (i.toLong, math.toDegrees(rad * math.cos(ang)),
+        math.toDegrees(rad * math.sin(ang)))
+    }
+    val annulus = (0 until 40).map { i =>
+      val d = (eps * (0.97 + 0.0015 * i)) / R // 48.5..51.4 km
+      (1000L + i, math.toDegrees(d * math.cos(i * 2.1)),
+        math.toDegrees(d * math.sin(i * 2.1)))
+    }
+    val far = (0 until 10).map(i => (2000L + i, 40.0 + i * 3.0, 90.0))
+    val all = clique ++ annulus ++ far
+    val df = all.toDF("id", "lat", "lon")
+      .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+    val vec = all.map { case (i, la, lo) =>
+      (i, Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))) }
+    val got = Clustering.dbscan(df, "id", "n", eps, 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))))
+      .toMap
+    val want = refDbscan(vec, eps, 5)
+    assert(got == want, {
+      val diff = (got.keySet ++ want.keySet)
+        .filter(k => got.get(k) != want.get(k)).take(8)
+      diff.map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; ")
+    })
+    // the clique itself must be one cluster labeled by its min id
+    assert(got(0L) == ((Some(0L), "core")))
+    assert(clique.forall { case (i, _, _) => got(i)._1 == Some(0L) })
+  }
+
   test("degenerate settings: minPts=1 makes everything a core; huge eps one cluster") {
     val df = pts.toDF("id", "lat", "lon")
       .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))

@@ -73,7 +73,35 @@ object SparkEntry {
     * `SELECT k, '<id>' AS aoi_id, <signed rad> AS sd FROM ...` over
     * the `pts` CTE; used by q67 and q70.
     */
-  private def boundaryAoiSql(id: String, vs: Seq[(Double, Double)]): String = {
+  private def boundaryAoiSql(id: String, vs: Seq[(Double, Double)]): String =
+    boundaryRingsSql(id, Seq(vs))
+
+  /** Even-odd containment mirror for CONVEX rings (q15's half-plane
+    * convention per ring, combined by parity — exactly
+    * CellKernels.pointInPolygonRings' semantics for convex rings):
+    * "( CASE WHEN ring0 THEN 1 ELSE 0 END + ... ) % 2 = 1".
+    */
+  private def ringsInsideSql(rings: Seq[Seq[(Double, Double)]]): String = {
+    val terms = rings.map { vs =>
+      val vn = vs.map { case (la, lo) =>
+        graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+      val conds = vn.indices.map { i =>
+        val c = vn(i) cross vn((i + 1) % vn.length)
+        s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
+      }.mkString(" AND ")
+      s"(CASE WHEN $conds THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** Signed ring-list boundary distance mirror: min over EVERY
+    * ring's per-segment distances (CellKernels.segDistRad verbatim),
+    * sign from [[ringsInsideSql]]'s even-odd parity — the DuckDB
+    * replay of CellKernels.boundaryDistSignedRings for convex rings.
+    * A single ring degenerates to the q67/q70 mirror (parity of one
+    * term == the term).
+    */
+  private def boundaryRingsSql(id: String, rings: Seq[Seq[(Double, Double)]]): String = {
     import graft.geo.{Vec3, VecMath}
     def segSql(a: Vec3, b: Vec3): String = {
       val c = VecMath.unit(a cross b)
@@ -96,21 +124,25 @@ object SparkEntry {
         "THEN atan2(abs(cd), sqrt(fx*fx + fy*fy + fz*fz)) " +
         s"ELSE least(${ep(a)}, ${ep(b)}) END AS d FROM ($sub)"
     }
-    val vn = vs.map { case (la, lo) =>
-      graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
-    val union = vn.indices
-      .map(i => s"(${segSql(vn(i), vn((i + 1) % vn.length))})")
-      .mkString(" UNION ALL ")
-    val inside = vn.indices.map { i =>
-      val c = vn(i) cross vn((i + 1) % vn.length)
-      s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
-    }.mkString(" AND ")
+    val union = rings.flatMap { vs =>
+      val vn = vs.map { case (la, lo) =>
+        graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+      vn.indices.map(i => s"(${segSql(vn(i), vn((i + 1) % vn.length))})")
+    }.mkString(" UNION ALL ")
+    val inside = ringsInsideSql(rings)
     s"SELECT k, '$id' AS aoi_id, CASE WHEN $inside THEN -md ELSE md END AS sd " +
       s"FROM (SELECT k, min(d) AS md FROM ($union) GROUP BY k) m JOIN pts USING (k)"
   }
 
   private val BoxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
   private val BoxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
+
+  // multipolygon gate rings (all convex, q15's orientation): BoxA as
+  // the outer, a hole inside it, an island inside the hole, and the
+  // disjoint BoxB as a second part — one AoiM, parity across 4 rings
+  private val HoleA = Seq((-10.0, -25.0), (-10.0, -5.0), (10.0, -5.0), (10.0, -25.0))
+  private val IslandA = Seq((-4.0, -18.0), (-4.0, -12.0), (4.0, -12.0), (4.0, -18.0))
+  private val MultiRings = Seq(BoxA, HoleA, IslandA, BoxB)
 
   private val RouteA = Seq((0.0, 0.0), (10.0, 10.0), (10.0, 25.0), (20.0, 40.0))
   private val RouteB = Seq((-30.0, -60.0), (-10.0, -55.0), (5.0, -40.0))
@@ -1249,6 +1281,31 @@ object SparkEntry {
       SpatialJoins.aoiBufferJoin(
           custPts(s, dir).select(col("c_custkey"), col("n")), "n", aois,
           bufferMeters = 800e3, radius = R)
+        .select(col("c_custkey"), col("aoi_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "aoi_id")
+    }),
+    "q87_aoi_holes" -> ((s, dir) => {
+      // multipolygon / holes containment: EVEN-ODD over a ring list
+      // (outer + hole + island-in-the-hole + a disjoint part) via the
+      // per-ring cell-cover join; the oracle replays each convex ring
+      // as q15's half-plane test and combines by parity
+      import graft.operators.SpatialJoins.AoiM
+      SpatialJoins.aoiJoinM(custPts(s, dir).select(col("c_custkey"), col("n")),
+          "n", Seq(AoiM("m1", MultiRings)))
+        .select("c_custkey", "aoi_id")
+        .orderBy("c_custkey", "aoi_id")
+    }),
+    "q88_rings_buffer" -> ((s, dir) => {
+      // buffered multipolygon join: signed distance to the nearest
+      // edge of ANY ring (a hole's rim is boundary, so points deep
+      // inside the hole fall outside a small buffer), negative by
+      // even-odd containment; the oracle recomputes every (point,
+      // ring-edge) distance brute-force and filters — proving the
+      // per-ring grown covers drop no qualifying point
+      import graft.operators.SpatialJoins.AoiM
+      SpatialJoins.aoiBufferJoinM(custPts(s, dir).select(col("c_custkey"), col("n")),
+          "n", Seq(AoiM("m1", MultiRings)), bufferMeters = 500e3, radius = R)
         .select(col("c_custkey"), col("aoi_id"),
           round(col("dist_m") / 1000.0, 6).as("dist_km"))
         .orderBy("c_custkey", "aoi_id")
@@ -2757,6 +2814,15 @@ object SparkEntry {
       // distance for EVERY (point, aoi) pair and filters at the
       // buffer — any qualifying point the engine's grown cell cover
       // dropped would surface as a missing row
+      "q87_aoi_holes" -> (
+        ptsSql("customer", "c_custkey") +
+          s"SELECT k AS c_custkey, 'm1' AS aoi_id FROM pts " +
+          s"WHERE ${ringsInsideSql(MultiRings)} ORDER BY c_custkey, aoi_id"),
+      "q88_rings_buffer" -> (
+        ptsSql("customer", "c_custkey") +
+          s"SELECT k AS c_custkey, aoi_id, round(sd * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+          s"FROM (${boundaryRingsSql("m1", MultiRings)}) " +
+          s"WHERE sd * ${fmt(R)} <= 500000.0 ORDER BY c_custkey, aoi_id"),
       "q70_aoi_buffer_join" -> {
         val both = s"(${boundaryAoiSql("box_a", BoxA)}) UNION ALL (${boundaryAoiSql("box_b", BoxB)})"
         ptsSql("customer", "c_custkey") +

@@ -79,8 +79,15 @@ object CellKernels {
   }
 
   /** |winding angle| of the polygon loop around the point. */
-  def windingAngle(px: Double, py: Double, pz: Double, vs: Array[Double]): Double = {
-    val n = vs.length / 3
+  def windingAngle(px: Double, py: Double, pz: Double, vs: Array[Double]): Double =
+    windingAngleSlice(px, py, pz, vs, 0, vs.length / 3)
+
+  /** [[windingAngle]] over the ring slice starting at double-offset
+    * `off` with `n` vertices — the per-ring primitive of the
+    * ring-list (holes / multipolygon) variants.
+    */
+  private def windingAngleSlice(px: Double, py: Double, pz: Double,
+                                vs: Array[Double], off: Int, n: Int): Double = {
     var total = 0.0
     // tangent-plane projection of vertex i: t_i = v_i - p (v_i . p)
     var prevX = 0.0; var prevY = 0.0; var prevZ = 0.0
@@ -91,7 +98,8 @@ object CellKernels {
       val (tx, ty, tz) =
         if (idx < 0) (firstX, firstY, firstZ)
         else {
-          val vx = vs(3 * idx); val vy = vs(3 * idx + 1); val vz = vs(3 * idx + 2)
+          val vx = vs(off + 3 * idx); val vy = vs(off + 3 * idx + 1)
+          val vz = vs(off + 3 * idx + 2)
           val d = vx * px + vy * py + vz * pz
           (vx - px * d, vy - py * d, vz - pz * d)
         }
@@ -109,6 +117,99 @@ object CellKernels {
       i += 1
     }
     math.abs(total)
+  }
+
+  /** Single-ring inside test over a slice: the hemisphere
+    * disambiguator (dot with the ring's vertex sum) plus the winding
+    * angle — exactly [[pointInPolygon]]'s predicate, per ring.
+    */
+  private def ringInside(px: Double, py: Double, pz: Double,
+                         vs: Array[Double], off: Int, n: Int): Boolean = {
+    var sx = 0.0; var sy = 0.0; var sz = 0.0
+    var i = 0
+    while (i < n) {
+      sx += vs(off + 3 * i); sy += vs(off + 3 * i + 1); sz += vs(off + 3 * i + 2)
+      i += 1
+    }
+    (px * sx + py * sy + pz * sz) > 0.0 &&
+      windingAngleSlice(px, py, pz, vs, off, n) > math.Pi
+  }
+
+  /** EVEN-ODD point-in-multipolygon over a ring-list encoding:
+    * `data` = [ringCount k, vertCount_0..vertCount_{k-1},
+    * x0,y0,z0,... ring-0 coords, ring-1 coords, ...] (all doubles;
+    * counts are exact small integers). The point is inside when it
+    * lies inside an ODD number of rings — outer-with-holes,
+    * disjoint multipolygons, and islands-in-lakes all fall out of
+    * parity with no orientation or nesting bookkeeping. Each ring
+    * individually carries [[pointInPolygon]]'s hemisphere contract
+    * (enforced at the AoiM construction sites).
+    */
+  def pointInPolygonRings(px: Double, py: Double, pz: Double,
+                          data: ArrayData): Boolean = {
+    val vs = data.toDoubleArray()
+    val k = decodeRingCount(vs)
+    var inside = false
+    var off = 1 + k
+    var r = 0
+    while (r < k) {
+      val n = vs(1 + r).toInt
+      if (ringInside(px, py, pz, vs, off, n)) inside = !inside
+      off += 3 * n
+      r += 1
+    }
+    inside
+  }
+
+  /** Signed boundary distance [rad] for the ring-list encoding: min
+    * over EVERY ring's edges (a hole's rim is boundary too), negative
+    * iff [[pointInPolygonRings]] holds.
+    */
+  def boundaryDistSignedRings(px: Double, py: Double, pz: Double,
+                              data: ArrayData): Double = {
+    val vs = data.toDoubleArray()
+    val k = decodeRingCount(vs)
+    var best = Double.MaxValue
+    var inside = false
+    var off = 1 + k
+    var r = 0
+    while (r < k) {
+      val n = vs(1 + r).toInt
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val d = segDistRad(px, py, pz,
+          vs(off + 3 * i), vs(off + 3 * i + 1), vs(off + 3 * i + 2),
+          vs(off + 3 * j), vs(off + 3 * j + 1), vs(off + 3 * j + 2))
+        if (d < best) best = d
+        i += 1
+      }
+      if (ringInside(px, py, pz, vs, off, n)) inside = !inside
+      off += 3 * n
+      r += 1
+    }
+    if (inside) -best else best
+  }
+
+  private def decodeRingCount(vs: Array[Double]): Int = {
+    if (vs.length < 1)
+      throw new IllegalArgumentException("empty ring-list encoding")
+    val k = vs(0).toInt
+    if (k < 1)
+      throw new IllegalArgumentException(s"ring count ${vs(0)} < 1")
+    var expect = 1 + k
+    var r = 0
+    while (r < k) {
+      val n = vs(1 + r).toInt
+      if (n < 3)
+        throw new IllegalArgumentException(s"ring $r has ${vs(1 + r)} vertices (< 3)")
+      expect += 3 * n
+      r += 1
+    }
+    if (expect != vs.length)
+      throw new IllegalArgumentException(
+        s"ring-list encoding length ${vs.length}, header implies $expect")
+    k
   }
 
   /** Signed great-circle distance [rad] from the point to the

@@ -140,6 +140,23 @@ object cells {
       Seq(geo.vx(n), geo.vy(n), geo.vz(n), verts),
       Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
 
+  /** Even-odd point-in-multipolygon over the ring-list encoding
+    * [k, n_0..n_{k-1}, coords...] — see
+    * CellKernels.pointInPolygonRings.
+    */
+  def pointInPolygonRings(n: Column, rings: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, BooleanType, "pointInPolygonRings",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), rings),
+      Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
+
+  /** Signed boundary distance [rad] for the ring-list encoding
+    * (negative inside by even-odd; a hole's rim counts as boundary).
+    */
+  def boundaryDistSignedRings(n: Column, rings: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, DoubleType, "boundaryDistSignedRings",
+      Seq(geo.vx(n), geo.vy(n), geo.vz(n), rings),
+      Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
+
   /** Flat n-vector vertex array literal from (latDeg, lonDeg) pairs. */
   def polygonLiteral(latLonDeg: Seq[(Double, Double)]): Column = {
     val flat = latLonDeg.flatMap { case (la, lo) =>

@@ -45,6 +45,52 @@ object SpatialJoins {
     }
   }
 
+  /** A multipolygon / polygon-with-holes area of interest: a LIST of
+    * (latDeg, lonDeg) rings (each implicitly closed, any orientation,
+    * each smaller than a hemisphere). Containment is EVEN-ODD over
+    * the rings — outer-with-holes, disjoint parts, and
+    * islands-in-lakes all fall out of parity with no orientation or
+    * nesting bookkeeping, which is also what makes the predicate
+    * SQL-mirrorable ring by ring.
+    */
+  final case class AoiM(id: String, ringsLatLonDeg: Seq[Seq[(Double, Double)]]) {
+    require(ringsLatLonDeg.nonEmpty, s"AOI '$id' has no rings")
+    ringsLatLonDeg.zipWithIndex.foreach { case (r, i) =>
+      require(r.length >= 3, s"AOI '$id' ring $i has ${r.length} vertices (< 3)") }
+    lazy val ringsN: Seq[Array[Vec3]] = ringsLatLonDeg.map(_.map { case (la, lo) =>
+      Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+    }.toArray)
+    /** Per-ring vertex centroids / circumscribed angular radii — the
+      * cover machinery prunes per RING (a multipolygon's parts may be
+      * arbitrarily far apart; only each ring must fit a hemisphere).
+      */
+    lazy val ringCentroids: Seq[Vec3] = ringsN.map(r => VecMath.unit(r.reduce(_ + _)))
+    lazy val ringCircumAngles: Seq[Double] = ringsN.indices.map { i =>
+      ringsN(i).map(v => Gade.greatCircleDistanceRad(ringCentroids(i), v)).max
+    }
+    /** Ring-list encoding [k, n_0..n_{k-1}, coords...] (all doubles). */
+    def flatRings: Array[Double] = {
+      val header = ringsN.length.toDouble +: ringsN.map(_.length.toDouble)
+      (header ++ ringsN.flatMap(_.flatMap(v => Seq(v.x, v.y, v.z)))).toArray
+    }
+    /** Hemisphere contract: each ring within 90 deg of its OWN vertex
+      * centroid — the per-ring winding disambiguator's validity
+      * region, and (geodesic balls of radius < pi/2 being convex)
+      * the guarantee that each ring's interior stays inside its own
+      * circumdisc, which is what the per-ring cover prunes with. No
+      * GLOBAL span limit: a multipolygon's parts may be antipodal.
+      */
+    def validated: AoiM = {
+      ringsLatLonDeg.indices.foreach { i =>
+        require(ringCircumAngles(i) < math.Pi / 2,
+          f"AOI '$id' ring $i spans ${ringCircumAngles(i)}%.3f rad from its " +
+            "vertex centroid (>= pi/2): exceeds the winding test's " +
+            "hemisphere contract — split the ring")
+      }
+      this
+    }
+  }
+
   /** Distance join: all (left, right) pairs with great-circle distance
     * <= radiusMeters. Columns of both inputs are preserved (names must
     * be disjoint) plus `distCol`. (level, ring k) are chosen so the
@@ -561,6 +607,87 @@ object SpatialJoins {
         cells.boundaryDistSigned(col(pointNvec), col("__verts")) * lit(radius))
       .filter(col(distCol) <= bufferMeters)
       .drop("__cell", "__verts")
+  }
+
+  /** Shared cover machinery of the multipolygon joins: points keyed
+    * by cell at a level sized so each AOI's circumdisc cover is ~100
+    * cells, equi-joined against the broadcast (cell, aoi) cover, then
+    * against the broadcast ring encodings. Same scale shape as
+    * [[aoiJoin]]: the only shuffle is the points' cell hash.
+    */
+  private def aoiMCover(points: DataFrame, pointNvec: String,
+                        aois: Seq[AoiM], extraAngle: Double): DataFrame = {
+    require(aois.nonEmpty)
+    aois.foreach(_.validated)
+    val level = aois.flatMap(_.ringCircumAngles).map { ca =>
+      val ang = math.min(math.Pi, math.max(ca + extraAngle, 1e-6))
+      val discArea = 2.0 * math.Pi * (1.0 - math.cos(ang))
+      val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
+        math.log(2.0))).ceil.toInt
+      math.max(2, math.min(CellIndex.MaxLevel, l))
+    }.min
+    // per-RING circumdisc covers, unioned per AOI: a contained point
+    // lies inside some ring's hull, a buffered point within extra of
+    // some ring's boundary — either way inside that ring's disc
+    val cover: Seq[(Long, String)] = aois.flatMap { a =>
+      a.ringsN.indices.flatMap { i =>
+        val c = a.ringCentroids(i)
+        CellIndex.capCells(c.x, c.y, c.z, level,
+          math.min(math.Pi, a.ringCircumAngles(i) + extraAngle)).map(cc => (cc, a.id))
+      }.distinct
+    }
+    val spark = points.sparkSession
+    import spark.implicits._
+    val coverDf = broadcast(cover.toDF("__cell", "aoi_id"))
+    val ringsDf = broadcast(aois.map(a => (a.id, a.flatRings.toSeq))
+      .toDF("aoi_id", "__rings"))
+    points.withColumn("__cell", cells.cellAt(col(pointNvec), level))
+      .join(coverDf, "__cell")
+      .join(ringsDf, "aoi_id")
+  }
+
+  /** [[aoiJoin]] for multipolygons / polygons with holes: one output
+    * row per (point, AOI) whose EVEN-ODD ring containment holds.
+    */
+  def aoiJoinM(points: DataFrame, pointNvec: String, aois: Seq[AoiM]): DataFrame =
+    aoiMCover(points, pointNvec, aois, extraAngle = 0.0)
+      .filter(cells.pointInPolygonRings(col(pointNvec), col("__rings")))
+      .drop("__cell", "__rings")
+
+  /** [[aoiBufferJoin]] for multipolygons: points within `bufferMeters`
+    * of the AOI (negative signed distance = inside; a hole's rim is
+    * boundary, so a point deep inside a hole is NOT within a small
+    * buffer).
+    */
+  def aoiBufferJoinM(points: DataFrame, pointNvec: String, aois: Seq[AoiM],
+                     bufferMeters: Double,
+                     radius: Double = MeanEarthRadius,
+                     distCol: String = "dist_m"): DataFrame = {
+    require(bufferMeters >= 0.0, s"buffer must be >= 0 (got $bufferMeters)")
+    aoiMCover(points, pointNvec, aois, extraAngle = bufferMeters / radius)
+      .withColumn(distCol,
+        cells.boundaryDistSignedRings(col(pointNvec), col("__rings")) * lit(radius))
+      .filter(col(distCol) <= bufferMeters)
+      .drop("__cell", "__rings")
+  }
+
+  /** [[aoiBoundaryDistance]] for multipolygons: signed distance to
+    * the nearest boundary edge of ANY ring (hole rims included),
+    * negative when even-odd containment holds. Map-only, one JITed
+    * kernel call per (point, AOI).
+    */
+  def aoiBoundaryDistanceM(points: DataFrame, pointNvec: String,
+                           aois: Seq[AoiM],
+                           radius: Double = MeanEarthRadius,
+                           distCol: String = "dist_m"): DataFrame = {
+    require(aois.nonEmpty)
+    aois.foreach(_.validated)
+    aois.map { a =>
+      points.withColumn("aoi_id", lit(a.id))
+        .withColumn(distCol,
+          cells.boundaryDistSignedRings(col(pointNvec),
+            typedLit(a.flatRings.toSeq)) * lit(radius))
+    }.reduce(_ unionByName _)
   }
 
   /** An open polyline for snapping: (latDeg, lonDeg) vertices in

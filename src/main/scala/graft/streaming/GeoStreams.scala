@@ -370,6 +370,93 @@ object GeoStreams {
       }
   }
 
+  final case class SessEvt(key: Long, ts: java.sql.Timestamp)
+  final case class SessBuf(pendingMs: Vector[Long], nextIdx: Long)
+  final case class SessionRow(key: Long, session_idx: Long, n_events: Long,
+                              start_ms: Long, end_ms: Long, duration_ms: Long)
+
+  /** STREAMING gap-close sessionization — the streaming companion of
+    * [[graft.operators.Sessions.sessionStats]]: one appended row per
+    * CLOSED session (key, 1-based dense session_idx, event count,
+    * start/end epoch millis, duration), where a session closes once
+    * the watermark passes its last event + `maxGapMs` (no
+    * still-admissible event can extend it: rows below the watermark
+    * are dropped by the stateful operator, and any event at or above
+    * it starts a new session by the gap rule — the same boundary
+    * predicate as the batch window's `gap > maxGapMs`).
+    *
+    * Out-of-order events WITHIN the watermark are buffered per key
+    * and sorted at close, so replaying the same rows through batch
+    * [[graft.operators.Sessions.sessionStats]] yields the identical
+    * (key, session_idx) -> stats map for every closed session
+    * (spec-pinned). EventTimeTimeout wakes idle keys exactly at
+    * first-unclosed-end + gap so a key whose stream simply stops
+    * still flushes; a key with nothing
+    * pending keeps only its two-word session counter (dropping it
+    * would renumber later sessions from 1), so state is bounded by
+    * the key universe plus in-flight (unclosed) events — never by
+    * event history.
+    */
+  def sessionizeStream(stream: DataFrame, keyCol: String, tsCol: String,
+                       maxGapMs: Long, watermark: String): Dataset[SessionRow] = {
+    require(maxGapMs >= 0, s"maxGapMs must be >= 0 (got $maxGapMs)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark) // after the cast: a projection
+      // over the watermarked column would drop the event-time tag
+      .filter(col("key").isNotNull && col("ts").isNotNull)
+      .as[SessEvt]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessBuf, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, evts: Iterator[SessEvt], state: GroupState[SessBuf]) =>
+          val prior = state.getOption.getOrElse(SessBuf(Vector.empty, 1L))
+          val merged = (prior.pendingMs ++ evts.map(_.ts.getTime)).sorted
+          val wm = state.getCurrentWatermarkMs()
+          // split the sorted buffer into gap sessions; emit every
+          // session whose end + gap < watermark, carry the rest
+          val out = Vector.newBuilder[SessionRow]
+          var nextIdx = prior.nextIdx
+          var i = 0
+          var keepFrom = -1 // first index that stays buffered
+          while (i < merged.length && keepFrom < 0) {
+            var j = i
+            while (j + 1 < merged.length && merged(j + 1) - merged(j) <= maxGapMs)
+              j += 1
+            if (merged(j) + maxGapMs < wm) {
+              out += SessionRow(key, nextIdx, j - i + 1,
+                merged(i), merged(j), merged(j) - merged(i))
+              nextIdx += 1
+              i = j + 1
+            } else keepFrom = i
+          }
+          val pending = if (keepFrom < 0) Vector.empty[Long]
+            else merged.drop(keepFrom)
+          // the state ALWAYS keeps the session counter — dropping it
+          // when the buffer drains would renumber the key's next
+          // session from 1 and break batch agreement; the residual
+          // per-key state is two machine words, bounded by the KEY
+          // universe, while the event buffer stays bounded by
+          // in-flight (unclosed) events
+          state.update(SessBuf(pending, nextIdx))
+          if (pending.nonEmpty) {
+            // wake when the FIRST unclosed session becomes closable;
+            // its end + gap >= wm (else it closed above), so the
+            // timeout is legal (> current watermark)
+            var e = pending.head
+            var k2 = 1
+            while (k2 < pending.length && pending(k2) - e <= maxGapMs) {
+              e = pending(k2); k2 += 1
+            }
+            state.setTimeoutTimestamp(e + maxGapMs + 1L)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Ingest a deduplicated image stream into the snapshot store:
     * each micro-batch commits a named snapshot (per-file row counts +
     * lineage recorded), so the table history is the stream's commit

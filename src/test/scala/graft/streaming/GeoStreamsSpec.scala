@@ -462,4 +462,87 @@ class GeoStreamsSpec extends AnyFunSuite {
     // never appeared — both late-dropped by the engine itself
     assert(got === Set((1L, ts(0).getTime, 1.0)))
   }
+
+  test("streaming sessionization: gap close, cross-batch carry, idle timeout flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = GeoStreams.sessionizeStream(in.toDF().toDF("k", "ts"),
+      "k", "ts", maxGapMs = 10L * 60000L, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // batch 1: key 1 events at 0,4,8 (one session) — nothing closes
+    // yet (watermark trails 5 min behind max event time 8 -> wm 3)
+    in.addData((1L, ts(0)), (1L, ts(8)), (1L, ts(4)))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() === 0)
+    // batch 2: key 1 continues at 12 (gap 4 <= 10: SAME session across
+    // batches) and a watermark pusher on key 9 at 60 -> wm 55; the
+    // key-1 session [0..12] closes (12 + 10 < 55)
+    in.addData((1L, ts(12)), (9L, ts(60)))
+    q.processAllAvailable()
+    val s1 = spark.table("sess_out").filter(col("key") === 1L).collect()
+    assert(s1.length == 1)
+    val r = s1(0)
+    assert(r.getAs[Long]("session_idx") == 1L && r.getAs[Long]("n_events") == 4L &&
+      r.getAs[Long]("start_ms") == ts(0).getTime &&
+      r.getAs[Long]("end_ms") == ts(12).getTime &&
+      r.getAs[Long]("duration_ms") == 12L * 60000L)
+    // batch 3: nothing new for key 9 — push the watermark with key 8;
+    // key 9's lone event must flush via the EVENT-TIME TIMEOUT (no
+    // further key-9 data ever arrives)
+    in.addData((8L, ts(100)))
+    q.processAllAvailable()
+    in.addData((8L, ts(140)))
+    q.processAllAvailable()
+    val s9 = spark.table("sess_out").filter(col("key") === 9L).collect()
+    assert(s9.length == 1 && s9(0).getAs[Long]("n_events") == 1L &&
+      s9(0).getAs[Long]("session_idx") == 1L)
+    q.stop()
+  }
+
+  test("streaming sessionization agrees with batch sessionStats on replayed data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    // 200 events over 5 keys and 0..240 min, jittered; gap 12 min
+    val evts = (0 until 200).map { i =>
+      ((rnd(i * 3L) * 5).toLong, ts((rnd(i * 7L + 1) * 240).toInt))
+    }
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = GeoStreams.sessionizeStream(in.toDF().toDF("k", "ts"),
+      "k", "ts", maxGapMs = 12L * 60000L, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_replay")
+      .outputMode("append").start()
+    // watermark-contract batching: disorder within a batch, but later
+    // batches never dip below the established watermark
+    val cuts = Seq(80, 160, 1000).map(m => ts(m).getTime)
+    var lo = Long.MinValue
+    cuts.foreach { hi =>
+      val b = evts.filter(e => e._2.getTime >= lo && e._2.getTime < hi)
+      if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+      lo = hi
+    }
+    // final pusher far in the future closes every session (key 7 only)
+    in.addData((7L, ts(2000)))
+    q.processAllAvailable()
+    val got = spark.table("sess_replay").filter(col("key") =!= 7L)
+      .select("key", "session_idx", "n_events", "start_ms", "end_ms", "duration_ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    q.stop()
+    val batch = graft.operators.Sessions.sessionStats(
+        evts.toDF("k", "ts"), "k", "ts", 12L * 60000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == batch, {
+      val keys = (got.keySet ++ batch.keySet).filter(k => got.get(k) != batch.get(k))
+      s"session mismatch at ${keys.take(5)}: stream=${keys.take(2).map(got.get)} batch=${keys.take(2).map(batch.get)}"
+    })
+  }
 }

@@ -43,7 +43,52 @@ object GeoFunctions {
       graft.operators.Dedup.hamming(a, b) }),
     "geo_minhash" -> (2, { case Seq(text, buckets) =>
       graft.operators.Dedup.minHashSignatureOnePerm(text,
-        numBuckets = litInt(buckets)) })
+        numBuckets = litInt(buckets)) }),
+    // ---- addressing families (geohash / web-mercator tiles) --------
+    "geo_geohash" -> (3, { case Seq(latDeg, lonDeg, precision) =>
+      graft.index.Geohash.encodeDeg(latDeg, lonDeg, litInt(precision)) }),
+    "geo_tile_x" -> (2, { case Seq(lonDeg, zoom) =>
+      graft.index.WebMercator.tileX(radians(lonDeg), litInt(zoom)) }),
+    "geo_tile_y" -> (2, { case Seq(latDeg, zoom) =>
+      graft.index.WebMercator.tileY(radians(latDeg), litInt(zoom)) }),
+    "geo_quadkey" -> (3, { case Seq(tx, ty, zoom) =>
+      graft.index.WebMercator.quadkey(tx, ty, litInt(zoom)) }),
+    "geo_quadkey_xy" -> (2, { case Seq(qk, zoom) =>
+      graft.index.WebMercator.quadkeyToXY(qk, litInt(zoom)) }),
+    "geo_tile_bounds" -> (3, { case Seq(tx, ty, zoom) =>
+      graft.index.WebMercator.tileBounds(tx, ty, litInt(zoom)) }),
+    // ---- cell-set arithmetic (compact / uncompact) ------------------
+    "geo_cell_children" -> (2, { case Seq(cell, targetLevel) =>
+      graft.index.cells.descendantCells(cell, litInt(targetLevel)) }),
+    "geo_cells_compact" -> (2, { case Seq(cellArr, floor) =>
+      graft.index.cells.compactGroup(cellArr, litInt(floor)) }),
+    // ---- polygon analysis -------------------------------------------
+    // vertex arrays are the same flat [x0,y0,z0,...] n-vector encoding
+    // the DataFrame operators use; build one from lat/lon pairs with
+    // geo_nvec + array(), or ship it as a literal
+    "geo_polygon_area" -> (1, { case Seq(vertsArr) =>
+      // same flat encoding as the other polygon functions; regroup
+      // into the n-vector structs polygonAreaArr consumes
+      val structs = transform(
+        sequence(lit(0), (size(vertsArr) / 3).cast("int") - 1),
+        i => geo.vec(element_at(vertsArr, i * 3 + 1),
+          element_at(vertsArr, i * 3 + 2),
+          element_at(vertsArr, i * 3 + 3)))
+      geo.polygonAreaArr(structs) }),
+    "geo_pip" -> (3, { case Seq(latDeg, lonDeg, vertsArr) =>
+      graft.index.cells.pointInPolygon(geo.nvecDeg(latDeg, lonDeg), vertsArr) }),
+    "geo_boundary_dist" -> (3, { case Seq(latDeg, lonDeg, vertsArr) =>
+      graft.index.cells.boundaryDistSigned(
+        geo.nvecDeg(latDeg, lonDeg), vertsArr) *
+        lit(graft.geo.Ellipsoids.MeanEarthRadius) }),
+    // ring-list encoding [k, n_0..n_{k-1}, coords...] for holes /
+    // multipolygons (SpatialJoins.AoiM.flatRings)
+    "geo_pip_rings" -> (3, { case Seq(latDeg, lonDeg, ringsArr) =>
+      graft.index.cells.pointInPolygonRings(geo.nvecDeg(latDeg, lonDeg), ringsArr) }),
+    "geo_boundary_dist_rings" -> (3, { case Seq(latDeg, lonDeg, ringsArr) =>
+      graft.index.cells.boundaryDistSignedRings(
+        geo.nvecDeg(latDeg, lonDeg), ringsArr) *
+        lit(graft.geo.Ellipsoids.MeanEarthRadius) })
   )
 
   /** Foldable int literal argument (levels, ring sizes, bucket counts

@@ -65,4 +65,74 @@ class GeoFunctionsSqlSpec extends AnyFunSuite {
     val mh = r.getSeq[Long](4)
     assert(mh.length == 32 && mh.distinct.length > 1)
   }
+
+  test("addressing SQL functions (geohash / tiles / quadkeys) match kernels") {
+    GeoFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val r = spark.sql(
+      """SELECT
+        |  geo_geohash(57.64911, 10.40744, 11) AS gh,
+        |  geo_tile_x(10.40744, 12) AS tx,
+        |  geo_tile_y(57.64911, 12) AS ty,
+        |  geo_quadkey(geo_tile_x(10.40744, 12), geo_tile_y(57.64911, 12), 12) AS qk,
+        |  geo_quadkey_xy(geo_quadkey(geo_tile_x(10.40744, 12),
+        |    geo_tile_y(57.64911, 12), 12), 12) AS xy,
+        |  geo_tile_bounds(geo_tile_x(10.40744, 12),
+        |    geo_tile_y(57.64911, 12), 12) AS b
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "u4pruydqqvj") // geohash.org published vector
+    val want = spark.range(1).select(
+      graft.index.WebMercator.tileX(radians(lit(10.40744)), 12).as("tx"),
+      graft.index.WebMercator.tileY(radians(lit(57.64911)), 12).as("ty"))
+      .collect()(0)
+    assert(r.getLong(1) == want.getLong(0) && r.getLong(2) == want.getLong(1))
+    val xy = r.getStruct(4)
+    assert(xy.getLong(0) == r.getLong(1) && xy.getLong(1) == r.getLong(2))
+    val b = r.getStruct(5)
+    assert(b.getDouble(3) > b.getDouble(2), "lon_e > lon_w")
+    assert(math.toRadians(10.40744) >= b.getDouble(2) &&
+      math.toRadians(10.40744) <= b.getDouble(3))
+
+    val r2 = spark.sql(
+      """SELECT
+        |  geo_cell_children(geo_cell(radians(10.0), radians(20.0), 4), 6) AS kids,
+        |  geo_cells_compact(geo_cell_children(geo_cell(radians(10.0), radians(20.0), 4), 6), 0) AS comp
+        |""".stripMargin).collect()(0)
+    assert(r2.getSeq[Long](0).length == 16)
+    val n = Gade.latLonToNvec(rad(10), rad(20))
+    assert(r2.getSeq[Long](1) == Seq(graft.index.CellIndex.cellAt(n.x, n.y, n.z, 4)),
+      "16 complete grandchildren must compact back to the one ancestor")
+  }
+
+  test("polygon analysis SQL functions match kernels and the AoiM encoding") {
+    GeoFunctions.register(spark)
+    // flat single ring + ring-list encoding as SQL array literals
+    def fl(d: Double) = "CAST(%.17g AS DOUBLE)".format(d)
+    val ring = Seq((-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0), (10.0, -10.0))
+    val flatSql = "array(" + ring.flatMap { case (la, lo) =>
+      val v = Gade.latLonToNvec(rad(la), rad(lo)); Seq(v.x, v.y, v.z)
+    }.map(fl).mkString(", ") + ")"
+    val m = SpatialJoinsAoiM(ring)
+    val ringsSql = "array(" + m.map(fl).mkString(", ") + ")"
+    val r = spark.sql(
+      s"""SELECT
+         |  geo_pip(0.0, 0.0, $flatSql) AS inz,
+         |  geo_pip(30.0, 0.0, $flatSql) AS outz,
+         |  geo_boundary_dist(0.0, 0.0, $flatSql) AS bd,
+         |  geo_pip_rings(0.0, 0.0, $ringsSql) AS rin,
+         |  geo_boundary_dist_rings(0.0, 0.0, $ringsSql) AS rbd,
+         |  geo_polygon_area($flatSql) AS area
+         |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(3))
+    assert(math.abs(r.getDouble(2) - r.getDouble(4)) < 1e-9,
+      "single-ring list must equal the flat form")
+    assert(r.getDouble(2) < 0, "inside => negative")
+    // 20x20 deg box area within 3% of the flat-square estimate
+    val approx = math.pow(math.toRadians(20.0) * 6371009.0, 2)
+    assert(math.abs(r.getDouble(5) / approx - 1.0) < 0.03)
+  }
+
+  private def SpatialJoinsAoiM(ring: Seq[(Double, Double)]): Array[Double] =
+    graft.operators.SpatialJoins.AoiM("t", Seq(ring)).flatRings
 }

@@ -376,10 +376,32 @@ object Similarity {
     * xxhash64(id). Returns nCentroids x dim, row-major flat; empty
     * clusters keep their previous centroid.
     */
+  /** @param trainSampleCap Lloyd iterations train on a bounded
+    *   deterministic [[Sampling.hashSample]] once the corpus exceeds
+    *   this many rows (at 100 TB nobody k-means the whole corpus —
+    *   centroid quality converges long before millions of training
+    *   rows, and each Lloyd iteration is otherwise a full-corpus
+    *   pass). Assignment/probing always run over the FULL corpus with
+    *   the trained centroids. Corpora at or under the cap train
+    *   exactly as before (the oracle-mirrored gates live there);
+    *   pass Long.MaxValue to force full-corpus training.
+    */
   def ivfTrain(data: DataFrame, vecCol: String, idCol: String, dim: Int,
-               nCentroids: Int, iters: Int = 4): Array[Double] = {
+               nCentroids: Int, iters: Int = 4,
+               trainSampleCap: Long = 1000000L): Array[Double] = {
     val spark = data.sparkSession
-    var centroids: Array[Double] = data
+    require(trainSampleCap >= math.max(1L, nCentroids.toLong),
+      s"trainSampleCap=$trainSampleCap cannot seed $nCentroids centroids")
+    val total = data.count()
+    val train =
+      if (total <= trainSampleCap) data
+      else {
+        // oversample by 10% so hash jitter cannot undercut the seed
+        // requirement; determinism rides the md5 hash, not partitioning
+        val frac = math.min(1.0, 1.1 * trainSampleCap.toDouble / total.toDouble)
+        Sampling.hashSample(data, idCol, frac, salt = "ivf-train")
+      }
+    var centroids: Array[Double] = train
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
       // secondary key: duplicate ids (or 64-bit hash collisions) must
@@ -393,7 +415,7 @@ object Similarity {
     require(centroids.length == nCentroids * dim,
       s"need >= $nCentroids rows of dim-$dim vectors to train IVF")
     for (_ <- 1 to iters) {
-      val assigned = data.select(col(vecCol).as("__v"))
+      val assigned = train.select(col(vecCol).as("__v"))
         .withColumn("__c", ivfAssign(col("__v"), centroids, dim))
         .withColumn("__d", transform(col("__v"), x => x.cast("double")))
       val means = assigned.groupBy("__c")

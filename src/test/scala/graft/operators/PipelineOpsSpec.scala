@@ -407,6 +407,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val iSet = iRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & iSet).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall too low: $recall")
+
+    // sampled training (the 100 TB path): capping the Lloyd pass at a
+    // fraction of the corpus must keep search recall — assignment and
+    // probing still cover the FULL corpus
+    val n = data.count()
+    val sampled = Similarity.ivfTrain(data, "d_vec", "d_id", dim = 64,
+      nCentroids = 16, iters = 3, trainSampleCap = n / 3)
+    assert(sampled.length == 16 * 64)
+    val ivf2 = Similarity.ivfTopK(queries, data, "q_vec", "d_vec", "q_id", "d_id",
+      k = 5, dim = 64, sampled, nProbe = 4)
+    val i2 = ivf2.select("q_id", "d_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (brute & i2).size.toDouble / brute.size
+    assert(recall2 >= 0.6, s"sample-trained IVF recall too low: $recall2")
   }
 
   test("embedding similarity: brute force and LSH top-k") {

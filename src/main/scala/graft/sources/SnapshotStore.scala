@@ -453,10 +453,29 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def merge(name: String, updates: DataFrame, keyCols: Seq[String],
             statsCol: Option[String] = None): Int = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    val cur = read(name)
-    require(cur.columns.sorted.sameElements(updates.columns.sorted),
-      s"merge schema mismatch: table has ${cur.columns.mkString(",")}, " +
-        s"updates have ${updates.columns.mkString(",")}")
+    val cur0 = read(name)
+    // SCHEMA EVOLUTION (Iceberg's add-column): updates may carry NEW
+    // columns — existing rows take typed nulls for them (CoW rewrite,
+    // so the new version's files all hold the full schema, while time
+    // travel to older versions reads the old schema from their own
+    // data). Updates may NOT omit existing columns: silently nulling
+    // a replaced key's old values is a data-loss footgun, not
+    // evolution. Shared columns must keep their type (add a NEW
+    // column for a type change).
+    val curCols = cur0.columns.toSet
+    val dropped = cur0.columns.filterNot(updates.columns.toSet)
+    require(dropped.isEmpty,
+      s"merge updates omit existing columns ${dropped.mkString(",")} — " +
+        "evolution may only ADD columns")
+    val added = updates.columns.filterNot(curCols)
+    cur0.schema.foreach { f =>
+      val u = updates.schema(f.name)
+      require(u.dataType == f.dataType,
+        s"merge column '${f.name}' changes type ${f.dataType} -> " +
+          s"${u.dataType}; add a new column instead")
+    }
+    val cur = added.foldLeft(cur0)((d, c) =>
+      d.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
     // Iceberg MERGE rejects a source with several rows per key (the
     // result would depend on row order / silently hold duplicate
     // keys); one cheap agg over the small updates side enforces that

@@ -166,13 +166,44 @@ class SourcesSpec extends AnyFunSuite {
     val before = store.readAt("t", v1).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(before == Map(1L -> "a", 2L -> "b", 3L -> "c"))
-    // schema mismatch refuses loudly
-    intercept[IllegalArgumentException] {
-      store.merge("t", Seq((9L, "x", 1)).toDF("k", "val", "extra"), Seq("k"))
-    }
     // several source rows per key refuse loudly (order-dependent result)
     intercept[IllegalArgumentException] {
       store.merge("t", Seq((7L, "a"), (7L, "b")).toDF("k", "val"), Seq("k"))
+    }
+
+    // ---- schema evolution (add-column) -----------------------------
+    // updates may ADD columns: pre-existing rows read typed nulls in
+    // the evolved current version
+    val v3 = store.merge("t",
+      Seq((2L, "B3", Some(42)), (5L, "e", None: Option[Int]))
+        .toDF("k", "val", "extra"), keyCols = Seq("k"))
+    val evolved = store.read("t").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+    assert(evolved == Map(
+      1L -> (("a", None)), 2L -> (("B3", Some(42))), 3L -> (("c", None)),
+      4L -> (("d", None)), 5L -> (("e", None))))
+    // time travel ACROSS the schema change: old versions keep the old
+    // 2-column schema, both pre- and post-evolution reads coexist
+    assert(store.readAt("t", v1).columns.toSeq == Seq("k", "val"))
+    assert(store.readAt("t", v2).columns.toSeq == Seq("k", "val"))
+    assert(store.readAt("t", v3).columns.length == 3)
+    val v2rows = store.readAt("t", v2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(v2rows == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+    // a further merge on the EVOLVED schema carries the column forward
+    store.merge("t", Seq((1L, "A4", Some(7))).toDF("k", "val", "extra"), Seq("k"))
+    val after = store.read("t").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(after(1L) == Some(7) && after(2L) == Some(42) && after(3L).isEmpty)
+    // omitting an existing column is NOT evolution (silent data loss)
+    intercept[IllegalArgumentException] {
+      store.merge("t", Seq((9L, "x")).toDF("k", "val"), Seq("k"))
+    }
+    // neither is changing a column's type in place
+    intercept[IllegalArgumentException] {
+      store.merge("t", Seq((9L, "x", "not-an-int")).toDF("k", "val", "extra"), Seq("k"))
     }
   }
 

@@ -101,9 +101,13 @@ object SparkEntry {
     * A single ring degenerates to the q67/q70 mirror (parity of one
     * term == the term).
     */
-  private def boundaryRingsSql(id: String, rings: Seq[Seq[(Double, Double)]]): String = {
-    import graft.geo.{Vec3, VecMath}
-    def segSql(a: Vec3, b: Vec3): String = {
+  /** Per-segment distance rows "SELECT k, <d> AS d FROM pts" for the
+    * minor arc a->b — CellKernels.segDistRad replayed verbatim in
+    * SQL; shared by the polygon-boundary and corridor mirrors.
+    */
+  private def segDistSql(a: graft.geo.Vec3, b: graft.geo.Vec3): String = {
+    import graft.geo.VecMath
+    {
       val c = VecMath.unit(a cross b)
       val cd = s"${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz"
       val sub = s"SELECT k, nx, ny, nz, ($cd) AS cd, " +
@@ -115,7 +119,7 @@ object SparkEntry {
       val winB = s"(fy*${fmt(b.z)} - fz*${fmt(b.y)})*${fmt(c.x)} + " +
         s"(fz*${fmt(b.x)} - fx*${fmt(b.z)})*${fmt(c.y)} + " +
         s"(fx*${fmt(b.y)} - fy*${fmt(b.x)})*${fmt(c.z)} >= 0"
-      def ep(v: Vec3) =
+      def ep(v: graft.geo.Vec3) =
         s"atan2(sqrt((ny*${fmt(v.z)} - nz*${fmt(v.y)})*(ny*${fmt(v.z)} - nz*${fmt(v.y)}) + " +
           s"(nz*${fmt(v.x)} - nx*${fmt(v.z)})*(nz*${fmt(v.x)} - nx*${fmt(v.z)}) + " +
           s"(nx*${fmt(v.y)} - ny*${fmt(v.x)})*(nx*${fmt(v.y)} - ny*${fmt(v.x)})), " +
@@ -124,6 +128,10 @@ object SparkEntry {
         "THEN atan2(abs(cd), sqrt(fx*fx + fy*fy + fz*fz)) " +
         s"ELSE least(${ep(a)}, ${ep(b)}) END AS d FROM ($sub)"
     }
+  }
+
+  private def boundaryRingsSql(id: String, rings: Seq[Seq[(Double, Double)]]): String = {
+    def segSql(a: graft.geo.Vec3, b: graft.geo.Vec3): String = segDistSql(a, b)
     val union = rings.flatMap { vs =>
       val vn = vs.map { case (la, lo) =>
         graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
@@ -172,7 +180,7 @@ object SparkEntry {
       val winB = s"(gy*${fmt(b.z)} - gz*${fmt(b.y)})*${fmt(c.x)} + " +
         s"(gz*${fmt(b.x)} - gx*${fmt(b.z)})*${fmt(c.y)} + " +
         s"(gx*${fmt(b.y)} - gy*${fmt(b.x)})*${fmt(c.z)} >= 0"
-      def ep(v: Vec3) =
+      def ep(v: graft.geo.Vec3) =
         s"atan2(sqrt((ny*${fmt(v.z)} - nz*${fmt(v.y)})*(ny*${fmt(v.z)} - nz*${fmt(v.y)}) + " +
           s"(nz*${fmt(v.x)} - nx*${fmt(v.z)})*(nz*${fmt(v.x)} - nx*${fmt(v.z)}) + " +
           s"(nx*${fmt(v.y)} - ny*${fmt(v.x)})*(nx*${fmt(v.y)} - ny*${fmt(v.x)})), " +
@@ -1295,6 +1303,26 @@ object SparkEntry {
           "n", Seq(AoiM("m1", MultiRings)))
         .select("c_custkey", "aoi_id")
         .orderBy("c_custkey", "aoi_id")
+    }),
+    "q89_corridor_join" -> ((s, dir) => {
+      // buffered-polyline corridor join with routes as a TABLE (the
+      // lift of snapToRoutes' literal set): pieces + per-piece disc
+      // covers generate candidates, the exact predicate runs against
+      // the ORIGINAL segment endpoints, so the oracle replays the
+      // identical per-segment arithmetic and filters at the buffer
+      import s.implicits._
+      def flat(vs: Seq[(Double, Double)]): Seq[Double] = vs.flatMap { case (la, lo) =>
+        val v = graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+        Seq(v.x, v.y, v.z)
+      }
+      val routes = Seq(("r_a", flat(RouteA)), ("r_b", flat(RouteB)))
+        .toDF("route_id", "verts")
+      SpatialJoins.corridorJoin(
+          custPts(s, dir).select(col("c_custkey"), col("n")), "n", "c_custkey",
+          routes, "route_id", "verts", bufferMeters = 300e3, radius = R)
+        .select(col("c_custkey"), col("route_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "route_id")
     }),
     "q88_rings_buffer" -> ((s, dir) => {
       // buffered multipolygon join: signed distance to the nearest
@@ -2814,6 +2842,20 @@ object SparkEntry {
       // distance for EVERY (point, aoi) pair and filters at the
       // buffer — any qualifying point the engine's grown cell cover
       // dropped would surface as a missing row
+      "q89_corridor_join" -> {
+        def routeSql(id: String, vs: Seq[(Double, Double)]): String = {
+          val vn = vs.map { case (la, lo) =>
+            graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+          val union = vn.indices.init
+            .map(i => s"(${segDistSql(vn(i), vn(i + 1))})")
+            .mkString(" UNION ALL ")
+          s"SELECT k, '$id' AS route_id, min(d) AS md FROM ($union) GROUP BY k"
+        }
+        val both = s"(${routeSql("r_a", RouteA)}) UNION ALL (${routeSql("r_b", RouteB)})"
+        ptsSql("customer", "c_custkey") +
+          s"SELECT k AS c_custkey, route_id, round(md * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+          s"FROM ($both) WHERE md * ${fmt(R)} <= 300000.0 ORDER BY c_custkey, route_id"
+      },
       "q87_aoi_holes" -> (
         ptsSql("customer", "c_custkey") +
           s"SELECT k AS c_custkey, 'm1' AS aoi_id FROM pts " +

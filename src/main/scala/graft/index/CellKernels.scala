@@ -311,6 +311,64 @@ object CellKernels {
     new GenericInternalRow(Array[Any](bi, best, fx, fy, fz))
   }
 
+  /** Subdivide an open polyline into corridor PIECES of arc length
+    * <= `maxPieceRad`, emitting per piece a 10-double row
+    * [segIdx, ax,ay,az, bx,by,bz, mx,my,mz]: the ORIGINAL segment
+    * index + endpoints (the exact distance predicate runs against
+    * these — identical formula to any per-segment mirror) and the
+    * piece's angle-uniform slerp midpoint (candidate generation
+    * only: every point of the piece is provably within
+    * maxPieceRad/2 of it, so a disc of maxPieceRad/2 + buffer
+    * around the midpoint covers the piece's whole buffer zone).
+    * Adjacent duplicate vertices contribute no piece (zero-length
+    * arc adds no corridor beyond its neighbors' endpoints).
+    */
+  def corridorPieces(verts: ArrayData, maxPieceRad: Double): ArrayData = {
+    val vs = verts.toDoubleArray()
+    if (vs.length % 3 != 0 || vs.length < 6)
+      throw new IllegalArgumentException(
+        s"polyline vertex array length ${vs.length}: flattened " +
+          "[x0,y0,z0,x1,...] with >= 2 vertices expected")
+    if (!(maxPieceRad > 0.0))
+      throw new IllegalArgumentException(s"maxPieceRad must be > 0 (got $maxPieceRad)")
+    val n = vs.length / 3
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var s = 0
+    while (s < n - 1) {
+      val ax = vs(3 * s); val ay = vs(3 * s + 1); val az = vs(3 * s + 2)
+      val bx = vs(3 * s + 3); val by = vs(3 * s + 4); val bz = vs(3 * s + 5)
+      val cx = ay * bz - az * by
+      val cy = az * bx - ax * bz
+      val cz = ax * by - ay * bx
+      val theta = math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
+        ax * bx + ay * by + az * bz)
+      if (theta > 1e-15) {
+        val pieces = math.max(1, math.ceil(theta / maxPieceRad).toInt)
+        val sinT = math.sin(theta)
+        var p = 0
+        while (p < pieces) {
+          val tm = (p + 0.5) / pieces
+          // angle-uniform slerp: arc(mid, any piece point) <=
+          // (theta / pieces) / 2 <= maxPieceRad / 2 exactly
+          // near-antipodal endpoints (sinT ~ 0) have no unique great
+          // circle — same caller-bug contract as segDistRad; the
+          // linear-blend fallback keeps the arithmetic finite
+          val wa = if (sinT < 1e-12) 1.0 - tm else math.sin((1.0 - tm) * theta) / sinT
+          val wb = if (sinT < 1e-12) tm else math.sin(tm * theta) / sinT
+          val mx = wa * ax + wb * bx
+          val my = wa * ay + wb * by
+          val mz = wa * az + wb * bz
+          val mn = math.sqrt(mx * mx + my * my + mz * mz)
+          out += new GenericArrayData(Array(s.toDouble,
+            ax, ay, az, bx, by, bz, mx / mn, my / mn, mz / mn))
+          p += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Great-circle distance [rad] from p to the minor arc a->b:
     * foot-on-arc test via signed triple products against the edge's
     * great-circle normal, endpoint fallback otherwise. A degenerate

@@ -157,6 +157,16 @@ object cells {
       Seq(geo.vx(n), geo.vy(n), geo.vz(n), rings),
       Seq(DoubleType, DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false)))
 
+  /** Corridor pieces of an open polyline: array of 10-double rows
+    * [segIdx, a..., b..., pieceMid...] with piece arc <= maxPieceRad
+    * (see CellKernels.corridorPieces).
+    */
+  def corridorPieces(verts: Column, maxPieceRad: Double): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass,
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
+      "corridorPieces", Seq(verts, lit(maxPieceRad)),
+      Seq(ArrayType(DoubleType, containsNull = false), DoubleType))
+
   /** Flat n-vector vertex array literal from (latDeg, lonDeg) pairs. */
   def polygonLiteral(latLonDeg: Seq[(Double, Double)]): Column = {
     val flat = latLonDeg.flatMap { case (la, lo) =>

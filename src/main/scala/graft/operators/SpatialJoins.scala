@@ -737,6 +737,74 @@ object SpatialJoins {
         .as("snap_n")): _*)
   }
 
+  /** Geodesic CORRIDOR join — points within `bufferMeters` of any
+    * route polyline, with routes as a TABLE (the lift of
+    * [[snapToRoutes]]' literal route set to arbitrarily many routes):
+    * one output row per (point, route) in reach, carrying the exact
+    * min distance over the route's segments.
+    *
+    * Scale shape: each route subdivides into corridor PIECES of arc
+    * <= 2 * pieceFactor * bufferAngle (a distributed kernel explode —
+    * no driver materialization), each piece emits its disc cover
+    * cells at a level sized so a piece's cover is a few dozen cells,
+    * and points equi-join the cover on their own cell id. The exact
+    * predicate then runs against the ORIGINAL segment endpoints the
+    * piece carries (identical arithmetic to a per-segment SQL
+    * mirror — subdivision steers only candidate generation), and a
+    * final (point, route) min-aggregation collapses piece
+    * multiplicity map-side. Never all points x all segments; a
+    * point's candidates are the pieces whose corridor disc holds its
+    * cell.
+    *
+    * Cover proof: every point within buffer of a piece lies within
+    * d(p, q in piece) + d(q, mid) <= bufferAngle + pieceArc/2 of the
+    * piece's slerp midpoint, and the cover disc uses exactly that
+    * radius bound.
+    *
+    * @param routes table of (routeIdCol, vertsCol) with vertsCol a
+    *   flat [x0,y0,z0,x1,...] n-vector array (>= 2 vertices; build
+    *   literals with [[graft.index.cells.polygonLiteral]]).
+    * @param pieceFactor piece arc bound as a multiple of the buffer
+    *   angle — larger = fewer pieces but looser covers.
+    */
+  def corridorJoin(points: DataFrame, pointNvec: String, pointId: String,
+                   routes: DataFrame, routeIdCol: String, vertsCol: String,
+                   bufferMeters: Double,
+                   radius: Double = MeanEarthRadius,
+                   pieceFactor: Double = 4.0,
+                   distCol: String = "dist_m"): DataFrame = {
+    require(bufferMeters > 0.0, s"buffer must be > 0 (got $bufferMeters)")
+    require(pieceFactor > 0.0, s"pieceFactor must be > 0 (got $pieceFactor)")
+    val bufAngle = bufferMeters / radius
+    val maxPiece = 2.0 * pieceFactor * bufAngle
+    val coverAngle = math.min(math.Pi, maxPiece / 2.0 + bufAngle)
+    // same sizing rule as the AOI covers: ~96 cells per piece disc
+    val level = {
+      val discArea = 2.0 * math.Pi * (1.0 - math.cos(math.max(coverAngle, 1e-6)))
+      val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
+        math.log(2.0))).ceil.toInt
+      math.max(2, math.min(CellIndex.MaxLevel, l))
+    }
+    def pc(i: Int) = element_at(col("__p"), i)
+    val pieces = routes
+      .select(col(routeIdCol), explode(cells.corridorPieces(col(vertsCol), maxPiece)).as("__p"))
+      .select(col(routeIdCol),
+        geo.vec(pc(2), pc(3), pc(4)).as("__sa"),
+        geo.vec(pc(5), pc(6), pc(7)).as("__sb"),
+        geo.vec(pc(8), pc(9), pc(10)).as("__sm"))
+    val covers = pieces.withColumn("__cell",
+      explode(cells.capCells(col("__sm"), level, coverAngle)))
+      .drop("__sm")
+    points.select(col(pointId), col(pointNvec))
+      .withColumn("__cell", cells.cellAt(col(pointNvec), level))
+      .join(covers, "__cell")
+      .withColumn(distCol,
+        geo.segmentDistanceRad(col("__sa"), col("__sb"), col(pointNvec)) * lit(radius))
+      .filter(col(distCol) <= bufferMeters)
+      .groupBy(col(pointId), col(routeIdCol))
+      .agg(min(col(distCol)).as(distCol))
+  }
+
   /** Signed great-circle distance from every point to each AOI's
     * BOUNDARY: negative inside the polygon, positive outside (the
     * buffer/erosion primitive — `dist_m <= b` selects the polygon

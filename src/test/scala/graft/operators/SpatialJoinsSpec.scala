@@ -298,6 +298,51 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(joined.count() >= 0)
   }
 
+  test("corridor join over a route TABLE matches the per-segment brute force") {
+    import spark.implicits._
+    // routes: a long multi-leg route (many pieces), a short hop, and a
+    // route crossing a cube-face edge (lon 45) near the equator
+    val routeDefs = Seq(
+      ("long", Seq((0.0, 0.0), (10.0, 10.0), (10.0, 25.0), (20.0, 40.0), (35.0, 55.0))),
+      ("hop", Seq((-30.0, -60.0), (-29.0, -59.0))),
+      ("face", Seq((2.0, 40.0), (-2.0, 50.0))))
+    def flat(vs: Seq[(Double, Double)]): Seq[Double] = vs.flatMap { case (la, lo) =>
+      val v = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Seq(v.x, v.y, v.z)
+    }
+    val routes = routeDefs.map { case (id, vs) => (id, flat(vs)) }
+      .toDF("route_id", "verts")
+    val pts = pointsDf(2500, "p", 31)
+    val buf = 400e3
+    val R = graft.geo.Ellipsoids.MeanEarthRadius
+    val got = SpatialJoins.corridorJoin(pts, "p_n", "p_id",
+        routes, "route_id", "verts", buf, R)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // brute: exact min over ORIGINAL segments via the shared kernel
+    val ptVecs = pts.select("p_id", "p_lat", "p_lon").collect().map(r =>
+      r.getLong(0) -> Gade.latLonToNvec(
+        math.toRadians(r.getDouble(1)), math.toRadians(r.getDouble(2))))
+    val want = (for {
+      (pid, p) <- ptVecs
+      (rid, vs) <- routeDefs
+    } yield {
+      val vn = vs.map { case (la, lo) =>
+        Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+      val d = vn.init.zip(vn.tail).map { case (a, b) =>
+        graft.index.CellKernels.segDistRad(p.x, p.y, p.z,
+          a.x, a.y, a.z, b.x, b.y, b.z)
+      }.min * R
+      ((pid, rid), d)
+    }).filter(_._2 <= buf).toMap
+    assert(got.keySet == want.keySet,
+      s"corridor membership diff: +${(got.keySet -- want.keySet).take(5)} " +
+        s"-${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, d) =>
+      assert(math.abs(got(k) - d) < 1e-6, s"distance mismatch at $k")
+    }
+    assert(want.nonEmpty, "degenerate test: no point in any corridor")
+  }
+
   test("cells DSL round trips against scalar kernels") {
     import graft.index.{cells, CellIndex}
     val p = pointsDf(200, "c", 8)

@@ -425,6 +425,7 @@ object Dedup {
           s"connectedComponents did not converge in $maxIters rounds — " +
             "the pair graph is deeper than any near-dup clustering " +
             "should be; raise maxIters only if that is expected")
+      lastIterations.set(iter)
       val out = labels.withColumnRenamed("label", "component")
         .persist(lvl)
       out.count() // materialize before the finally releases parents
@@ -434,6 +435,13 @@ object Dedup {
       retired.foreach(_.unpersist(blocking = false))
     }
   }
+
+  /** Rounds the last DISTRIBUTED [[connectedComponents]] run took
+    * (diagnostic, e.g. for the adversarial-diameter probe to pin the
+    * pointer-doubling bound ~ log2(diameter) + 1 detection round;
+    * the local fast path leaves it untouched).
+    */
+  private[graft] val lastIterations = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Driver union-find over a small (exactly counted) edge list — the
     * local fast path of [[connectedComponents]]. Union always keeps

@@ -164,6 +164,21 @@ object Dedup {
   def simHash(text: Column, k: Int = 5): Column =
     simHashFromHashes(transform(shingles(text, k), s => xxhash64(s)))
 
+  /** Production-basis SimHash as one fused kernel call (fnv64
+    * shingles, full 64 bits) — ~10x cheaper per row than the
+    * DuckDB-mirrorable [[simHashMd5]]; use it wherever the signature
+    * is never oracle-compared (see BENCH/BASELINE.md's basis table).
+    */
+  def simHashFast(text: Column, k: Int = 5, cap: Int = 2048): Column =
+    org.apache.spark.sql.GraftSqlBridge.staticInvoke(
+      Class.forName("graft.operators.DedupKernels"),
+      org.apache.spark.sql.types.LongType,
+      "simHash64Fast",
+      Seq(text, lit(k), lit(cap)),
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType))
+
   /** md5-basis SimHash as one fused kernel call (shingle -> 60-bit
     * md5 hash -> bit votes, [[DedupKernels.simHash60Md5]]) —
     * value-identical to

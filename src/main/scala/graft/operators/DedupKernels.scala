@@ -140,6 +140,33 @@ object DedupKernels {
     sig
   }
 
+  /** PRODUCTION-basis SimHash: [[simHash60Md5]]'s vote loop over the
+    * fast fnv64 shingle hash instead of md5 — the basis for pipelines
+    * that never oracle-compare (the md5 basis exists so DuckDB can
+    * replay the signature; it costs ~an md5 per shingle). Full 64-bit
+    * signatures (no 60-bit cut needed — nothing parses them back
+    * through a SQL engine).
+    */
+  def simHash64Fast(text: UTF8String, k: Int, cap: Int): Long = {
+    val (cps, nShingles) = shinglePlan(text.toString, k, cap)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < nShingles) {
+      val h = fnv64(shingleAt(cps, i, k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** md5-basis rolling fingerprint ([[TextAnalysis.fingerprint]]
     * semantics): min [[md5Hash60]] over 8-char windows at stride 4
     * (first 512 windows) of the text as-is (no lowercasing); text

@@ -28,6 +28,18 @@ import graft.sources.ImageTable
   * size scaling evidence (see BENCH/BASELINE.md).
   */
 object Bench {
+
+  /** Host load (1/5/15-min averages) as a JSON array literal — the
+    * VM's noisy neighbors swing totals ~1.4x, and a number without
+    * its load context has repeatedly been misread as a regression;
+    * sampled at start and end of the run so drift is visible too.
+    */
+  private def readLoadAvg(): String =
+    try {
+      val parts = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "null" }
   def imageSource(spark: SparkSession, rows: Long, genPartitions: Int): DataFrame = {
     val path = s"/tmp/graft_bench_images_$rows"
     val marker = new java.io.File(path + "/_SUCCESS")
@@ -100,12 +112,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val loadAtStart: String =
-      try {
-        val parts = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
-        s"[${parts(0)},${parts(1)},${parts(2)}]"
-      } catch { case _: Throwable => "null" }
+    val loadAtStart: String = readLoadAvg()
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
     // JVM/codegen warm-up so the first timed query doesn't carry JIT
     // and session-bootstrap cost; the parquet-reading warm-up must
@@ -193,16 +200,7 @@ object Bench {
     val failed = results.count(r => r._3 || r._2.isEmpty)
     val total = results.collect { case (_, runs, false) if runs.nonEmpty => runs.min }.sum + median
     val totalCold = results.collect { case (_, runs, false) if runs.nonEmpty => runs.head }.sum + median
-    // host load (1/5/15-min averages) straight into the artifact: the
-    // VM's noisy neighbors swing totals ~1.4x, and a number without
-    // its load context has repeatedly been misread as a regression
-    def loadAvg: String =
-      try {
-        val parts = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
-        s"[${parts(0)},${parts(1)},${parts(2)}]"
-      } catch { case _: Throwable => "null" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_runs":$qsRuns,"query_repeats":$maxRepeats,"total_cold":${num(totalCold)},"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round},"loadavg_end":$loadAvg,"loadavg_start":$loadAtStart}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_runs":$qsRuns,"query_repeats":$maxRepeats,"total_cold":${num(totalCold)},"failed_queries":$failed,"sf":"$sfDir","cpus":$cpus,"image_rows":$imgRows,"image_pipeline_sec":$best,"image_pipeline_median_sec":$median,"images_per_sec":${imgsPerSec.round},"loadavg_end":${readLoadAvg()},"loadavg_start":$loadAtStart}"""
     println(json)
     // the console line lands inside sbt [info] noise; also write it
     // machine-readably where the driver and later rounds can parse it

@@ -42,11 +42,16 @@ object ComponentsProbe {
     comp.unpersist()
     val bound = (math.log(chainLen.toDouble) / math.log(2.0)).ceil.toInt + 3
     require(bad == 0L, s"$bad nodes mislabeled")
-    require(iters > 0 && iters <= bound,
-      s"pointer doubling must converge in <= $bound rounds for diameter " +
-        s"$chainLen, took $iters")
+    // a small COMP_ROWS smoke run can land under the driver
+    // union-find threshold, which never touches lastIterations (-1);
+    // the round bound only applies when the distributed path ran
+    if (iters >= 0)
+      require(iters > 0 && iters <= bound,
+        s"pointer doubling must converge in <= $bound rounds for diameter " +
+          s"$chainLen, took $iters")
     println(f"PROBE components rows=$rows chains=$chains diameter=$chainLen " +
-      f"nodes=$n rounds=$iters bound=$bound sec=$sec%.1f")
+      f"nodes=$n rounds=${if (iters < 0) "local" else iters.toString}%s " +
+      f"bound=$bound sec=$sec%.1f")
     spark.stop()
   }
 }

@@ -94,13 +94,6 @@ object SparkEntry {
     s"((${terms.mkString(" + ")}) % 2 = 1)"
   }
 
-  /** Signed ring-list boundary distance mirror: min over EVERY
-    * ring's per-segment distances (CellKernels.segDistRad verbatim),
-    * sign from [[ringsInsideSql]]'s even-odd parity — the DuckDB
-    * replay of CellKernels.boundaryDistSignedRings for convex rings.
-    * A single ring degenerates to the q67/q70 mirror (parity of one
-    * term == the term).
-    */
   /** Per-segment distance rows "SELECT k, <d> AS d FROM pts" for the
     * minor arc a->b — CellKernels.segDistRad replayed verbatim in
     * SQL; shared by the polygon-boundary and corridor mirrors.
@@ -130,12 +123,18 @@ object SparkEntry {
     }
   }
 
+  /** Signed ring-list boundary distance mirror: min over EVERY
+    * ring's per-segment distances ([[segDistSql]]), sign from
+    * [[ringsInsideSql]]'s even-odd parity — the DuckDB replay of
+    * CellKernels.boundaryDistSignedRings for convex rings. A single
+    * ring degenerates to the q67/q70 mirror (parity of one term ==
+    * the term).
+    */
   private def boundaryRingsSql(id: String, rings: Seq[Seq[(Double, Double)]]): String = {
-    def segSql(a: graft.geo.Vec3, b: graft.geo.Vec3): String = segDistSql(a, b)
     val union = rings.flatMap { vs =>
       val vn = vs.map { case (la, lo) =>
         graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
-      vn.indices.map(i => s"(${segSql(vn(i), vn((i + 1) % vn.length))})")
+      vn.indices.map(i => s"(${segDistSql(vn(i), vn((i + 1) % vn.length))})")
     }.mkString(" UNION ALL ")
     val inside = ringsInsideSql(rings)
     s"SELECT k, '$id' AS aoi_id, CASE WHEN $inside THEN -md ELSE md END AS sd " +

@@ -68,13 +68,23 @@ object GeoFunctions {
     // geo_nvec + array(), or ship it as a literal
     "geo_polygon_area" -> (1, { case Seq(vertsArr) =>
       // same flat encoding as the other polygon functions; regroup
-      // into the n-vector structs polygonAreaArr consumes
+      // into the n-vector structs polygonAreaArr consumes. Malformed
+      // shapes fail LOUDLY like the ring-list kernels do — a
+      // truncated division would silently drop trailing doubles and
+      // return a plausible wrong area (e.g. for a lat/lon-pair array
+      // passed by mistake)
+      val sz = size(vertsArr)
       val structs = transform(
-        sequence(lit(0), (size(vertsArr) / 3).cast("int") - 1),
+        sequence(lit(0), (sz / 3).cast("int") - 1),
         i => geo.vec(element_at(vertsArr, i * 3 + 1),
           element_at(vertsArr, i * 3 + 2),
           element_at(vertsArr, i * 3 + 3)))
-      geo.polygonAreaArr(structs) }),
+      when(vertsArr.isNull, lit(null).cast("double"))
+        .when(sz % 3 === 0 && sz >= 9, geo.polygonAreaArr(structs))
+        .otherwise(raise_error(concat(
+          lit("geo_polygon_area: flat [x0,y0,z0,...] n-vector array " +
+            "with >= 3 vertices expected (got length "),
+          sz.cast("string"), lit(")")))) }),
     "geo_pip" -> (3, { case Seq(latDeg, lonDeg, vertsArr) =>
       graft.index.cells.pointInPolygon(geo.nvecDeg(latDeg, lonDeg), vertsArr) }),
     "geo_boundary_dist" -> (3, { case Seq(latDeg, lonDeg, vertsArr) =>

@@ -321,7 +321,12 @@ object CellKernels {
     * maxPieceRad/2 of it, so a disc of maxPieceRad/2 + buffer
     * around the midpoint covers the piece's whole buffer zone).
     * Adjacent duplicate vertices contribute no piece (zero-length
-    * arc adds no corridor beyond its neighbors' endpoints).
+    * arc adds no corridor beyond its NEIGHBORING pieces' endpoints);
+    * a fully degenerate polyline (ALL vertices coincident — a
+    * stationary or truncated track) has no neighboring piece to
+    * lean on, so it emits ONE point piece [0, v,v,v, v,v,v, v,v,v]
+    * whose exact predicate degrades to plain point distance —
+    * rather than silently vanishing from an inner corridor join.
     */
   def corridorPieces(verts: ArrayData, maxPieceRad: Double): ArrayData = {
     val vs = verts.toDoubleArray()
@@ -355,16 +360,36 @@ object CellKernels {
           // linear-blend fallback keeps the arithmetic finite
           val wa = if (sinT < 1e-12) 1.0 - tm else math.sin((1.0 - tm) * theta) / sinT
           val wb = if (sinT < 1e-12) tm else math.sin(tm * theta) / sinT
-          val mx = wa * ax + wb * bx
-          val my = wa * ay + wb * by
-          val mz = wa * az + wb * bz
-          val mn = math.sqrt(mx * mx + my * my + mz * mz)
+          var mx = wa * ax + wb * bx
+          var my = wa * ay + wb * by
+          var mz = wa * az + wb * bz
+          var mn = math.sqrt(mx * mx + my * my + mz * mz)
+          if (mn < 1e-12) {
+            // exactly-antipodal endpoints, centered blend (odd piece
+            // count): the midpoint is genuinely ambiguous — pick a
+            // deterministic point ON the caller-bug segment's locus
+            // (any unit vector perpendicular to a) so the row stays
+            // finite; the exact endpoint predicate is unaffected
+            if (math.abs(ax) <= math.abs(ay) && math.abs(ax) <= math.abs(az)) {
+              mx = 0.0; my = -az; mz = ay
+            } else if (math.abs(ay) <= math.abs(az)) {
+              mx = az; my = 0.0; mz = -ax
+            } else { mx = -ay; my = ax; mz = 0.0 }
+            mn = math.sqrt(mx * mx + my * my + mz * mz)
+          }
           out += new GenericArrayData(Array(s.toDouble,
             ax, ay, az, bx, by, bz, mx / mn, my / mn, mz / mn))
           p += 1
         }
       }
       s += 1
+    }
+    if (out.isEmpty) {
+      // all segments zero-length: one point piece at the (shared)
+      // first vertex keeps the route joinable
+      val ax = vs(0); val ay = vs(1); val az = vs(2)
+      out += new GenericArrayData(Array(0.0,
+        ax, ay, az, ax, ay, az, ax, ay, az))
     }
     new GenericArrayData(out.toArray)
   }

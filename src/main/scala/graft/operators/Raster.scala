@@ -113,16 +113,22 @@ object Raster {
     // per partition CONTENT — a shuffle upstream of `queries` may
     // order partitions differently across the two executions and
     // bind __qid to different rows, mis-associating the estimates.
-    // Either the caller names an existing unique id column, or the
-    // keyed frame is pinned with an eager localCheckpoint so both
-    // branches read the SAME materialized rows (executor-local
-    // blocks; on executor loss the job fails rather than silently
-    // recomputing with a different binding).
+    // Either the caller names an existing unique id column (no
+    // checkpoint at all — the cheap path), or the keyed frame is
+    // pinned with a LAZY localCheckpoint so both branches read the
+    // SAME materialized rows: the block manager computes each
+    // partition exactly once under a per-block lock on first use, so
+    // lazy is binding-consistent while keeping idw() free to call
+    // (no job until the result is acted on). Executor-local blocks;
+    // on executor loss the job fails rather than silently recomputing
+    // with a different binding. The checkpointed blocks live until
+    // the RDD is GC'd — long-lived sessions issuing many keyless idw
+    // calls should pass queryIdCol to avoid storage accretion.
     val keyed = queryIdCol match {
       case Some(c) => queries.withColumn("__qid", col(c))
       case None =>
         queries.withColumn("__qid", monotonically_increasing_id())
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
     }
     val joined = SpatialJoins.distanceJoin(
         keyed,

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.geo
 import graft.index.cells
 import graft.sources.SnapshotStore
@@ -400,6 +401,17 @@ object GeoStreams {
   def sessionizeStream(stream: DataFrame, keyCol: String, tsCol: String,
                        maxGapMs: Long, watermark: String): Dataset[SessionRow] = {
     require(maxGapMs >= 0, s"maxGapMs must be >= 0 (got $maxGapMs)")
+    // the state key is a Long: a non-integral key column (e.g. string
+    // device ids) would cast to null row by row and the null filter
+    // below would silently drop EVERY event — fail loudly instead
+    // (hash string ids to long upstream, or dictionary-encode them)
+    stream.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"sessionizeStream needs an integral key column; '$keyCol' is " +
+          s"$other — unlike batch sessionize (generic grouping), the " +
+          "stream state key is Long. Hash or encode the key upstream.")
+    }
     val spark = stream.sparkSession
     import spark.implicits._
     stream

@@ -48,8 +48,11 @@ import graft.index.{CellIndex, cells}
   *    single candidate pass feeds degree counting, core-core edge
   *    extraction, AND border attachment.
   *  - Dense-dense connectivity is a supernode-supernode join (one
-  *    row per dense cell), with the same bound shortcuts and an
-  *    annulus member fallback.
+  *    row per dense cell), with the same bound shortcuts; pairs the
+  *    cell-level bounds cannot decide REFINE to per-sub-cell
+  *    supernodes two levels down (<= 256 bound rows per pair) and
+  *    only annulus-straddling sub-cell pairs fall back to member
+  *    pairs — two adjacent blobs never materialize |A| x |B| rows.
   *
   * Connectivity runs over the CONTRACTED graph — nodes are cells
   * (same-cell cores are a clique), edges are cell pairs with a
@@ -247,16 +250,76 @@ object Clustering {
           padded2, sphereRadius, skewSalt = skewSalt)
         .filter(col("__ga2") < col("__gb2"))
         .filter(col("dist_m") - col("__ra") - col("__rb") <= epsMeters + margin)
-      val eDenseDense = ddCand
+      val ddProven = ddCand
         .filter(col("dist_m") + col("__ra") + col("__rb") <= epsMeters - margin)
         .select(col("__ga2").as("__ga"), col("__gb2").as("__gb"))
-        .unionByName(ddCand
-          .filter(col("dist_m") + col("__ra") + col("__rb") > epsMeters - margin)
-          .select(col("__ga2").as("__ga"), col("__gb2").as("__gb"))
-          .join(denseMembers.select(col("__gc").as("__ga"), col("__n").as("__na")), "__ga")
-          .join(denseMembers.select(col("__gc").as("__gb"), col("__n").as("__nb")), "__gb")
-          .filter(geo.gcDistance(col("__na"), col("__nb"), sphereRadius) <= epsMeters)
-          .select("__ga", "__gb"))
+      // uncertain pairs REFINE two levels down instead of falling
+      // back to the |A| x |B| member cross product (two adjacent
+      // city-sized blobs would make that product the dataset): the
+      // same supernode bound ladder reruns on per-sub-cell stats
+      // (<= 16 sub-cells per cell, so <= 256 narrow rows per
+      // uncertain pair), which PROVES the common adjacent-blob case
+      // outright — near sub-cell pairs satisfy the all-in bound —
+      // and confines member pairs to sub-cell pairs straddling the
+      // eps annulus (width 2(ra'+rb'), ~4x thinner than at cell
+      // granularity). Edge semantics are unchanged: an edge needs
+      // only EXISTENCE of one member pair within eps, and every
+      // member pair lands in exactly one sub-cell pair, so the
+      // partition of the ladder is exhaustive.
+      val ddUnc = keep(ddCand
+        .filter(col("dist_m") + col("__ra") + col("__rb") > epsMeters - margin)
+        .select(col("__ga2"), col("__gb2")))
+      val subLevel = math.min(level + 2, CellIndex.MaxLevel)
+      val uncCells = ddUnc.select(col("__ga2").as("__gc"))
+        .unionByName(ddUnc.select(col("__gb2").as("__gc"))).distinct()
+      // sentinel -1 for a (theoretically impossible) null sub-cell of
+      // a valid-cell member: null join keys would DROP member rows
+      // from the fallback and silently lose edges
+      val subMembers = keep(valid
+        .join(uncCells, Seq("__gc"), "left_semi")
+        .withColumn("__sc",
+          coalesce(cells.cellAt(col("__n"), subLevel), lit(-1L))))
+      val subStat = keep {
+        val agg0 = subMembers.groupBy("__gc", "__sc").agg(
+            sum(geo.vx(col("__n"))).as("__sx"),
+            sum(geo.vy(col("__n"))).as("__sy"),
+            sum(geo.vz(col("__n"))).as("__sz"))
+          .select(col("__gc"), col("__sc"),
+            geo.vunit(geo.vec(col("__sx"), col("__sy"), col("__sz"))).as("__sa"))
+        subMembers.join(agg0, Seq("__gc", "__sc"))
+          .groupBy("__gc", "__sc")
+          .agg(first(col("__sa")).as("__sa"),
+            max(geo.gcDistance(col("__n"), col("__sa"), sphereRadius)).as("__sr"))
+      }
+      val subPairs = ddUnc
+        .join(subStat.select(col("__gc").as("__ga2"), col("__sc").as("__sca"),
+          col("__sa").as("__saa"), col("__sr").as("__sra")), "__ga2")
+        .join(subStat.select(col("__gc").as("__gb2"), col("__sc").as("__scb"),
+          col("__sa").as("__sab"), col("__sr").as("__srb")), "__gb2")
+        .withColumn("__sd", geo.gcDistance(col("__saa"), col("__sab"), sphereRadius))
+        .filter(col("__sd") - col("__sra") - col("__srb") <= epsMeters + margin)
+      val subPairsK = keep(subPairs.select(col("__ga2"), col("__gb2"),
+        col("__sca"), col("__scb"),
+        (col("__sd") + col("__sra") + col("__srb") <= epsMeters - margin)
+          .as("__allin")))
+      val subProven = subPairsK.filter(col("__allin"))
+        .select(col("__ga2"), col("__gb2"))
+      // existence short-circuit: the edge needs ONE member pair, so a
+      // cell pair with ANY proven sub-pair skips the fallback — for
+      // overlapping blobs (the common case) every uncertain cell pair
+      // has a deep-inside sub-pair and NO member pair is ever touched;
+      // the fallback runs only for cell pairs wholly straddling eps
+      val subFallback = subPairsK.filter(!col("__allin"))
+        .join(subProven.distinct(), Seq("__ga2", "__gb2"), "left_anti")
+        .join(subMembers.select(col("__gc").as("__ga2"), col("__sc").as("__sca"),
+          col("__n").as("__na")), Seq("__ga2", "__sca"))
+        .join(subMembers.select(col("__gc").as("__gb2"), col("__sc").as("__scb"),
+          col("__n").as("__nb")), Seq("__gb2", "__scb"))
+        .filter(geo.gcDistance(col("__na"), col("__nb"), sphereRadius) <= epsMeters)
+        .select(col("__ga2"), col("__gb2"))
+      val eDenseDense = ddProven.unionByName(
+        subProven.unionByName(subFallback)
+          .select(col("__ga2").as("__ga"), col("__gb2").as("__gb")))
       // no pre-distinct: connectedComponents symmetrizes + distincts
       // its input anyway, so a dedup here would just add a shuffle
       val edges = eMemb.unionByName(eDenseTouch).unionByName(eDenseDense)

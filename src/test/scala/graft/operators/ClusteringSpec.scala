@@ -119,6 +119,54 @@ class ClusteringSpec extends AnyFunSuite {
     assert(clique.forall { case (i, _, _) => got(i)._1 == Some(0L) })
   }
 
+  test("uncertain dense-dense pairs resolve exactly through sub-cell refinement") {
+    // eps = 50 km; three TIGHT dense blobs (8 points within ~1 km,
+    // minPts = 5) whose center separations straddle eps so the
+    // cell-level supernode bounds cannot decide either way:
+    //  - B sits 49.5 km east of A -> every cross pair is within eps
+    //    (edge must be found by the sub-cell fallback);
+    //  - C sits 52 km north of B with only east-west spread -> every
+    //    B-C pair exceeds eps (the fallback must find nothing), yet
+    //    dist - ra - rb < eps keeps the pair a candidate.
+    // Asserted against the all-pairs reference at three different
+    // anchor positions (cell-boundary luck varies the dense/sparse
+    // split, all of which must stay exact).
+    val R = Ellipsoids.MeanEarthRadius
+    val eps = 50e3
+    for ((baseLat, baseLon) <- Seq((30.0, 10.0), (-12.3, 77.7), (51.04, -3.9))) {
+      def blob(id0: Long, latDeg: Double, lonDeg: Double) =
+        (0 until 8).map { i =>
+          val dl = ((i % 4) - 1.5) * (700.0 / R) // +- ~1 km, east-west only
+          (id0 + i, latDeg, lonDeg + math.toDegrees(dl / math.cos(math.toRadians(latDeg))))
+        }
+      val dEast = math.toDegrees(49.5e3 / R / math.cos(math.toRadians(baseLat)))
+      val dNorth = math.toDegrees(52e3 / R)
+      val all = blob(0L, baseLat, baseLon) ++
+        blob(100L, baseLat, baseLon + dEast) ++
+        blob(200L, baseLat + dNorth, baseLon + dEast)
+      val df = all.toDF("id", "lat", "lon")
+        .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+      val vec = all.map { case (i, la, lo) =>
+        (i, Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))) }
+      val got = Clustering.dbscan(df, "id", "n", eps, 5)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))))
+        .toMap
+      val want = refDbscan(vec, eps, 5)
+      assert(got == want, {
+        val diff = (got.keySet ++ want.keySet)
+          .filter(k => got.get(k) != want.get(k)).take(8)
+        s"base=($baseLat,$baseLon): " +
+          diff.map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; ")
+      })
+      // and the reference itself must encode the intended topology:
+      // A+B one cluster, C a separate one
+      assert(want(0L)._1 == Some(0L) && want(100L)._1 == Some(0L))
+      assert(want(200L)._1 == Some(200L))
+    }
+  }
+
   test("degenerate settings: minPts=1 makes everything a core; huge eps one cluster") {
     val df = pts.toDF("id", "lat", "lon")
       .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))

@@ -66,6 +66,24 @@ object cells {
       Seq(geo.vx(n), geo.vy(n), geo.vz(n), lit(level), lit(angleRad)),
       Seq(DoubleType, DoubleType, DoubleType, IntegerType, DoubleType))
 
+  /** Great-circle distance [rad] from `p` to the minor arc a1->a2 —
+    * ONE JITed CellKernels.segDistRad call. Use this instead of
+    * [[geo.segmentDistanceRad]] inside non-trivial plans: the
+    * composed Column form duplicates its normal/foot subtrees per
+    * reference, and when the endpoints are themselves computed
+    * columns the collapsed projection carries thousands of
+    * extract-value nodes — Catalyst's NestedColumnAliasing is
+    * quadratic in those and wedges the optimizer (observed: 40+ min
+    * on one corridor-join plan). Value-identical to the Column form
+    * on the contract domain (BoundaryDistSpec pins the agreement).
+    */
+  def segDist(p: Column, a1: Column, a2: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, DoubleType, "segDistRad",
+      Seq(geo.vx(p), geo.vy(p), geo.vz(p),
+        geo.vx(a1), geo.vy(a1), geo.vz(a1),
+        geo.vx(a2), geo.vy(a2), geo.vz(a2)),
+      Seq.fill(9)(DoubleType))
+
   /** Level field of a cell id — pure bitwise Columns (exactly the
     * CellIndex bit layout), so SQL mirrors reproduce it verbatim.
     */

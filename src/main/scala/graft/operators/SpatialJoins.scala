@@ -786,11 +786,17 @@ object SpatialJoins {
       math.max(2, math.min(CellIndex.MaxLevel, l))
     }
     def pc(i: Int) = element_at(col("__p"), i)
+    // endpoints ride as FLAT doubles and the exact predicate is ONE
+    // JITed kernel call (cells.segDist): the composed Column form
+    // (geo.segmentDistanceRad) duplicates its normal/foot subtrees
+    // per reference, and over element_at-computed endpoints the
+    // collapsed projection's thousands of extract-value nodes wedge
+    // Catalyst's NestedColumnAliasing for tens of minutes
     val pieces = routes
       .select(col(routeIdCol), explode(cells.corridorPieces(col(vertsCol), maxPiece)).as("__p"))
       .select(col(routeIdCol),
-        geo.vec(pc(2), pc(3), pc(4)).as("__sa"),
-        geo.vec(pc(5), pc(6), pc(7)).as("__sb"),
+        pc(2).as("__ax"), pc(3).as("__ay"), pc(4).as("__az"),
+        pc(5).as("__bx"), pc(6).as("__by"), pc(7).as("__bz"),
         geo.vec(pc(8), pc(9), pc(10)).as("__sm"))
     val covers = pieces.withColumn("__cell",
       explode(cells.capCells(col("__sm"), level, coverAngle)))
@@ -799,7 +805,9 @@ object SpatialJoins {
       .withColumn("__cell", cells.cellAt(col(pointNvec), level))
       .join(covers, "__cell")
       .withColumn(distCol,
-        geo.segmentDistanceRad(col("__sa"), col("__sb"), col(pointNvec)) * lit(radius))
+        cells.segDist(col(pointNvec),
+          geo.vec(col("__ax"), col("__ay"), col("__az")),
+          geo.vec(col("__bx"), col("__by"), col("__bz"))) * lit(radius))
       .filter(col(distCol) <= bufferMeters)
       .groupBy(col(pointId), col(routeIdCol))
       .agg(min(col(distCol)).as(distCol))

@@ -20,7 +20,12 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("every query runs at sf0.001 and yields rows (except dedup/setop)") {
     val mayBeEmpty = Set("q19_dedup_exact", "q05_brand_setop", "q04_empty_orders")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // name printed BEFORE the action: a plan that wedges the
+      // optimizer (this has happened — Catalyst's NestedColumnAliasing
+      // is quadratic over nested-struct extractions) must be
+      // attributable from the log alone
+      println(s"[entry-spec] $name"); Console.flush()
       val n = fn(spark, "/root/testdata/sf0.001").count()
       assert(mayBeEmpty(name) || n > 0, s"$name returned no rows")
     }

@@ -29,6 +29,13 @@ object TwinBlobProbe {
       .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // dbscan's composed plan over EXPRESSION-GENERATED input re-inlines
+      // the disc-construction trees at every persisted-frame reference;
+      // AQE renders the final plan's explain string per plan update and
+      // an uncapped (2 GiB default) render OOMs the driver before any
+      // data moves. Production jobs read scans (short plan strings), but
+      // capping the render is the operational guard either way.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.functions.geo
@@ -55,6 +62,8 @@ object TwinBlobProbe {
         geo.nvec(asin(u("blat", col("id")) * 2.0 - 1.0),
           (u("blon", col("id")) * 2.0 - 1.0) * lit(math.Pi)).as("n"))
     val df = blobA.unionByName(blobB).unionByName(bg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count() // materialize generation outside the timed window
 
     val t0 = System.nanoTime()
     val out = Clustering.dbscan(df, "id", "n", 10e3, 10)

@@ -31,7 +31,8 @@ object DbscanAbProbe {
     val t0 = System.nanoTime()
     val out = if (old) Clustering.pairwiseDbscan(df, "id", "n", 10e3, 10,
         graft.geo.Ellipsoids.MeanEarthRadius, 0)
-      else Clustering.dbscan(df, "id", "n", 10e3, 10)
+      else Clustering.dbscan(df, "id", "n", 10e3, 10,
+        pairwiseBudget = -1L) // the A/B compares PLANS, not the dispatch
     val n = out.count()
     val c = out.filter(col("kind") === "core")
       .groupBy("cluster").count().filter(col("count") >= 8).count()

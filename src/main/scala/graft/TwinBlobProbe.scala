@@ -66,7 +66,8 @@ object TwinBlobProbe {
     df.count() // materialize generation outside the timed window
 
     val t0 = System.nanoTime()
-    val out = Clustering.dbscan(df, "id", "n", 10e3, 10)
+    val out = Clustering.dbscan(df, "id", "n", 10e3, 10,
+      pairwiseBudget = -1L) // prove the refinement path, not the dispatch
     val sec = (System.nanoTime() - t0) / 1e9
     val blobRows = out.filter(col("id") < 2 * blobN)
       .groupBy("cluster", "kind").count().collect()

@@ -62,8 +62,13 @@ class ClusteringSpec extends AnyFunSuite {
       .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
     val vec = pts.map { case (i, la, lo) =>
       (i, Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))) }
-    for ((epsKm, minPts) <- Seq((120.0, 4), (120.0, 3), (260.0, 5), (60.0, 2))) {
-      val got = Clustering.dbscan(df, "id", "n", epsKm * 1000.0, minPts)
+    // budget -1 forces the contracted plan; the default budget
+    // dispatches this small input to the member-pair plan — both
+    // must match the reference
+    for ((epsKm, minPts) <- Seq((120.0, 4), (120.0, 3), (260.0, 5), (60.0, 2));
+         budget <- Seq(-1L, 100000000L)) {
+      val got = Clustering.dbscan(df, "id", "n", epsKm * 1000.0, minPts,
+          pairwiseBudget = budget)
         .collect()
         .map(r => r.getLong(0) ->
           ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))))
@@ -72,7 +77,7 @@ class ClusteringSpec extends AnyFunSuite {
       assert(got == want, {
         val diff = (got.keySet ++ want.keySet)
           .filter(k => got.get(k) != want.get(k)).take(6)
-        s"eps=$epsKm km minPts=$minPts: first diffs " +
+        s"eps=$epsKm km minPts=$minPts budget=$budget: first diffs " +
           diff.map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; ")
       })
     }
@@ -103,7 +108,7 @@ class ClusteringSpec extends AnyFunSuite {
       .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
     val vec = all.map { case (i, la, lo) =>
       (i, Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))) }
-    val got = Clustering.dbscan(df, "id", "n", eps, 5)
+    val got = Clustering.dbscan(df, "id", "n", eps, 5, pairwiseBudget = -1L)
       .collect()
       .map(r => r.getLong(0) ->
         ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))))
@@ -148,7 +153,7 @@ class ClusteringSpec extends AnyFunSuite {
         .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
       val vec = all.map { case (i, la, lo) =>
         (i, Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))) }
-      val got = Clustering.dbscan(df, "id", "n", eps, 5)
+      val got = Clustering.dbscan(df, "id", "n", eps, 5, pairwiseBudget = -1L)
         .collect()
         .map(r => r.getLong(0) ->
           ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))))
@@ -170,10 +175,10 @@ class ClusteringSpec extends AnyFunSuite {
   test("degenerate settings: minPts=1 makes everything a core; huge eps one cluster") {
     val df = pts.toDF("id", "lat", "lon")
       .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
-    val all1 = Clustering.dbscan(df, "id", "n", 1000.0, 1)
+    val all1 = Clustering.dbscan(df, "id", "n", 1000.0, 1, pairwiseBudget = -1L)
       .collect().map(r => (r.getLong(0), r.getString(2)))
     assert(all1.forall(_._2 == "core"))
-    val one = Clustering.dbscan(df, "id", "n", 1.9e7, 2)
+    val one = Clustering.dbscan(df, "id", "n", 1.9e7, 2, pairwiseBudget = -1L)
       .select("cluster").distinct().collect()
     assert(one.length == 1 && one(0).getLong(0) == 0L)
   }

@@ -154,6 +154,12 @@ object SparkEntry {
   private val RouteA = Seq((0.0, 0.0), (10.0, 10.0), (10.0, 25.0), (20.0, 40.0))
   private val RouteB = Seq((-30.0, -60.0), (-10.0, -55.0), (5.0, -40.0))
 
+  // polygon-TABLE gate shapes: the multipolygon plus a deliberately
+  // SMALL box so the per-polygon cover levels differ (the mixed-level
+  // machinery is what q90/q91 exercise end-to-end)
+  private val SmallBox = Seq((36.0, 90.0), (36.0, 102.0), (48.0, 102.0), (48.0, 90.0))
+  private val PolyTable = Seq("m1" -> MultiRings, "p_small" -> Seq(SmallBox))
+
   /** SQL mirror of CellKernels.snapToPolyline for a LITERAL route:
     * per-segment rows (k, route_id, seg, d, fx, fy, fz) over the
     * `pts` CTE — distance is segDistRad's formula verbatim, the foot
@@ -1336,6 +1342,35 @@ object SparkEntry {
         .select(col("c_custkey"), col("aoi_id"),
           round(col("dist_m") / 1000.0, 6).as("dist_km"))
         .orderBy("c_custkey", "aoi_id")
+    }),
+    "q90_polygon_table" -> ((s, dir) => {
+      // PIP join with polygons as a TABLE (mixed cover levels: the
+      // multipolygon's rings cover coarse, the small box fine); the
+      // oracle replays every (point, polygon) even-odd test with no
+      // cover pruning, so a cover-dropped pair would surface
+      import s.implicits._
+      import graft.operators.SpatialJoins.AoiM
+      val polys = PolyTable.map { case (id, r) =>
+        (id, AoiM(id, r).flatRings.toSeq) }.toDF("poly_id", "rings")
+      SpatialJoins.polygonJoin(custPts(s, dir).select(col("c_custkey"), col("n")),
+          "n", "c_custkey", polys, "poly_id", "rings")
+        .select("c_custkey", "poly_id")
+        .orderBy("c_custkey", "poly_id")
+    }),
+    "q91_polygon_buffer" -> ((s, dir) => {
+      // buffered polygon-TABLE join: per-ring covers grown by the
+      // buffer angle at each polygon's own level; oracle recomputes
+      // every signed (point, polygon) boundary distance brute-force
+      import s.implicits._
+      import graft.operators.SpatialJoins.AoiM
+      val polys = PolyTable.map { case (id, r) =>
+        (id, AoiM(id, r).flatRings.toSeq) }.toDF("poly_id", "rings")
+      SpatialJoins.polygonBufferJoin(custPts(s, dir).select(col("c_custkey"), col("n")),
+          "n", "c_custkey", polys, "poly_id", "rings",
+          bufferMeters = 400e3, radius = R)
+        .select(col("c_custkey"), col("poly_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "poly_id")
     }),
     "q71_simplify" -> ((s, dir) => {
       // Douglas-Peucker decimation at a 30 km tolerance over SMOOTH
@@ -2859,6 +2894,23 @@ object SparkEntry {
         ptsSql("customer", "c_custkey") +
           s"SELECT k AS c_custkey, 'm1' AS aoi_id FROM pts " +
           s"WHERE ${ringsInsideSql(MultiRings)} ORDER BY c_custkey, aoi_id"),
+      "q90_polygon_table" -> {
+        val parts = PolyTable.map { case (id, r) =>
+          s"SELECT k, '$id' AS poly_id FROM pts WHERE ${ringsInsideSql(r)}" }
+          .mkString(" UNION ALL ")
+        ptsSql("customer", "c_custkey") +
+          s"SELECT k AS c_custkey, poly_id FROM ($parts) " +
+          s"ORDER BY c_custkey, poly_id"
+      },
+      "q91_polygon_buffer" -> {
+        val parts = PolyTable.map { case (id, r) =>
+          s"(${boundaryRingsSql(id, r)})" }.mkString(" UNION ALL ")
+        ptsSql("customer", "c_custkey") +
+          s"SELECT k AS c_custkey, aoi_id AS poly_id, " +
+          s"round(sd * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+          s"FROM ($parts) WHERE sd * ${fmt(R)} <= 400000.0 " +
+          s"ORDER BY c_custkey, poly_id"
+      },
       "q88_rings_buffer" -> (
         ptsSql("customer", "c_custkey") +
           s"SELECT k AS c_custkey, aoi_id, round(sd * ${fmt(R)} / 1000.0, 6) AS dist_km " +

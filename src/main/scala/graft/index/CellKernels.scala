@@ -212,6 +212,96 @@ object CellKernels {
     k
   }
 
+  /** Per-ring (centroid, circumradius, cover level) of a ring-list
+    * encoding — the polygon-TABLE analogue of the literal AOI joins'
+    * driver-side sizing: each ring's cover level is chosen so its
+    * (grown) circumdisc covers ~96 cells, clamped to [2, MaxLevel].
+    * Rings are validated HERE (a table row has no construction-time
+    * `validated` hook): the hemisphere contract of the winding test
+    * throws rather than silently mis-containing.
+    */
+  private def ringCoverStats(vs: Array[Double], extraRad: Double,
+                             k: Int): Array[(Double, Double, Double, Double, Int)] = {
+    val out = new Array[(Double, Double, Double, Double, Int)](k)
+    var off = 1 + k
+    var r = 0
+    while (r < k) {
+      val n = vs(1 + r).toInt
+      var sx = 0.0; var sy = 0.0; var sz = 0.0
+      var i = 0
+      while (i < n) {
+        sx += vs(off + 3 * i); sy += vs(off + 3 * i + 1); sz += vs(off + 3 * i + 2)
+        i += 1
+      }
+      val norm = math.sqrt(sx * sx + sy * sy + sz * sz)
+      if (norm < 1e-12)
+        throw new IllegalArgumentException(
+          s"ring $r: vertex centroid degenerate (antipodally balanced " +
+            "vertices) — exceeds the winding test's hemisphere contract")
+      val cx = sx / norm; val cy = sy / norm; val cz = sz / norm
+      var circum = 0.0
+      i = 0
+      while (i < n) {
+        val vx = vs(off + 3 * i); val vy = vs(off + 3 * i + 1); val vz = vs(off + 3 * i + 2)
+        val crx = cy * vz - cz * vy; val cry = cz * vx - cx * vz; val crz = cx * vy - cy * vx
+        val d = math.atan2(math.sqrt(crx * crx + cry * cry + crz * crz),
+          cx * vx + cy * vy + cz * vz)
+        if (d > circum) circum = d
+        i += 1
+      }
+      if (!(circum < math.Pi / 2))
+        throw new IllegalArgumentException(
+          f"ring $r spans $circum%.3f rad from its vertex centroid " +
+            "(>= pi/2): exceeds the winding test's hemisphere contract — " +
+            "split the ring")
+      val ang = math.min(math.Pi, math.max(circum + extraRad, 1e-6))
+      val discArea = 2.0 * math.Pi * (1.0 - math.cos(ang))
+      val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
+        math.log(2.0))).ceil.toInt
+      out(r) = (cx, cy, cz, ang,
+        math.max(2, math.min(CellIndex.MaxLevel, l)))
+      off += 3 * n
+      r += 1
+    }
+    out
+  }
+
+  /** Mixed-level quadtree disc cover of a ring-list polygon: the
+    * deduped union of each ring's capCells at that ring's own cover
+    * level (grown by `extraRad` for buffered joins). Level rides in
+    * the cell id, so mixed-level covers still equi-join on one key.
+    */
+  def ringCoverCells(data: ArrayData, extraRad: Double): ArrayData = {
+    val vs = data.toDoubleArray()
+    val k = decodeRingCount(vs)
+    val stats = ringCoverStats(vs, extraRad, k)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var r = 0
+    while (r < k) {
+      val (cx, cy, cz, ang, l) = stats(r)
+      val cs = CellIndex.capCells(cx, cy, cz, l, ang)
+      var i = 0
+      while (i < cs.length) { set.add(cs(i)); i += 1 }
+      r += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The distinct cover LEVELS [[ringCoverCells]] would use — the
+    * cheap pre-pass (no cell enumeration) the polygon joins collect
+    * to know which point-side cell columns to generate.
+    */
+  def ringCoverLevels(data: ArrayData, extraRad: Double): ArrayData = {
+    val vs = data.toDoubleArray()
+    val k = decodeRingCount(vs)
+    val stats = ringCoverStats(vs, extraRad, k)
+    new GenericArrayData(stats.map(_._5).distinct.sorted)
+  }
+
   /** Signed great-circle distance [rad] from the point to the
     * polygon BOUNDARY (vertices flattened [x0,y0,z0,...], implicitly
     * closed): per edge, the cross-circle distance when the foot of

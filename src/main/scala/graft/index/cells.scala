@@ -185,6 +185,40 @@ object cells {
       "corridorPieces", Seq(verts, lit(maxPieceRad)),
       Seq(ArrayType(DoubleType, containsNull = false), DoubleType))
 
+  /** Mixed-level quadtree disc cover of a ring-list polygon encoding
+    * (per ring: its own ~96-cell level, grown by `extraRad`); throws
+    * on rings violating the winding test's hemisphere contract —
+    * table rows have no construction-time `validated` hook.
+    */
+  def ringCoverCells(rings: Column, extraRad: Double): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass,
+      ArrayType(LongType, containsNull = false), "ringCoverCells",
+      Seq(rings, lit(extraRad)),
+      Seq(ArrayType(DoubleType, containsNull = false), DoubleType))
+
+  /** The distinct cover LEVELS [[ringCoverCells]] would use (cheap
+    * pre-pass, no cell enumeration).
+    */
+  def ringCoverLevels(rings: Column, extraRad: Double): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass,
+      ArrayType(IntegerType, containsNull = false), "ringCoverLevels",
+      Seq(rings, lit(extraRad)),
+      Seq(ArrayType(DoubleType, containsNull = false), DoubleType))
+
+  /** Ring-list literal [k, n_0.., coords...] from (latDeg, lonDeg)
+    * ring lists — the [[pointInPolygonRings]] encoding as a Column
+    * (AoiM.flatRings for literals the operator sites build inline).
+    */
+  def ringsLiteral(ringsLatLonDeg: Seq[Seq[(Double, Double)]]): Column = {
+    val header = ringsLatLonDeg.length.toDouble +:
+      ringsLatLonDeg.map(_.length.toDouble)
+    val flat = header ++ ringsLatLonDeg.flatMap(_.flatMap { case (la, lo) =>
+      val n = graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Seq(n.x, n.y, n.z)
+    })
+    array(flat.map(lit): _*)
+  }
+
   /** Flat n-vector vertex array literal from (latDeg, lonDeg) pairs. */
   def polygonLiteral(latLonDeg: Seq[(Double, Double)]): Column = {
     val flat = latLonDeg.flatMap { case (la, lo) =>

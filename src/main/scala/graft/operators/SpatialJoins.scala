@@ -813,6 +813,96 @@ object SpatialJoins {
       .agg(min(col(distCol)).as(distCol))
   }
 
+  /** Shared candidate machinery of the polygon-TABLE joins: each
+    * polygon row emits its mixed-level ring-circumdisc cover
+    * ([[cells.ringCoverCells]] — every ring at its OWN ~96-cell
+    * level, so a continent and a city block in the same table each
+    * get a proportionate cover), points emit one cell id per
+    * DISTINCT cover level (levels ride inside the cell id, so mixed
+    * levels still equi-join on the single cell key), and candidates
+    * dedup per (point, polygon) before the ring encodings join back
+    * by polygon id (AQE broadcasts small polygon tables).
+    *
+    * The distinct level list is the only driver-side value: <= 25
+    * ints off the cheap levels-only kernel pass. Cover proof: rings
+    * pass the hemisphere contract (kernel-enforced, throwing — table
+    * rows have no construction-time `validated` hook), so each
+    * ring's interior stays inside its circumdisc (geodesic balls of
+    * radius < pi/2 are convex); an even-odd-contained point is
+    * inside some ring's hull, a buffered point within extra of some
+    * ring's boundary — either way inside that ring's grown disc.
+    * Rows with null rings / null point positions drop out (no cover
+    * cells / no cell key). Column names of `points` and `polys`
+    * must be disjoint.
+    */
+  private def polygonCandidates(points: DataFrame, pointNvec: String,
+                                pointId: String, polys: DataFrame,
+                                polyIdCol: String, ringsCol: String,
+                                extraRad: Double): DataFrame = {
+    val polysN = polys.select(col(polyIdCol), col(ringsCol))
+    val levels = polysN
+      .select(explode(cells.ringCoverLevels(col(ringsCol), extraRad)).as("__l"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    require(levels.nonEmpty, "polygon table is empty (or all rings null)")
+    val cover = polysN.select(col(polyIdCol),
+      explode(cells.ringCoverCells(col(ringsCol), extraRad)).as("__cell"))
+    points
+      .withColumn("__cell",
+        explode(array(levels.map(l => cells.cellAt(col(pointNvec), l)): _*)))
+      .join(cover, "__cell")
+      .dropDuplicates(pointId, polyIdCol) // multi-ring/multi-level cover hits
+      .join(polysN, polyIdCol)
+      .drop("__cell")
+  }
+
+  /** Point-in-polygon join with polygons as a TABLE — the lift of
+    * [[aoiJoinM]]'s literal AOI list to arbitrarily many polygons
+    * (admin boundaries, land masks), same even-odd ring semantics.
+    * One output row per (point, polygon) whose containment holds:
+    * all point columns + `polyIdCol`.
+    *
+    * Scale shape: one points scan fanning out one NARROW row per
+    * distinct cover level (pass a narrow frame and join payloads
+    * back by `pointId`), a cell equi-join against the distributed
+    * cover (never |points| x |polys|), ring data joined back by
+    * polygon id only for candidates, and ONE
+    * [[cells.pointInPolygonRings]] kernel call per candidate.
+    *
+    * @param pointId a UNIQUE point key — the (point, polygon)
+    *   candidate dedup keys on it, so duplicate ids would collapse
+    *   distinct points (same contract as [[corridorJoin]]).
+    * @param polys table of (polyIdCol, ringsCol) with ringsCol the
+    *   ring-list encoding [k, n_0..n_{k-1}, ring coords...] (build
+    *   literals with [[graft.index.cells.ringsLiteral]] or
+    *   AoiM.flatRings).
+    */
+  def polygonJoin(points: DataFrame, pointNvec: String, pointId: String,
+                  polys: DataFrame, polyIdCol: String,
+                  ringsCol: String): DataFrame =
+    polygonCandidates(points, pointNvec, pointId, polys, polyIdCol,
+      ringsCol, extraRad = 0.0)
+      .filter(cells.pointInPolygonRings(col(pointNvec), col(ringsCol)))
+      .drop(ringsCol)
+
+  /** Buffered polygon-TABLE join: points within `bufferMeters` of
+    * each polygon (signed distance — negative inside by even-odd, a
+    * hole's rim is boundary), the lift of [[aoiBufferJoinM]] to
+    * polygon tables. Output: point columns + polyIdCol + `distCol`.
+    */
+  def polygonBufferJoin(points: DataFrame, pointNvec: String, pointId: String,
+                        polys: DataFrame, polyIdCol: String, ringsCol: String,
+                        bufferMeters: Double,
+                        radius: Double = MeanEarthRadius,
+                        distCol: String = "dist_m"): DataFrame = {
+    require(bufferMeters >= 0.0, s"buffer must be >= 0 (got $bufferMeters)")
+    polygonCandidates(points, pointNvec, pointId, polys, polyIdCol,
+      ringsCol, extraRad = bufferMeters / radius)
+      .withColumn(distCol,
+        cells.boundaryDistSignedRings(col(pointNvec), col(ringsCol)) * lit(radius))
+      .filter(col(distCol) <= bufferMeters)
+      .drop(ringsCol)
+  }
+
   /** Signed great-circle distance from every point to each AOI's
     * BOUNDARY: negative inside the polygon, positive outside (the
     * buffer/erosion primitive — `dist_m <= b` selects the polygon

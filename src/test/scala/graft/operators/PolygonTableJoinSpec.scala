@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.functions.geo
+import graft.geo.{Ellipsoids, Gade, Vec3, VecMath}
+import graft.index.cells
+
+/** Polygon-TABLE joins vs a brute-force reference (every point
+  * against every polygon through the same even-odd / signed-distance
+  * scalar math, no cover pruning) — proving the per-ring mixed-level
+  * circumdisc covers drop no qualifying pair.
+  */
+class PolygonTableJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val R = Ellipsoids.MeanEarthRadius
+
+  // polygon table spanning three size classes (cover levels must
+  // differ) plus holes/multipolygon structure:
+  //  - big: a ~45-degree box
+  //  - small: a ~1.5-degree box a continent away
+  //  - multi: outer box + hole + island-in-hole + disjoint part
+  private val big = Seq(Seq((-20.0, -40.0), (-20.0, 5.0), (25.0, 5.0), (25.0, -40.0)))
+  private val small = Seq(Seq((40.0, 100.0), (40.0, 101.5), (41.5, 101.5), (41.5, 100.0)))
+  private val multi = Seq(
+    Seq((30.0, 60.0), (30.0, 90.0), (55.0, 90.0), (55.0, 60.0)),
+    Seq((38.0, 68.0), (38.0, 82.0), (48.0, 82.0), (48.0, 68.0)),
+    Seq((41.0, 72.0), (41.0, 78.0), (45.0, 78.0), (45.0, 72.0)),
+    Seq((-50.0, -120.0), (-50.0, -100.0), (-35.0, -100.0), (-35.0, -120.0)))
+  private val polyDefs = Seq("big" -> big, "small" -> small, "multi" -> multi)
+
+  private def flatRings(rings: Seq[Seq[(Double, Double)]]): Seq[Double] = {
+    val n = rings.map(_.map { case (la, lo) =>
+      Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) })
+    (n.length.toDouble +: n.map(_.length.toDouble)) ++
+      n.flatMap(_.flatMap(v => Seq(v.x, v.y, v.z)))
+  }
+
+  private def polysDf = (polyDefs.map { case (id, r) => (id, flatRings(r)) } :+
+    (("nullrow", null.asInstanceOf[Seq[Double]])))
+    .toDF("poly_id", "rings")
+
+  // deterministic scatter biased toward the polygons (plus a band
+  // crossing the hole and the island so parity flips are exercised)
+  private val pts: Seq[(Long, Double, Double)] = {
+    def h(i: Long, s: Long) = ((i * 2654435761L + s) % 2000001L) / 1000000.0 - 1.0
+    val global = (0L until 400L).map(i =>
+      (i, math.toDegrees(math.asin(h(i, 1))), 180.0 * h(i, 2)))
+    val nearBig = (1000L until 1200L).map(i => (i, 2.0 + 50.0 * h(i, 3), -18.0 + 50.0 * h(i, 4)))
+    val nearSmall = (2000L until 2200L).map(i => (i, 40.7 + 2.5 * h(i, 5), 100.7 + 2.5 * h(i, 6)))
+    val nearMulti = (3000L until 3300L).map(i => (i, 43.0 + 16.0 * h(i, 7), 75.0 + 20.0 * h(i, 8)))
+    global ++ nearBig ++ nearSmall ++ nearMulti
+  }
+
+  private def refInside(p: Vec3, rings: Seq[Seq[(Double, Double)]]): Boolean =
+    rings.count { ring =>
+      val vn = ring.map { case (la, lo) =>
+        Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+      // all test rings are convex with q15's orientation: inside =
+      // every edge's half-plane (independent of the winding kernel)
+      vn.indices.forall { i =>
+        val c = vn(i) cross vn((i + 1) % vn.length)
+        c.x * p.x + c.y * p.y + c.z * p.z > 0
+      }
+    } % 2 == 1
+
+  private def refBoundary(p: Vec3, rings: Seq[Seq[(Double, Double)]]): Double = {
+    val d = rings.flatMap { ring =>
+      val vn = ring.map { case (la, lo) =>
+        Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+      vn.indices.map { i =>
+        graft.index.CellKernels.segDistRad(p.x, p.y, p.z,
+          vn(i).x, vn(i).y, vn(i).z,
+          vn((i + 1) % vn.length).x, vn((i + 1) % vn.length).y,
+          vn((i + 1) % vn.length).z)
+      }
+    }.min
+    if (refInside(p, rings)) -d else d
+  }
+
+  private def ptsDf = pts.toDF("id", "lat", "lon")
+    .select(col("id"), geo.nvecDeg(col("lat"), col("lon")).as("n"))
+
+  test("polygonJoin equals the all-pairs even-odd reference (mixed sizes, holes, null rings)") {
+    val got = SpatialJoins.polygonJoin(ptsDf, "n", "id", polysDf, "poly_id", "rings")
+      .select("id", "poly_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (for {
+      (i, la, lo) <- pts
+      p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      (id, rings) <- polyDefs if refInside(p, rings)
+    } yield (i, id)).toSet
+    assert(want.nonEmpty && want.exists(_._2 == "small") &&
+      want.exists(_._2 == "multi"), s"degenerate fixture: $want")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("polygonBufferJoin equals the all-pairs signed-distance reference") {
+    val bufM = 300e3
+    val got = SpatialJoins.polygonBufferJoin(ptsDf, "n", "id",
+        polysDf, "poly_id", "rings", bufferMeters = bufM, radius = R)
+      .select(col("id"), col("poly_id"), round(col("dist_m"), 3).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getDouble(2))).toMap
+    val want = (for {
+      (i, la, lo) <- pts
+      p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      (id, rings) <- polyDefs
+      d = refBoundary(p, rings) * R if d <= bufM
+    } yield ((i, id), BigDecimal(d) // Spark round() is HALF_UP
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(want.nonEmpty && want.exists(_._1._2 == "small"))
+    assert(got == want, {
+      val ks = (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+      ks.take(5).map(k => s"$k got=${got.get(k)} want=${want.get(k)}").toString
+    })
+  }
+
+  test("cover levels adapt per polygon size (the mixed-level machinery is exercised)") {
+    val lv = polysDf.filter(col("rings").isNotNull)
+      .select(col("poly_id"), cells.ringCoverLevels(col("rings"), 0.0).as("l"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(lv("small").min > lv("big").max,
+      s"small polygon must cover at a finer level: $lv")
+    assert(lv("multi").distinct.length >= 1 && lv.size == 3)
+  }
+
+  test("hemisphere-violating rings throw instead of silently mis-containing") {
+    // a ring spanning > 90 deg from its centroid (near-hemispheric)
+    val bad = Seq(Seq((-80.0, 0.0), (-80.0, 120.0), (-80.0, -120.0),
+      (80.0, -60.0), (80.0, 60.0)))
+    val df = Seq(("bad", flatRings(bad))).toDF("poly_id", "rings")
+    val ex = intercept[org.apache.spark.SparkException] {
+      SpatialJoins.polygonJoin(ptsDf, "n", "id", df, "poly_id", "rings").count()
+    }
+    assert(ex.getMessage.contains("hemisphere") ||
+      Option(ex.getCause).exists(_.getMessage.contains("hemisphere")))
+  }
+}

@@ -81,13 +81,15 @@ object SparkEntry {
     * CellKernels.pointInPolygonRings' semantics for convex rings):
     * "( CASE WHEN ring0 THEN 1 ELSE 0 END + ... ) % 2 = 1".
     */
-  private def ringsInsideSql(rings: Seq[Seq[(Double, Double)]]): String = {
+  private def ringsInsideSql(rings: Seq[Seq[(Double, Double)]],
+                             px: String = "nx", py: String = "ny",
+                             pz: String = "nz"): String = {
     val terms = rings.map { vs =>
       val vn = vs.map { case (la, lo) =>
         graft.geo.Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
       val conds = vn.indices.map { i =>
         val c = vn(i) cross vn((i + 1) % vn.length)
-        s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
+        s"(${fmt(c.x)}*$px + ${fmt(c.y)}*$py + ${fmt(c.z)}*$pz > 0)"
       }.mkString(" AND ")
       s"(CASE WHEN $conds THEN 1 ELSE 0 END)"
     }
@@ -139,6 +141,93 @@ object SparkEntry {
     val inside = ringsInsideSql(rings)
     s"SELECT k, '$id' AS aoi_id, CASE WHEN $inside THEN -md ELSE md END AS sd " +
       s"FROM (SELECT k, min(d) AS md FROM ($union) GROUP BY k) m JOIN pts USING (k)"
+  }
+
+  /** Full DuckDB replay of CellKernels.ringsIntersect for the q92
+    * gate: per customer k, a great-circle QUAD with data-derived
+    * center/half-widths (corners c1..c4, edge normals e1..e4 in
+    * CTEs), intersected against each LITERAL gate polygon by the
+    * kernel's exact decomposition — vertex-of-A in B (per-ring
+    * half-plane parity, the q15-pinned winding equivalent for convex
+    * rings), vertex-of-B in A (all four half-planes, the quad's CCW
+    * vertex order), or arc crossing (u = na x nb per (A-edge,
+    * B-edge) staged in a CTE; bracket triple products replayed with
+    * the kernel's >= 0 convention, the -u orientation as the <= 0
+    * mirror of the same four scalars). The kernel's
+    * coincident-circle branch (u the exact ZERO vector) is
+    * unreachable for hashed positions against these literals, so the
+    * mirror replays the main branch only.
+    */
+  private def q92MirrorSql: String = {
+    import graft.geo.Vec3
+    val d2r = fmt(math.Pi / 180.0)
+    def toN(p: (Double, Double)): Vec3 =
+      graft.geo.Gade.latLonToNvec(math.toRadians(p._1), math.toRadians(p._2))
+    val corners = Seq((1, "-", "-"), (2, "-", "+"), (3, "+", "+"), (4, "+", "-"))
+    val crnCols = corners.map { case (i, sa, so) =>
+      s"cos(clat $sa dla)*cos(lon $so dlo) AS c${i}x, " +
+        s"cos(clat $sa dla)*sin(lon $so dlo) AS c${i}y, " +
+        s"sin(clat $sa dla) AS c${i}z" }.mkString(", ")
+    val eCols = Seq((1, 1, 2), (2, 2, 3), (3, 3, 4), (4, 4, 1)).map { case (e, i, j) =>
+      s"c${i}y*c${j}z - c${i}z*c${j}y AS e${e}x, " +
+        s"c${i}z*c${j}x - c${i}x*c${j}z AS e${e}y, " +
+        s"c${i}x*c${j}y - c${i}y*c${j}x AS e${e}z" }.mkString(", ")
+    def bEdges(rings: Seq[Seq[(Double, Double)]]): Seq[(Vec3, Vec3, Vec3)] =
+      rings.flatMap { ring =>
+        val vn = ring.map(toN)
+        vn.indices.map { i =>
+          val a = vn(i); val b = vn((i + 1) % vn.length); (a, b, a cross b) } }
+    def uCols(tag: String, es: Seq[(Vec3, Vec3, Vec3)]): String =
+      (for ((ed, g) <- es.zipWithIndex; e <- 1 to 4) yield {
+        val nb = ed._3
+        s"e${e}y*${fmt(nb.z)} - e${e}z*${fmt(nb.y)} AS u${tag}_${e}_${g}x, " +
+          s"e${e}z*${fmt(nb.x)} - e${e}x*${fmt(nb.z)} AS u${tag}_${e}_${g}y, " +
+          s"e${e}x*${fmt(nb.y)} - e${e}y*${fmt(nb.x)} AS u${tag}_${e}_${g}z"
+      }).mkString(", ")
+    def intersectExpr(tag: String, rings: Seq[Seq[(Double, Double)]]): String = {
+      val aVertInB = (1 to 4).map(i =>
+        s"(${ringsInsideSql(rings, s"c${i}x", s"c${i}y", s"c${i}z")})").mkString(" OR ")
+      val bVertInA = rings.flatMap(_.map(toN)).map { w =>
+        (1 to 4).map(e =>
+          s"(e${e}x*${fmt(w.x)} + e${e}y*${fmt(w.y)} + e${e}z*${fmt(w.z)} > 0)")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val crosses = (for ((ed, g) <- bEdges(rings).zipWithIndex; e <- 1 to 4) yield {
+        val (b1, b2, nb) = ed
+        val j = e % 4 + 1
+        val u = s"u${tag}_${e}_$g"
+        val t1 = s"(c${e}y*${u}z - c${e}z*${u}y)*e${e}x + " +
+          s"(c${e}z*${u}x - c${e}x*${u}z)*e${e}y + (c${e}x*${u}y - c${e}y*${u}x)*e${e}z"
+        val t2 = s"(${u}y*c${j}z - ${u}z*c${j}y)*e${e}x + " +
+          s"(${u}z*c${j}x - ${u}x*c${j}z)*e${e}y + (${u}x*c${j}y - ${u}y*c${j}x)*e${e}z"
+        val s1 = s"(${fmt(b1.y)}*${u}z - ${fmt(b1.z)}*${u}y)*${fmt(nb.x)} + " +
+          s"(${fmt(b1.z)}*${u}x - ${fmt(b1.x)}*${u}z)*${fmt(nb.y)} + " +
+          s"(${fmt(b1.x)}*${u}y - ${fmt(b1.y)}*${u}x)*${fmt(nb.z)}"
+        val s2 = s"(${u}y*${fmt(b2.z)} - ${u}z*${fmt(b2.y)})*${fmt(nb.x)} + " +
+          s"(${u}z*${fmt(b2.x)} - ${u}x*${fmt(b2.z)})*${fmt(nb.y)} + " +
+          s"(${u}x*${fmt(b2.y)} - ${u}y*${fmt(b2.x)})*${fmt(nb.z)}"
+        s"((($t1) >= 0 AND ($t2) >= 0 AND ($s1) >= 0 AND ($s2) >= 0) OR " +
+          s"(($t1) <= 0 AND ($t2) <= 0 AND ($s1) <= 0 AND ($s2) <= 0))"
+      }).mkString(" OR ")
+      s"($aVertInB) OR ($bVertInA) OR ($crosses)"
+    }
+    val uAll = PolyTable.map { case (id, r) =>
+      uCols(id.replace("_", ""), bEdges(r)) }.mkString(", ")
+    val branches = PolyTable.map { case (id, r) =>
+      s"SELECT k, '$id' AS poly_id FROM u WHERE ${intersectExpr(id.replace("_", ""), r)}"
+    }.mkString(" UNION ALL ")
+    s"WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, " +
+      s"${lonSql("c_custkey")} AS lon FROM customer WHERE c_custkey % 20 = 0), " +
+      s"ang AS (SELECT k, lat*0.7 AS clat, lon, (2 + (k % 7)) * $d2r AS dla, " +
+      s"(2 + (k % 11)) * $d2r AS dlo FROM keyed), " +
+      // MATERIALIZED stops DuckDB's textual CTE inlining: the final
+      // WHERE references each u column ~12 times and each u column
+      // references 6 e-columns which reference 6 corner expressions —
+      // inlined, that tree is exponential and OOMs the planner
+      s"crn AS MATERIALIZED (SELECT k, $crnCols FROM ang), " +
+      s"geom AS MATERIALIZED (SELECT *, $eCols FROM crn), " +
+      s"u AS MATERIALIZED (SELECT *, $uAll FROM geom) " +
+      s"SELECT k AS c_custkey, poly_id FROM ($branches) ORDER BY c_custkey, poly_id"
   }
 
   private val BoxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
@@ -1370,6 +1459,34 @@ object SparkEntry {
           bufferMeters = 400e3, radius = R)
         .select(col("c_custkey"), col("poly_id"),
           round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey", "poly_id")
+    }),
+    "q92_polygon_intersect" -> ((s, dir) => {
+      // polygon-polygon intersection join: DATA-DERIVED great-circle
+      // quads (one per 20th customer — center and half-widths from
+      // the key) against the literal polygon table; the oracle
+      // replays the kernel's full decomposition (vertex-in both
+      // directions + arc-crossing brackets) per pair, no cover
+      // pruning, so a cover-alignment miss would surface as a
+      // missing row
+      import s.implicits._
+      import graft.operators.SpatialJoins.AoiM
+      val d2r = math.Pi / 180.0
+      val a0 = custPts(s, dir).filter(col("c_custkey") % 20 === 0)
+        .withColumn("__clat", col("lat") * 0.7)
+        .withColumn("__dla", (lit(2.0) + (col("c_custkey") % 7).cast("double")) * d2r)
+        .withColumn("__dlo", (lit(2.0) + (col("c_custkey") % 11).cast("double")) * d2r)
+      def crn(sa: Int, so: Int) = geo.nvec(
+        col("__clat") + lit(sa) * col("__dla"),
+        col("lon") + lit(so) * col("__dlo"))
+      val ringCols = Seq(lit(1.0), lit(4.0)) ++
+        Seq(crn(-1, -1), crn(-1, 1), crn(1, 1), crn(1, -1))
+          .flatMap(c => Seq(geo.vx(c), geo.vy(c), geo.vz(c)))
+      val aT = a0.select(col("c_custkey"), array(ringCols: _*).as("a_rings"))
+      val bT = PolyTable.map { case (id, r) => (id, AoiM(id, r).flatRings.toSeq) }
+        .toDF("poly_id", "b_rings")
+      SpatialJoins.polygonIntersectJoin(aT, "c_custkey", "a_rings",
+          bT, "poly_id", "b_rings")
         .orderBy("c_custkey", "poly_id")
     }),
     "q71_simplify" -> ((s, dir) => {
@@ -2902,6 +3019,7 @@ object SparkEntry {
           s"SELECT k AS c_custkey, poly_id FROM ($parts) " +
           s"ORDER BY c_custkey, poly_id"
       },
+      "q92_polygon_intersect" -> q92MirrorSql,
       "q91_polygon_buffer" -> {
         val parts = PolyTable.map { case (id, r) =>
           s"(${boundaryRingsSql(id, r)})" }.mkString(" UNION ALL ")

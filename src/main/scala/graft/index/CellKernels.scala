@@ -148,7 +148,11 @@ object CellKernels {
   def pointInPolygonRings(px: Double, py: Double, pz: Double,
                           data: ArrayData): Boolean = {
     val vs = data.toDoubleArray()
-    val k = decodeRingCount(vs)
+    insideRingsRaw(px, py, pz, vs, decodeRingCount(vs))
+  }
+
+  private def insideRingsRaw(px: Double, py: Double, pz: Double,
+                             vs: Array[Double], k: Int): Boolean = {
     var inside = false
     var off = 1 + k
     var r = 0
@@ -159,6 +163,114 @@ object CellKernels {
       r += 1
     }
     inside
+  }
+
+  /** True when two even-odd ring-list regions INTERSECT (share any
+    * point, boundaries included). Exact decomposition for closed
+    * regions: either some edge of one properly crosses some edge of
+    * the other, or — when boundaries never cross, so each region's
+    * boundary lies wholly inside or outside the other — one region's
+    * ring VERTICES witness containment (a part inside the other, a
+    * part inside a hole correctly reads outside by parity). Both
+    * encodings carry the usual per-ring hemisphere contract.
+    */
+  def ringsIntersect(a: ArrayData, b: ArrayData): Boolean = {
+    val va = a.toDoubleArray(); val ka = decodeRingCount(va)
+    val vb = b.toDoubleArray(); val kb = decodeRingCount(vb)
+    if (anyVertexInside(va, ka, vb, kb)) return true
+    if (anyVertexInside(vb, kb, va, ka)) return true
+    // edge-crossing sweep: every edge pair across the two ring lists
+    var offA = 1 + ka
+    var ra = 0
+    while (ra < ka) {
+      val na = vs2n(va, ra)
+      var i = 0
+      while (i < na) {
+        val i2 = (i + 1) % na
+        var offB = 1 + kb
+        var rb = 0
+        while (rb < kb) {
+          val nb = vs2n(vb, rb)
+          var j = 0
+          while (j < nb) {
+            val j2 = (j + 1) % nb
+            if (arcsCross(va, offA + 3 * i, offA + 3 * i2,
+                vb, offB + 3 * j, offB + 3 * j2)) return true
+            j += 1
+          }
+          offB += 3 * nb
+          rb += 1
+        }
+        i += 1
+      }
+      offA += 3 * na
+      ra += 1
+    }
+    false
+  }
+
+  private def vs2n(vs: Array[Double], r: Int): Int = vs(1 + r).toInt
+
+  private def anyVertexInside(src: Array[Double], kSrc: Int,
+                              dst: Array[Double], kDst: Int): Boolean = {
+    var off = 1 + kSrc
+    var r = 0
+    while (r < kSrc) {
+      val n = vs2n(src, r)
+      var i = 0
+      while (i < n) {
+        if (insideRingsRaw(src(off + 3 * i), src(off + 3 * i + 1),
+            src(off + 3 * i + 2), dst, kDst)) return true
+        i += 1
+      }
+      off += 3 * n
+      r += 1
+    }
+    false
+  }
+
+  /** Minor arcs (a1,a2) and (b1,b2) share a point: a great-circle
+    * intersection direction (either sign of na x nb) lies ON both
+    * arcs — the on-arc test is the same signed-triple-product
+    * bracket [[segDistRad]] uses, >= 0 so endpoint touches count
+    * (closed regions). Exactly coincident circles (na x nb the zero
+    * VECTOR, e.g. two equator arcs) overlap iff an endpoint of one
+    * arc brackets inside the other.
+    */
+  private def arcsCross(va: Array[Double], i1: Int, i2: Int,
+                        vb: Array[Double], j1: Int, j2: Int): Boolean = {
+    val ax = va(i1); val ay = va(i1 + 1); val az = va(i1 + 2)
+    val bx = va(i2); val by = va(i2 + 1); val bz = va(i2 + 2)
+    val cx = vb(j1); val cy = vb(j1 + 1); val cz = vb(j1 + 2)
+    val dx = vb(j2); val dy = vb(j2 + 1); val dz = vb(j2 + 2)
+    val nax = ay * bz - az * by
+    val nay = az * bx - ax * bz
+    val naz = ax * by - ay * bx
+    val nbx = cy * dz - cz * dy
+    val nby = cz * dx - cx * dz
+    val nbz = cx * dy - cy * dx
+    // bracket(p on arc (p1,p2) with normal n): (p1 x p) . n >= 0 and
+    // (p x p2) . n >= 0
+    def brA(px: Double, py: Double, pz: Double): Boolean =
+      (ay * pz - az * py) * nax + (az * px - ax * pz) * nay +
+        (ax * py - ay * px) * naz >= 0 &&
+      (py * bz - pz * by) * nax + (pz * bx - px * bz) * nay +
+        (px * by - py * bx) * naz >= 0
+    def brB(px: Double, py: Double, pz: Double): Boolean =
+      (cy * pz - cz * py) * nbx + (cz * px - cx * pz) * nby +
+        (cx * py - cy * px) * nbz >= 0 &&
+      (py * dz - pz * dy) * nbx + (pz * dx - px * dz) * nby +
+        (px * dy - py * dx) * nbz >= 0
+    val ux = nay * nbz - naz * nby
+    val uy = naz * nbx - nax * nbz
+    val uz = nax * nby - nay * nbx
+    if (ux == 0.0 && uy == 0.0 && uz == 0.0)
+      // same great circle: arcs overlap iff some endpoint of one
+      // lies inside the other's bracket
+      brA(cx, cy, cz) || brA(dx, dy, dz) || brB(ax, ay, az) || brB(bx, by, bz)
+    else
+      (brA(ux, uy, uz) && brB(ux, uy, uz)) ||
+        (brA(-ux, -uy, -uz) && brB(-ux, -uy, -uz))
   }
 
   /** Signed boundary distance [rad] for the ring-list encoding: min

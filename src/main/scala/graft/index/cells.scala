@@ -185,6 +185,16 @@ object cells {
       "corridorPieces", Seq(verts, lit(maxPieceRad)),
       Seq(ArrayType(DoubleType, containsNull = false), DoubleType))
 
+  /** True when two even-odd ring-list regions intersect (edge
+    * crossing or vertex containment either way) — see
+    * CellKernels.ringsIntersect.
+    */
+  def ringsIntersect(a: Column, b: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, BooleanType, "ringsIntersect",
+      Seq(a, b),
+      Seq(ArrayType(DoubleType, containsNull = false),
+        ArrayType(DoubleType, containsNull = false)))
+
   /** Mixed-level quadtree disc cover of a ring-list polygon encoding
     * (per ring: its own ~96-cell level, grown by `extraRad`); throws
     * on rings violating the winding test's hemisphere contract —

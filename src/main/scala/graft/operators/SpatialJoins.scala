@@ -903,6 +903,66 @@ object SpatialJoins {
       .drop(ringsCol)
   }
 
+  /** Polygon-polygon INTERSECTION join between two polygon TABLES:
+    * one output row (aIdCol, bIdCol) per pair of even-odd ring-list
+    * regions sharing any point (boundaries included) — the overlay
+    * primitive (which parcels touch which zones, which AOIs overlap
+    * which admin areas).
+    *
+    * Scale shape: both sides emit their mixed-level per-ring
+    * circumdisc covers ([[cells.ringCoverCells]]), and each cover
+    * cell RE-KEYS at the target levels where a cross-side match can
+    * happen — its own level when the other side covers at that level
+    * or finer, plus the other side's strictly-coarser levels — so
+    * two cells sharing area always equi-join at exactly the coarser
+    * cell's id (levels ride in the id; the driver sees only the two
+    * <= 25-int level lists). Candidates dedup per (a, b) pair, ring
+    * encodings join back by polygon id only for candidates, and the
+    * exact [[cells.ringsIntersect]] kernel (edge-crossing sweep +
+    * vertex-containment by parity) runs once per candidate — never
+    * |A| x |B|.
+    *
+    * Ids must be unique per polygon; column names of the two tables
+    * must be disjoint; null-rings rows drop out (no cover).
+    */
+  def polygonIntersectJoin(aPolys: DataFrame, aIdCol: String, aRingsCol: String,
+                           bPolys: DataFrame, bIdCol: String,
+                           bRingsCol: String): DataFrame = {
+    def lv(df: DataFrame, rings: String): Array[Int] = df
+      .select(explode(cells.ringCoverLevels(col(rings), 0.0)).as("__l"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val levelsA = lv(aPolys, aRingsCol)
+    val levelsB = lv(bPolys, bRingsCol)
+    require(levelsA.nonEmpty && levelsB.nonEmpty,
+      "a polygon table is empty (or all rings null)")
+    // a pair of cover cells (la, lb) containing a common point match
+    // at t = min(la, lb): the finer cell's ancestor IS the coarser
+    // cell. Each side therefore re-keys its cell (level l) at the
+    // other side's levels strictly below l, plus l itself when the
+    // other side has some level >= l. Shared level values can match
+    // a pair twice — the candidate dedup absorbs that.
+    def keyed(df: DataFrame, idCol: String, rings: String,
+              own: Array[Int], other: Array[Int]): DataFrame = {
+      val cover = df.select(col(idCol),
+        explode(cells.ringCoverCells(col(rings), 0.0)).as("__c"))
+      val lvlC = cells.cellLevel(col("__c"))
+      val targets: Seq[Column] = own.toSeq.flatMap { l =>
+        val ts = other.filter(_ < l).toSeq ++
+          (if (other.exists(_ >= l)) Seq(l) else Nil)
+        ts.map(t => when(lvlC === l, cells.ancestorAt(col("__c"), t)))
+      }
+      cover.select(col(idCol), explode(array(targets: _*)).as("__key"))
+        .filter(col("__key").isNotNull)
+    }
+    keyed(aPolys, aIdCol, aRingsCol, levelsA, levelsB)
+      .join(keyed(bPolys, bIdCol, bRingsCol, levelsB, levelsA), "__key")
+      .dropDuplicates(aIdCol, bIdCol)
+      .join(aPolys.select(col(aIdCol), col(aRingsCol)), aIdCol)
+      .join(bPolys.select(col(bIdCol), col(bRingsCol)), bIdCol)
+      .filter(cells.ringsIntersect(col(aRingsCol), col(bRingsCol)))
+      .select(col(aIdCol), col(bIdCol))
+  }
+
   /** Signed great-circle distance from every point to each AOI's
     * BOUNDARY: negative inside the polygon, positive outside (the
     * buffer/erosion primitive — `dist_m <= b` selects the polygon

@@ -46,7 +46,10 @@ object CliqueProbe {
     val df = clique.unionByName(bg)
 
     val t0 = System.nanoTime()
-    val out = Clustering.dbscan(df, "id", "n", 10e3, 10)
+    // pinned: the clique's hazard exceeds any sane budget anyway, but
+    // this probe exists to prove the contraction plan specifically
+    val out = Clustering.dbscan(df, "id", "n", 10e3, 10,
+      pairwiseBudget = -1L)
     val sec = (System.nanoTime() - t0) / 1e9
     val cliqueRows = out.filter(col("id") < cliqueN)
       .groupBy("cluster", "kind").count().collect()

@@ -76,7 +76,11 @@ object GeoScaleProbe {
       val df = spark.read.parquet(path)
 
       val ((pts, clusters), dbSec) = time {
-        val out = Clustering.dbscan(df, "id", "n", 10e3, 10)
+        // pinned to the contraction plan: this probe's numbers track
+        // the contraction machinery across rounds, and its small
+        // blobs would otherwise dispatch to the member-pair plan
+        val out = Clustering.dbscan(df, "id", "n", 10e3, 10,
+          pairwiseBudget = -1L)
         val n = out.count()
         // clusters of >= 8 cores: the planted blobs (10-40 members,
         // all cores by construction). Dense-scatter flukes DO reach

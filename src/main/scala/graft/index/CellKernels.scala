@@ -249,6 +249,17 @@ object CellKernels {
     val nbx = cy * dz - cz * dy
     val nby = cz * dx - cx * dz
     val nbz = cx * dy - cy * dx
+    // A zero normal means the edge is DEGENERATE (duplicate adjacent
+    // vertices — e.g. a GeoJSON-style repeated closing vertex — or
+    // antipodal ones): it spans no arc, and with n = 0 both bracket
+    // tests are vacuously true, which would turn the coincident-circle
+    // branch below into an unconditional `true` against every edge of
+    // the other ring. Such an edge contributes no crossing of its
+    // own — any true crossing through a duplicated vertex is carried
+    // by its non-degenerate neighbor edges, and pure containment is
+    // anyVertexInside's job — so skip it.
+    if ((nax == 0.0 && nay == 0.0 && naz == 0.0) ||
+        (nbx == 0.0 && nby == 0.0 && nbz == 0.0)) return false
     // bracket(p on arc (p1,p2) with normal n): (p1 x p) . n >= 0 and
     // (p x p2) . n >= 0
     def brA(px: Double, py: Double, pz: Double): Boolean =

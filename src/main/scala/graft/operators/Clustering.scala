@@ -95,17 +95,22 @@ object Clustering {
   /** @param skewSalt forwarded to the candidate joins ([[SpatialJoins
     *   .distanceJoin]]) for dense-hot-cell inputs.
     *  @param pairwiseBudget cost dispatch between the two exact
-    *   plans: the contraction's savings are exactly the same-cell
-    *   member pairs it never materializes (sum of count^2 over dense
-    *   cells — read off the FIRST aggregation, which both plans'
-    *   inputs need anyway), so when that sum is at or under the
-    *   budget the simpler member-pair plan wins: the contracted
-    *   pipeline's ~25 fixed stages dominate small/sparse inputs
-    *   (measured 36 s vs 4.5 s on a 15k-point gate) while the pair
-    *   volume they would avoid fits comfortably in a shuffle
-    *   (1e8 pairs ~ 5 GB). Set to -1 to force contraction (the A/B
-    *   probes), or very large to force the member-pair plan. Both
-    *   plans are exact; the dispatch steers only cost.
+    *   plans: an estimate of the member-pair plan's pair volume —
+    *   sum of count(c)*count(c') over occupied contraction-cell pairs
+    *   within Chebyshev ring 3 (eps/step < 2*sqrt(2) at the
+    *   contraction level, so away from face-corner gnomonic
+    *   distortion an in-eps pair, same-cell or cross-cell, lands in
+    *   such a cell pair; same-cell dense pairs alone undercount
+    *   uniformly dense data ~10-25x). Computed off
+    *   the FIRST aggregation's narrow per-cell counts (one extra
+    *   cells-only shuffle, never the data). At or under the budget
+    *   the simpler member-pair plan wins: the contracted pipeline's
+    *   ~25 fixed stages dominate small/sparse inputs (measured 36 s
+    *   vs 4.5 s on a 15k-point gate) while the pair volume fits
+    *   comfortably in a shuffle (1e8 pairs ~ 5 GB). Set to -1 to
+    *   force contraction (the A/B probes), or very large to force
+    *   the member-pair plan. Both plans are exact; the dispatch
+    *   steers only cost.
     *  @return one row per input point: (idCol, cluster, kind) with
     *   kind in core/border/noise and cluster null for noise. The
     *   frame is MATERIALIZED and persisted at MEMORY_AND_DISK (all
@@ -161,13 +166,27 @@ object Clustering {
       // it is small (AQE decides)
       val cellCnt = keep(valid.groupBy("__gc").agg(count(lit(1)).as("__dn0")))
       if (pairwiseBudget >= 0L) {
-        // the dispatch hazard: same-cell member pairs the contraction
-        // would avoid materializing (count^2 summed over dense cells)
-        val hazard = cellCnt.filter(col("__dn0") >= minPts)
-          .agg(coalesce(sum(col("__dn0") * col("__dn0")), lit(0L)).as("__h"))
-          .first().getLong(0)
+        // the dispatch hazard: an estimate of the member-pair plan's
+        // pair volume. eps/step is in [sqrt(2), 2*sqrt(2)) at the
+        // contraction level, so away from face corners (gnomonic
+        // distortion <= 3x there) an in-eps pair's cells sit within
+        // Chebyshev ring 3 — sum count*count over ring-3 occupied
+        // cell pairs counts in-eps pairs same-cell AND cross-cell
+        // (dense-cell count^2 alone undercounts uniformly dense data
+        // ~10-25x and could route a billion-pair input to the
+        // materializing plan). A heuristic, not a proof: both plans
+        // are exact, the dispatch steers only cost. Narrow cells-only
+        // self-join; summed in doubles so extreme inputs saturate
+        // instead of wrapping.
+        val hazard = cellCnt
+          .select(explode(cells.ringCells(col("__gc"), 3)).as("__gc2"),
+            col("__dn0").cast("double").as("__na"))
+          .join(cellCnt.select(col("__gc").as("__gc2"),
+            col("__dn0").cast("double").as("__nb")), "__gc2")
+          .agg(coalesce(sum(col("__na") * col("__nb")), lit(0.0)).as("__h"))
+          .first().getDouble(0)
         if (dbg) println(s"[dbscan] dispatch hazard=$hazard budget=$pairwiseBudget")
-        if (hazard <= pairwiseBudget)
+        if (hazard <= pairwiseBudget.toDouble)
           // finally releases cellCnt; the member-pair plan re-derives
           // everything it needs from the raw points
           return pairwiseDbscan(points, idCol, nvecCol, epsMeters, minPts,

@@ -843,12 +843,17 @@ object SpatialJoins {
     val levels = polysN
       .select(explode(cells.ringCoverLevels(col(ringsCol), extraRad)).as("__l"))
       .distinct().collect().map(_.getInt(0)).sorted
-    require(levels.nonEmpty, "polygon table is empty (or all rings null)")
     val cover = polysN.select(col(polyIdCol),
       explode(cells.ringCoverCells(col(ringsCol), extraRad)).as("__cell"))
+    // An empty polygon table (or all-null rings) is a legitimate
+    // filtered state, not a contract violation: a null cell key never
+    // equi-joins, so the same chain yields the correctly-typed empty
+    // result instead of throwing mid-pipeline.
+    val pointCell: Column =
+      if (levels.isEmpty) lit(null).cast("long")
+      else explode(array(levels.map(l => cells.cellAt(col(pointNvec), l)): _*))
     points
-      .withColumn("__cell",
-        explode(array(levels.map(l => cells.cellAt(col(pointNvec), l)): _*)))
+      .withColumn("__cell", pointCell)
       .join(cover, "__cell")
       .dropDuplicates(pointId, polyIdCol) // multi-ring/multi-level cover hits
       .join(polysN, polyIdCol)
@@ -933,8 +938,11 @@ object SpatialJoins {
       .distinct().collect().map(_.getInt(0)).sorted
     val levelsA = lv(aPolys, aRingsCol)
     val levelsB = lv(bPolys, bRingsCol)
-    require(levelsA.nonEmpty && levelsB.nonEmpty,
-      "a polygon table is empty (or all rings null)")
+    // Either side empty (or all rings null) → no pairs, by the same
+    // empty-input contract as every other join primitive here.
+    if (levelsA.isEmpty || levelsB.isEmpty)
+      return aPolys.select(col(aIdCol)).limit(0)
+        .crossJoin(bPolys.select(col(bIdCol)).limit(0))
     // a pair of cover cells (la, lb) containing a common point match
     // at t = min(la, lb): the finer cell's ancestor IS the coarser
     // cell. Each side therefore re-keys its cell (level l) at the

@@ -128,8 +128,10 @@ class ClusteringSpec extends AnyFunSuite {
     // eps = 50 km; three TIGHT dense blobs (8 points within ~1 km,
     // minPts = 5) whose center separations straddle eps so the
     // cell-level supernode bounds cannot decide either way:
-    //  - B sits 49.5 km east of A -> every cross pair is within eps
-    //    (edge must be found by the sub-cell fallback);
+    //  - B sits 49.5 km east of A -> cross pairs span ~47.4-51.6 km
+    //    (+- 2x 1.05 km spread), so in-eps A-B edges exist and must
+    //    be found by the sub-cell fallback while the widest pairs
+    //    exceed eps;
     //  - C sits 52 km north of B with only east-west spread -> every
     //    B-C pair exceeds eps (the fallback must find nothing), yet
     //    dist - ra - rb < eps keeps the pair a candidate.

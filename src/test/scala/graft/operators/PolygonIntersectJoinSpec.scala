@@ -3,7 +3,6 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestSession
-import graft.geo.Gade
 import graft.index.cells
 
 /** Polygon-polygon intersection join: the exact predicate against
@@ -16,12 +15,10 @@ class PolygonIntersectJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def flatRings(rings: Seq[Seq[(Double, Double)]]): Seq[Double] = {
-    val n = rings.map(_.map { case (la, lo) =>
-      Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) })
-    (n.length.toDouble +: n.map(_.length.toDouble)) ++
-      n.flatMap(_.flatMap(v => Seq(v.x, v.y, v.z)))
-  }
+  // the production encoding, not a re-implementation — a header/layout
+  // change must fail these specs, not silently diverge from them
+  private def flatRings(rings: Seq[Seq[(Double, Double)]]): Seq[Double] =
+    SpatialJoins.AoiM("spec", rings).flatRings.toSeq
   private def box(la1: Double, lo1: Double, la2: Double, lo2: Double) =
     Seq((la1, lo1), (la1, lo2), (la2, lo2), (la2, lo1))
 
@@ -56,6 +53,47 @@ class PolygonIntersectJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getBoolean(4), r.getBoolean(3)))
     val bad = got.filter { case (_, g, w) => g != w }
     assert(bad.isEmpty, s"wrong relations: ${bad.mkString("; ")}")
+  }
+
+  test("degenerate edges (repeated closing vertex) contribute no false crossings") {
+    // GeoJSON-style rings repeat the first vertex as the last; the
+    // implicit closing edge is then zero-length with a zero normal.
+    // Before the degenerate-edge guard that normal made both bracket
+    // tests vacuously true and the coincident-circle branch reported
+    // a crossing against EVERY edge of the other ring.
+    def closed(b: Seq[(Double, Double)]) = b :+ b.head
+    val cases = Seq(
+      ("closed-disjoint", Seq(closed(box(-10, -10, 10, 10))),
+        Seq(box(40, 100, 50, 120)), false),
+      ("closed-both-disjoint", Seq(closed(box(-10, -10, 10, 10))),
+        Seq(closed(box(40, 100, 50, 120))), false),
+      ("closed-overlap", Seq(closed(box(-10, -10, 10, 10))),
+        Seq(box(0, 0, 20, 20)), true),
+      // crossing THROUGH the duplicated vertex: carried by the
+      // non-degenerate neighbor edges
+      ("closed-cross-at-dup-vertex", Seq(closed(box(-10, -10, 10, 10))),
+        Seq(box(-12, -12, -8, -8)), true))
+    val rows = cases.map { case (name, a, b, want) =>
+      (name, flatRings(a), flatRings(b), want) }
+      .toDF("name", "a", "b", "want")
+    val got = rows.withColumn("got", cells.ringsIntersect(col("a"), col("b")))
+      .collect().map(r => (r.getString(0), r.getBoolean(4), r.getBoolean(3)))
+    val bad = got.filter { case (_, g, w) => g != w }
+    assert(bad.isEmpty, s"wrong relations: ${bad.mkString("; ")}")
+  }
+
+  test("an empty side yields the empty result, not an exception") {
+    val a = Seq(("a1", flatRings(Seq(box(-10, -10, 10, 10))))).toDF("a_id", "a_rings")
+    val bEmpty = Seq.empty[(String, Seq[Double])].toDF("b_id", "b_rings")
+    val bNull = Seq(("bn", null.asInstanceOf[Seq[Double]])).toDF("b_id", "b_rings")
+    for (b <- Seq(bEmpty, bNull)) {
+      val out = SpatialJoins.polygonIntersectJoin(a, "a_id", "a_rings", b, "b_id", "b_rings")
+      assert(out.columns.toSeq == Seq("a_id", "b_id"))
+      assert(out.count() == 0L)
+      val swapped = SpatialJoins.polygonIntersectJoin(b, "b_id", "b_rings", a, "a_id", "a_rings")
+      assert(swapped.columns.toSeq == Seq("b_id", "a_id"))
+      assert(swapped.count() == 0L)
+    }
   }
 
   test("polygonIntersectJoin equals the all-pairs predicate over mixed-size tables") {

@@ -32,12 +32,10 @@ class PolygonTableJoinSpec extends AnyFunSuite {
     Seq((-50.0, -120.0), (-50.0, -100.0), (-35.0, -100.0), (-35.0, -120.0)))
   private val polyDefs = Seq("big" -> big, "small" -> small, "multi" -> multi)
 
-  private def flatRings(rings: Seq[Seq[(Double, Double)]]): Seq[Double] = {
-    val n = rings.map(_.map { case (la, lo) =>
-      Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) })
-    (n.length.toDouble +: n.map(_.length.toDouble)) ++
-      n.flatMap(_.flatMap(v => Seq(v.x, v.y, v.z)))
-  }
+  // the production encoding, not a re-implementation — a header/layout
+  // change must fail these specs, not silently diverge from them
+  private def flatRings(rings: Seq[Seq[(Double, Double)]]): Seq[Double] =
+    SpatialJoins.AoiM("spec", rings).flatRings.toSeq
 
   private def polysDf = (polyDefs.map { case (id, r) => (id, flatRings(r)) } :+
     (("nullrow", null.asInstanceOf[Seq[Double]])))
@@ -126,6 +124,20 @@ class PolygonTableJoinSpec extends AnyFunSuite {
     assert(lv("small").min > lv("big").max,
       s"small polygon must cover at a finer level: $lv")
     assert(lv("multi").distinct.length >= 1 && lv.size == 3)
+  }
+
+  test("an empty (or all-null-rings) polygon table yields the empty join") {
+    val empty = Seq.empty[(String, Seq[Double])].toDF("poly_id", "rings")
+    val allNull = Seq(("n1", null.asInstanceOf[Seq[Double]])).toDF("poly_id", "rings")
+    for (polys <- Seq(empty, allNull)) {
+      val pip = SpatialJoins.polygonJoin(ptsDf, "n", "id", polys, "poly_id", "rings")
+      assert(pip.columns.toSet == Set("id", "n", "poly_id"))
+      assert(pip.count() == 0L)
+      val buf = SpatialJoins.polygonBufferJoin(
+        ptsDf, "n", "id", polys, "poly_id", "rings", 50e3)
+      assert(buf.columns.toSet == Set("id", "n", "poly_id", "dist_m"))
+      assert(buf.count() == 0L)
+    }
   }
 
   test("hemisphere-violating rings throw instead of silently mis-containing") {

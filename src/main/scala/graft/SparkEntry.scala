@@ -1489,6 +1489,29 @@ object SparkEntry {
           bT, "poly_id", "b_rings")
         .orderBy("c_custkey", "poly_id")
     }),
+    "q93_zonal_stats" -> ((s, dir) => {
+      // zonal statistics: per-polygon aggregates over the exact PIP
+      // join (the q90 machinery feeding a partial groupBy). Account
+      // balances aggregate as exact integer CENTS (2-decimal values
+      // are not representable as doubles, so a double sum would be
+      // summation-order-dependent between the two engines); the mean
+      // divides the exact cent sum, so every output is
+      // order-independent and hash-comparable
+      import s.implicits._
+      import graft.operators.SpatialJoins.AoiM
+      val polys = PolyTable.map { case (id, r) =>
+        (id, AoiM(id, r).flatRings.toSeq) }.toDF("poly_id", "rings")
+      val pts = custPts(s, dir).select(col("c_custkey"), col("n"),
+        round(col("c_acctbal") * 100).cast("long").as("__cents"),
+        col("c_acctbal"))
+      SpatialJoins.zonalStats(pts, "n", "c_custkey", polys, "poly_id", "rings", Seq(
+          count(lit(1)).as("n_points"),
+          sum(col("__cents")).as("sum_cents"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          round(sum(col("__cents")) / lit(100.0) / count(lit(1)), 6).as("avg_bal")))
+        .orderBy("poly_id")
+    }),
     "q71_simplify" -> ((s, dir) => {
       // Douglas-Peucker decimation at a 30 km tolerance over SMOOTH
       // per-user drift tracks (a raw event scatter has no redundant
@@ -3020,6 +3043,18 @@ object SparkEntry {
           s"ORDER BY c_custkey, poly_id"
       },
       "q92_polygon_intersect" -> q92MirrorSql,
+      "q93_zonal_stats" -> {
+        val parts = PolyTable.map { case (id, r) =>
+          s"SELECT k, '$id' AS poly_id FROM pts WHERE ${ringsInsideSql(r)}" }
+          .mkString(" UNION ALL ")
+        ptsSql("customer", "c_custkey") +
+          s"SELECT poly_id, count(*) AS n_points, " +
+          s"CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+          s"min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal, " +
+          s"round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_bal " +
+          s"FROM ($parts) p JOIN customer c ON c.c_custkey = p.k " +
+          s"GROUP BY poly_id ORDER BY poly_id"
+      },
       "q91_polygon_buffer" -> {
         val parts = PolyTable.map { case (id, r) =>
           s"(${boundaryRingsSql(id, r)})" }.mkString(" UNION ALL ")

@@ -908,6 +908,30 @@ object SpatialJoins {
       .drop(ringsCol)
   }
 
+  /** Zonal statistics: per-polygon aggregates over the exact PIP
+    * join (polygon population counts, per-admin-area sums/means —
+    * the standard summarize-points-by-zone operation). One output
+    * row per polygon containing at least one point: `polyIdCol` +
+    * the given aggregate columns (alias each with `.as(...)`).
+    *
+    * Scale shape: [[polygonJoin]]'s candidate machinery (mixed-level
+    * per-ring covers, one even-odd kernel call per candidate)
+    * feeding a declarative groupBy — the aggregation is PARTIAL
+    * (map-side combine), so the post-join shuffle carries one row
+    * per (task, polygon), never the joined rows, and the output is
+    * at most |polygons| rows. Pass a NARROW points frame (id + nvec
+    * + the aggregated value columns): every point column rides
+    * through the join to the aggregation.
+    */
+  def zonalStats(points: DataFrame, pointNvec: String, pointId: String,
+                 polys: DataFrame, polyIdCol: String, ringsCol: String,
+                 aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "zonalStats needs at least one aggregate column")
+    polygonJoin(points, pointNvec, pointId, polys, polyIdCol, ringsCol)
+      .groupBy(col(polyIdCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Polygon-polygon INTERSECTION join between two polygon TABLES:
     * one output row (aIdCol, bIdCol) per pair of even-odd ring-list
     * regions sharing any point (boundaries included) — the overlay

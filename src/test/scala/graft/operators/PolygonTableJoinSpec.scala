@@ -126,6 +126,27 @@ class PolygonTableJoinSpec extends AnyFunSuite {
     assert(lv("multi").distinct.length >= 1 && lv.size == 3)
   }
 
+  test("zonalStats equals the per-polygon aggregate of the all-pairs reference") {
+    // value derived from the id so the reference can recompute it
+    val valued = ptsDf.withColumn("v", (col("id") % 97).cast("double"))
+    val got = SpatialJoins.zonalStats(valued, "n", "id", polysDf, "poly_id", "rings",
+        Seq(count(lit(1)).as("n_points"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val insidePairs = for {
+      (i, la, lo) <- pts
+      p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      (id, rings) <- polyDefs if refInside(p, rings)
+    } yield (id, i)
+    val want = insidePairs.groupBy(_._1).map { case (id, xs) =>
+      val ids = xs.map(_._2)
+      id -> ((ids.length.toLong, ids.map(i => (i % 97).toDouble).sum, ids.min))
+    }
+    assert(want.nonEmpty && want.keySet.size >= 2, s"degenerate fixture: $want")
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("an empty (or all-null-rings) polygon table yields the empty join") {
     val empty = Seq.empty[(String, Seq[Double])].toDF("poly_id", "rings")
     val allNull = Seq(("n1", null.asInstanceOf[Seq[Double]])).toDF("poly_id", "rings")

@@ -230,6 +230,78 @@ object SparkEntry {
       s"SELECT k AS c_custkey, poly_id FROM ($branches) ORDER BY c_custkey, poly_id"
   }
 
+  /** Dissolve mirror: the SYMMETRIC quad-quad intersect decomposition
+    * (both sides data-derived — vertex-in each direction over the
+    * convex half-planes, plus all 16 edge-pair great-circle crossing
+    * brackets with the per-pair normal cross product u inlined over
+    * the MATERIALIZED per-quad geometry columns), then min-label
+    * reachability over the symmetrized edge list as a recursive CTE
+    * (the q49 component pattern). Mirrors CellKernels.ringsIntersect
+    * + Dedup.connectedComponents end-to-end.
+    */
+  private def q94MirrorSql: String = {
+    val d2r = fmt(math.Pi / 180.0)
+    val corners = Seq((1, "-", "-"), (2, "-", "+"), (3, "+", "+"), (4, "+", "-"))
+    val crnCols = corners.map { case (i, sa, so) =>
+      s"cos(clat $sa dla)*cos(lon $so dlo) AS c${i}x, " +
+        s"cos(clat $sa dla)*sin(lon $so dlo) AS c${i}y, " +
+        s"sin(clat $sa dla) AS c${i}z" }.mkString(", ")
+    val eCols = Seq((1, 1, 2), (2, 2, 3), (3, 3, 4), (4, 4, 1)).map { case (e, i, j) =>
+      s"c${i}y*c${j}z - c${i}z*c${j}y AS e${e}x, " +
+        s"c${i}z*c${j}x - c${i}x*c${j}z AS e${e}y, " +
+        s"c${i}x*c${j}y - c${i}y*c${j}x AS e${e}z" }.mkString(", ")
+    // ofTag's corner i inside inTag's (convex, q15-oriented) quad
+    def vertIn(ofTag: String, inTag: String): String =
+      (1 to 4).map { i =>
+        (1 to 4).map(e =>
+          s"($inTag.e${e}x*$ofTag.c${i}x + $inTag.e${e}y*$ofTag.c${i}y + " +
+            s"$inTag.e${e}z*$ofTag.c${i}z > 0)").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+    // cross product of prefixed column vectors, component w
+    def crossC(p: String, q: String, w: String): String = w match {
+      case "x" => s"(${p}y*${q}z - ${p}z*${q}y)"
+      case "y" => s"(${p}z*${q}x - ${p}x*${q}z)"
+      case _   => s"(${p}x*${q}y - ${p}y*${q}x)"
+    }
+    // (v1 x v2) . n with all three prefixed vectors
+    def triple(v1: String, v2: String, n: String): String =
+      Seq("x", "y", "z").map(w => s"${crossC(v1, v2, w)}*$n$w").mkString(" + ")
+    val crosses = (for (e <- 1 to 4; f <- 1 to 4) yield {
+      val j = e % 4 + 1; val g = f % 4 + 1
+      // u = a.e{e} x b.e{f}, inlined per component over materialized
+      // geometry columns (depth-1, so no exponential CTE expansion)
+      def u(w: String) = crossC(s"a.e$e", s"b.e$f", w)
+      def tripleU(v1: Either[String, Unit], v2: Either[String, Unit], n: String) = {
+        def comp(v: Either[String, Unit], w: String) =
+          v.fold(p => s"$p$w", _ => u(w))
+        Seq(("y", "z"), ("z", "x"), ("x", "y")).zip(Seq("x", "y", "z"))
+          .map { case ((w1, w2), w) =>
+            s"(${comp(v1, w1)}*${comp(v2, w2)} - ${comp(v1, w2)}*${comp(v2, w1)})*$n$w"
+          }.mkString(" + ")
+      }
+      val t1 = tripleU(Left(s"a.c$e"), Right(()), s"a.e$e")
+      val t2 = tripleU(Right(()), Left(s"a.c$j"), s"a.e$e")
+      val s1 = tripleU(Left(s"b.c$f"), Right(()), s"b.e$f")
+      val s2 = tripleU(Right(()), Left(s"b.c$g"), s"b.e$f")
+      s"((($t1) >= 0 AND ($t2) >= 0 AND ($s1) >= 0 AND ($s2) >= 0) OR " +
+        s"(($t1) <= 0 AND ($t2) <= 0 AND ($s1) <= 0 AND ($s2) <= 0))"
+    }).mkString(" OR ")
+    val pred = s"(${vertIn("a", "b")}) OR (${vertIn("b", "a")}) OR ($crosses)"
+    s"WITH RECURSIVE keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, " +
+      s"${lonSql("c_custkey")} AS lon FROM customer WHERE c_custkey % 20 = 0), " +
+      s"ang AS (SELECT k, lat*0.7 AS clat, lon, (2 + (k % 7)) * $d2r AS dla, " +
+      s"(2 + (k % 11)) * $d2r AS dlo FROM keyed), " +
+      s"crn AS MATERIALIZED (SELECT k, $crnCols FROM ang), " +
+      s"geom AS MATERIALIZED (SELECT *, $eCols FROM crn), " +
+      s"edges0 AS MATERIALIZED (SELECT a.k AS ka, b.k AS kb FROM geom a " +
+      s"JOIN geom b ON a.k < b.k AND ($pred)), " +
+      s"edges AS (SELECT ka, kb FROM edges0 UNION ALL SELECT kb, ka FROM edges0), " +
+      s"reach AS (SELECT k AS node, k AS lab FROM geom " +
+      s"UNION SELECT e.ka, r.lab FROM edges e JOIN reach r ON r.node = e.kb) " +
+      s"SELECT node AS c_custkey, min(lab) AS component FROM reach " +
+      s"GROUP BY node ORDER BY c_custkey"
+  }
+
   private val BoxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
   private val BoxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
 
@@ -352,6 +424,25 @@ object SparkEntry {
   }
 
   /** customers with derived position and n-vector. */
+  /** Data-derived great-circle quads (one per 20th customer — center
+    * and half-widths from the key), the polygon-table side of
+    * q92/q94: (c_custkey, a_rings) in the ring-list encoding.
+    */
+  private def quadTable(s: SparkSession, dir: String): DataFrame = {
+    val d2r = math.Pi / 180.0
+    val a0 = custPts(s, dir).filter(col("c_custkey") % 20 === 0)
+      .withColumn("__clat", col("lat") * 0.7)
+      .withColumn("__dla", (lit(2.0) + (col("c_custkey") % 7).cast("double")) * d2r)
+      .withColumn("__dlo", (lit(2.0) + (col("c_custkey") % 11).cast("double")) * d2r)
+    def crn(sa: Int, so: Int) = geo.nvec(
+      col("__clat") + lit(sa) * col("__dla"),
+      col("lon") + lit(so) * col("__dlo"))
+    val ringCols = Seq(lit(1.0), lit(4.0)) ++
+      Seq(crn(-1, -1), crn(-1, 1), crn(1, 1), crn(1, -1))
+        .flatMap(c => Seq(geo.vx(c), geo.vy(c), geo.vz(c)))
+    a0.select(col("c_custkey"), array(ringCols: _*).as("a_rings"))
+  }
+
   private def custPts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .withColumn("lat", latRad(col("c_custkey")))
@@ -1471,23 +1562,25 @@ object SparkEntry {
       // missing row
       import s.implicits._
       import graft.operators.SpatialJoins.AoiM
-      val d2r = math.Pi / 180.0
-      val a0 = custPts(s, dir).filter(col("c_custkey") % 20 === 0)
-        .withColumn("__clat", col("lat") * 0.7)
-        .withColumn("__dla", (lit(2.0) + (col("c_custkey") % 7).cast("double")) * d2r)
-        .withColumn("__dlo", (lit(2.0) + (col("c_custkey") % 11).cast("double")) * d2r)
-      def crn(sa: Int, so: Int) = geo.nvec(
-        col("__clat") + lit(sa) * col("__dla"),
-        col("lon") + lit(so) * col("__dlo"))
-      val ringCols = Seq(lit(1.0), lit(4.0)) ++
-        Seq(crn(-1, -1), crn(-1, 1), crn(1, 1), crn(1, -1))
-          .flatMap(c => Seq(geo.vx(c), geo.vy(c), geo.vz(c)))
-      val aT = a0.select(col("c_custkey"), array(ringCols: _*).as("a_rings"))
+      val aT = quadTable(s, dir)
       val bT = PolyTable.map { case (id, r) => (id, AoiM(id, r).flatRings.toSeq) }
         .toDF("poly_id", "b_rings")
       SpatialJoins.polygonIntersectJoin(aT, "c_custkey", "a_rings",
           bT, "poly_id", "b_rings")
         .orderBy("c_custkey", "poly_id")
+    }),
+    "q94_polygon_dissolve" -> ((s, dir) => {
+      // dissolve: each quad labeled with the min quad id reachable
+      // through chains of pairwise intersection (intersect self-join
+      // -> connected components). The oracle replays the symmetric
+      // full intersect decomposition per unordered pair — vertex-in
+      // both directions + all 16 edge-pair crossing brackets, both
+      // data-derived sides symbolic — then propagates min labels
+      // through a reachability recursive CTE (the q49 pattern), so
+      // both the candidate generation AND the component resolution
+      // are independently checked
+      SpatialJoins.polygonDissolve(quadTable(s, dir), "c_custkey", "a_rings")
+        .orderBy("c_custkey")
     }),
     "q93_zonal_stats" -> ((s, dir) => {
       // zonal statistics: per-polygon aggregates over the exact PIP
@@ -3043,6 +3136,7 @@ object SparkEntry {
           s"ORDER BY c_custkey, poly_id"
       },
       "q92_polygon_intersect" -> q92MirrorSql,
+      "q94_polygon_dissolve" -> q94MirrorSql,
       "q93_zonal_stats" -> {
         val parts = PolyTable.map { case (id, r) =>
           s"SELECT k, '$id' AS poly_id FROM pts WHERE ${ringsInsideSql(r)}" }

@@ -932,6 +932,40 @@ object SpatialJoins {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Dissolve: label every polygon with its overlay CONNECTED
+    * COMPONENT — the transitive closure of pairwise intersection
+    * (AOI consolidation, admin-boundary cleanup, merging duplicate
+    * footprints before zonal work double-counts them). One output
+    * row per input polygon with non-null rings: `polyIdCol` +
+    * `componentCol` = the minimum polygon id reachable through
+    * chains of intersecting polygons (isolated polygons label
+    * themselves). Ids must be unique and orderable.
+    *
+    * Scale shape: [[polygonIntersectJoin]] self-join builds the edge
+    * list (cover re-keying, never |P|^2; the symmetric candidate
+    * halves to one edge per unordered pair before components run),
+    * then [[Dedup.connectedComponents]] resolves labels — min-label
+    * propagation with pointer doubling, log-diameter rounds, with
+    * the small-edge-list driver union-find fast path — the same
+    * machinery that resolves near-dup clusters, so chains of
+    * thousands of overlapping parcels converge without per-pair
+    * recursion.
+    */
+  def polygonDissolve(polys: DataFrame, polyIdCol: String, ringsCol: String,
+                      componentCol: String = "component"): DataFrame = {
+    val a = polys.select(col(polyIdCol).as("__pa"), col(ringsCol).as("__ra"))
+    val b = polys.select(col(polyIdCol).as("__pb"), col(ringsCol).as("__rb"))
+    val edges = polygonIntersectJoin(a, "__pa", "__ra", b, "__pb", "__rb")
+      .filter(col("__pa") < col("__pb"))
+    val comp = Dedup.connectedComponents(edges, "__pa", "__pb")
+    polys.filter(col(ringsCol).isNotNull)
+      .select(col(polyIdCol))
+      .join(comp.select(col("node").as(polyIdCol), col("component")),
+        Seq(polyIdCol), "left")
+      .select(col(polyIdCol),
+        coalesce(col("component"), col(polyIdCol)).as(componentCol))
+  }
+
   /** Polygon-polygon INTERSECTION join between two polygon TABLES:
     * one output row (aIdCol, bIdCol) per pair of even-odd ring-list
     * regions sharing any point (boundaries included) — the overlay

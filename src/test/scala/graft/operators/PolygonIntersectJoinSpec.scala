@@ -96,6 +96,30 @@ class PolygonIntersectJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("polygonDissolve labels overlay components with the min reachable id") {
+    // a1-a2-a3 chain (a1 and a3 do NOT touch directly — the label
+    // must travel through a2), b isolated, null rings dropped
+    val rows = Seq(
+      ("a1", flatRings(Seq(box(0, 0, 10, 10)))),
+      ("a2", flatRings(Seq(box(5, 5, 15, 15)))),
+      ("a3", flatRings(Seq(box(12, 12, 20, 20)))),
+      ("b", flatRings(Seq(box(-40, -40, -30, -30)))),
+      ("n", null.asInstanceOf[Seq[Double]]))
+      .toDF("poly_id", "rings")
+    // fixture sanity: a1/a3 must not intersect directly
+    val direct = SpatialJoins.polygonIntersectJoin(
+      rows.filter(col("poly_id") === "a1")
+        .select(col("poly_id").as("x_id"), col("rings").as("x_rings")),
+      "x_id", "x_rings",
+      rows.filter(col("poly_id") === "a3")
+        .select(col("poly_id").as("y_id"), col("rings").as("y_rings")),
+      "y_id", "y_rings").count()
+    assert(direct == 0L)
+    val got = SpatialJoins.polygonDissolve(rows, "poly_id", "rings")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1", "b" -> "b"))
+  }
+
   test("polygonIntersectJoin equals the all-pairs predicate over mixed-size tables") {
     def h(i: Long, s: Long) = ((i * 2654435761L + s) % 2000001L) / 1000000.0 - 1.0
     def mkBoxes(n: Int, base: Long, maxHalf: Double) = (0 until n).map { i =>

@@ -237,6 +237,67 @@ object GeoStreams {
       .drop("__cell", "__cell_r")
   }
 
+  /** Stream-static point-in-polygon join against a polygon TABLE —
+    * the table lift of [[geofenceStream]]'s literal AOI list (which
+    * admin areas does each streamed fix fall in, at scan rate). One
+    * output row per (stream row, containing polygon): the stream's
+    * columns + `polyIdCol`, even-odd ring semantics. STATELESS: no
+    * watermark, no streaming aggregation, append-mode safe.
+    *
+    * The batch operator dedups multi-level cover candidates with
+    * dropDuplicates — on a stream that is unbounded keyed state.
+    * Instead the static cover is made ANCESTOR-FREE per polygon up
+    * front: a cover cell contained in a coarser cover cell of the
+    * same polygon is dropped (completeness holds — any point keying
+    * the dropped cell also keys the surviving ancestor at its own
+    * level), and against an ancestor-free cover a point hits at most
+    * ONE cover cell per polygon (matching both c1 at level l1 and c2
+    * at a finer l2 would force c2 inside c1, which ancestor-freeness
+    * excludes). The stream-static equi-join therefore emits each
+    * (point, polygon) candidate exactly once with NO state.
+    *
+    * The cover is cells-only (~96 cells per ring) and persisted so
+    * the per-micro-batch re-execution of the static side reads the
+    * cached frame; it lives until the SparkSession drops it.
+    */
+  def polygonJoinStream(stream: DataFrame, pointNvec: String,
+                        polys: DataFrame, polyIdCol: String,
+                        ringsCol: String): DataFrame = {
+    val polysN = polys.select(col(polyIdCol), col(ringsCol))
+      .filter(col(ringsCol).isNotNull)
+    val levels = polysN
+      .select(explode(cells.ringCoverLevels(col(ringsCol), 0.0)).as("__l"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val cover0 = polysN.select(col(polyIdCol),
+      explode(cells.ringCoverCells(col(ringsCol), 0.0)).as("__cell"))
+      .distinct()
+    val contained = cover0
+      .withColumn("__anc", explode(array(
+        (if (levels.isEmpty) Seq(lit(null).cast("long"))
+         else levels.toSeq.map(l =>
+           when(cells.cellLevel(col("__cell")) > l,
+             cells.ancestorAt(col("__cell"), l)))): _*)))
+      .filter(col("__anc").isNotNull)
+      .join(cover0.select(col(polyIdCol), col("__cell").as("__anc")),
+        Seq(polyIdCol, "__anc"), "left_semi")
+      .select(col(polyIdCol), col("__cell"))
+    val cover = cover0.join(contained, Seq(polyIdCol, "__cell"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // empty table / all-null rings: a null key never equi-joins, so
+    // the stream runs and emits nothing (same contract as the batch
+    // polygon joins)
+    val pointCell =
+      if (levels.isEmpty) lit(null).cast("long")
+      else explode(array(levels.toSeq.map(l =>
+        cells.cellAt(col(pointNvec), l)): _*))
+    stream.filter(col(pointNvec).isNotNull)
+      .withColumn("__cell", pointCell)
+      .join(cover, "__cell")
+      .join(polysN, polyIdCol)
+      .filter(cells.pointInPolygonRings(col(pointNvec), col(ringsCol)))
+      .drop("__cell", ringsCol)
+  }
+
   final case class AsOfEvt(k: Long, ts: java.sql.Timestamp, id: Long,
                            v: Double, isL: Boolean)
   final case class AsOfBuf(rights: Vector[(Long, Double)],

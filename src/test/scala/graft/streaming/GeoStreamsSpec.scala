@@ -32,6 +32,74 @@ class GeoStreamsSpec extends AnyFunSuite {
     assert(ids == Seq("img_a", "img_b", "img_c"))
   }
 
+  test("stream-static polygon-table join replays the batch join with no duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SpatialJoins => SJ}
+    // a multipolygon whose hole/island rings cover at FINER levels
+    // inside the outer ring's coarse cover — exactly the multi-level
+    // overlap that makes the batch operator need dropDuplicates —
+    // plus a small distant box
+    val multi = Seq(
+      Seq((30.0, 60.0), (30.0, 90.0), (55.0, 90.0), (55.0, 60.0)),
+      Seq((38.0, 68.0), (38.0, 82.0), (48.0, 82.0), (48.0, 68.0)),
+      Seq((41.0, 72.0), (41.0, 78.0), (45.0, 78.0), (45.0, 72.0)))
+    val small = Seq(Seq((40.0, 100.0), (40.0, 101.5), (41.5, 101.5), (41.5, 100.0)))
+    val polys = Seq(
+      ("multi", SJ.AoiM("multi", multi).flatRings.toSeq),
+      ("small", SJ.AoiM("small", small).flatRings.toSeq),
+      ("nul", null.asInstanceOf[Seq[Double]]))
+      .toDF("poly_id", "rings")
+    // scatter biased into every parity region (outer / hole / island)
+    // and the small box, plus global noise and a null position
+    val pts: Seq[(Long, java.lang.Double, java.lang.Double)] =
+      (0L until 300L).map { i =>
+        val band = i % 4
+        val la = band match {
+          case 0 => 30.0 + (i % 26).toDouble   // outer..island sweep
+          case 1 => 39.0 + (i % 10) * 0.7      // hole/island region
+          case 2 => 39.5 + (i % 4) * 0.6       // small box region
+          case _ => -60.0 + (i % 120).toDouble // global noise
+        }
+        val lo = band match {
+          case 0 => 61.0 + (i % 29).toDouble
+          case 1 => 69.0 + (i % 14).toDouble
+          case 2 => 99.8 + (i % 5) * 0.5
+          case _ => -150.0 + ((i * 7) % 300).toDouble
+        }
+        (i, Double.box(la), Double.box(lo))
+      } :+ ((300L, null: java.lang.Double, null: java.lang.Double))
+    val input = MemoryStream[(Long, java.lang.Double, java.lang.Double)]
+    val sdf = input.toDF().toDF("id", "latd", "lond")
+      .withColumn("n", when(col("latd").isNotNull,
+        geo.nvecDeg(col("latd"), col("lond"))))
+    val out = GeoStreams.polygonJoinStream(sdf, "n", polys, "poly_id", "rings")
+    val q = out.writeStream.format("memory").queryName("pip_stream")
+      .outputMode("append").start()
+    val (batch1, batch2) = pts.splitAt(150)
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val got = spark.table("pip_stream").select("id", "poly_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    // exactly-once per (point, polygon): no duplicates at all
+    assert(got.distinct.size == got.size,
+      s"duplicate emissions: ${got.groupBy(identity).filter(_._2.size > 1).keys}")
+    val bdf = pts.toDF("id", "latd", "lond")
+      .withColumn("n", when(col("latd").isNotNull,
+        geo.nvecDeg(col("latd"), col("lond"))))
+    val want = SJ.polygonJoin(bdf.select(col("id"), col("n")), "n", "id",
+        polys, "poly_id", "rings")
+      .select("id", "poly_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(want.nonEmpty && want.exists(_._2 == "multi") &&
+      want.exists(_._2 == "small"), s"degenerate fixture: ${want.size}")
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
+  }
+
   test("streaming as-of join: backward matches, watermark-gated emission, tail flush") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -819,9 +819,10 @@ object SpatialJoins {
     * level, so a continent and a city block in the same table each
     * get a proportionate cover), points emit one cell id per
     * DISTINCT cover level (levels ride inside the cell id, so mixed
-    * levels still equi-join on the single cell key), and candidates
-    * dedup per (point, polygon) before the ring encodings join back
-    * by polygon id (AQE broadcasts small polygon tables).
+    * levels still equi-join on the single cell key), the cover is
+    * [[ancestorFreeCover]] so each (point, polygon) candidate arises
+    * exactly once — no dedup shuffle — and the ring encodings join
+    * back by polygon id (AQE broadcasts small polygon tables).
     *
     * The distinct level list is the only driver-side value: <= 25
     * ints off the cheap levels-only kernel pass. Cover proof: rings
@@ -835,6 +836,58 @@ object SpatialJoins {
     * cells / no cell key). Column names of `points` and `polys`
     * must be disjoint.
     */
+  /** Distinct, per-polygon ANCESTOR-FREE cover (no cover cell
+    * contains another of the same polygon): a cell whose proper
+    * ancestor at a coarser cover level is also in the cover is
+    * dropped. Completeness holds — a point keying the dropped cell
+    * keys the surviving ancestor at that ancestor's own level — and
+    * a point's per-level cells can then hit at most ONE cover cell
+    * per polygon (one cell per level, and a cross-level double hit
+    * would force the finer cover cell inside the coarser one, which
+    * ancestor-freeness excludes). This makes the candidate equi-join
+    * exactly-once per (point, polygon) BY CONSTRUCTION: no
+    * candidates-sized dedup shuffle in batch, no keyed dedup state
+    * in streaming — the pruning self-join is cells-only (~96 cells
+    * per ring), orders of magnitude below the candidate volume it
+    * replaces.
+    */
+  private[graft] def ancestorFreeCover(polysN: DataFrame, polyIdCol: String,
+                                       ringsCol: String, extraRad: Double,
+                                       levels: Array[Int]): DataFrame = {
+    // SINGLE-RING polygons (the common case — parcels, blocks, admin
+    // areas without holes) already have a distinct, single-level,
+    // trivially ancestor-free cover: keep them as a pure map-side
+    // explode with NO shuffle, exactly the pre-pruning plan. Only
+    // multi-ring rows (holes/multipolygons, whose rings can overlap
+    // within a level and nest across levels) pay the distinct +
+    // pruning machinery — measured: pruning everything cost a flat
+    // ~7.5 s on a 20k-polygon table of single-ring quads.
+    val ringCount = col(ringsCol).getItem(0)
+    val simple = polysN
+      .filter(col(ringsCol).isNotNull && ringCount === 1.0)
+      .select(col(polyIdCol),
+        explode(cells.ringCoverCells(col(ringsCol), extraRad)).as("__cell"))
+    val cover0 = polysN
+      .filter(col(ringsCol).isNotNull && ringCount =!= 1.0)
+      .select(col(polyIdCol),
+        explode(cells.ringCoverCells(col(ringsCol), extraRad)).as("__cell"))
+      .distinct()
+    val pruned =
+      if (levels.length <= 1) cover0 // one global level: nothing nests
+      else {
+        val contained = cover0
+          .withColumn("__anc", explode(array(levels.toSeq.map(l =>
+            when(cells.cellLevel(col("__cell")) > l,
+              cells.ancestorAt(col("__cell"), l))): _*)))
+          .filter(col("__anc").isNotNull)
+          .join(cover0.select(col(polyIdCol), col("__cell").as("__anc")),
+            Seq(polyIdCol, "__anc"), "left_semi")
+          .select(col(polyIdCol), col("__cell"))
+        cover0.join(contained, Seq(polyIdCol, "__cell"), "left_anti")
+      }
+    simple.unionByName(pruned)
+  }
+
   private def polygonCandidates(points: DataFrame, pointNvec: String,
                                 pointId: String, polys: DataFrame,
                                 polyIdCol: String, ringsCol: String,
@@ -843,8 +896,7 @@ object SpatialJoins {
     val levels = polysN
       .select(explode(cells.ringCoverLevels(col(ringsCol), extraRad)).as("__l"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val cover = polysN.select(col(polyIdCol),
-      explode(cells.ringCoverCells(col(ringsCol), extraRad)).as("__cell"))
+    val cover = ancestorFreeCover(polysN, polyIdCol, ringsCol, extraRad, levels)
     // An empty polygon table (or all-null rings) is a legitimate
     // filtered state, not a contract violation: a null cell key never
     // equi-joins, so the same chain yields the correctly-typed empty
@@ -854,8 +906,7 @@ object SpatialJoins {
       else explode(array(levels.map(l => cells.cellAt(col(pointNvec), l)): _*))
     points
       .withColumn("__cell", pointCell)
-      .join(cover, "__cell")
-      .dropDuplicates(pointId, polyIdCol) // multi-ring/multi-level cover hits
+      .join(cover, "__cell") // exactly-once per (point, polygon): see ancestorFreeCover
       .join(polysN, polyIdCol)
       .drop("__cell")
   }

@@ -268,20 +268,8 @@ object GeoStreams {
     val levels = polysN
       .select(explode(cells.ringCoverLevels(col(ringsCol), 0.0)).as("__l"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val cover0 = polysN.select(col(polyIdCol),
-      explode(cells.ringCoverCells(col(ringsCol), 0.0)).as("__cell"))
-      .distinct()
-    val contained = cover0
-      .withColumn("__anc", explode(array(
-        (if (levels.isEmpty) Seq(lit(null).cast("long"))
-         else levels.toSeq.map(l =>
-           when(cells.cellLevel(col("__cell")) > l,
-             cells.ancestorAt(col("__cell"), l)))): _*)))
-      .filter(col("__anc").isNotNull)
-      .join(cover0.select(col(polyIdCol), col("__cell").as("__anc")),
-        Seq(polyIdCol, "__anc"), "left_semi")
-      .select(col(polyIdCol), col("__cell"))
-    val cover = cover0.join(contained, Seq(polyIdCol, "__cell"), "left_anti")
+    val cover = graft.operators.SpatialJoins
+      .ancestorFreeCover(polysN, polyIdCol, ringsCol, 0.0, levels)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // empty table / all-null rings: a null key never equi-joins, so
     // the stream runs and emits nothing (same contract as the batch

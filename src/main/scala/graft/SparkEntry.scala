@@ -302,6 +302,74 @@ object SparkEntry {
       s"GROUP BY node ORDER BY c_custkey"
   }
 
+  /** Nearest-polygon mirror: every (customer, quad) pair gets the
+    * kernel's signed boundary distance replayed fully symbolically —
+    * per edge: the NORMALIZED great-circle normal, the perpendicular
+    * foot, the two winding brackets, atan2 perpendicular distance or
+    * the endpoint fallback (CellKernels.segDistRad verbatim; the
+    * degenerate-edge branch is unreachable for >= 4-degree quad
+    * edges) — inside by the convex half-plane form, then the exact
+    * argmin per point by (region distance, quad id), the same tie
+    * rule as the operator's struct-min. A cross join, no cover
+    * pruning: a ladder round that missed the true nearest would
+    * surface as a wrong row.
+    */
+  private def q95MirrorSql: String = {
+    val d2r = fmt(math.Pi / 180.0)
+    val corners = Seq((1, "-", "-"), (2, "-", "+"), (3, "+", "+"), (4, "+", "-"))
+    val crnCols = corners.map { case (i, sa, so) =>
+      s"cos(clat $sa dla)*cos(lon $so dlo) AS c${i}x, " +
+        s"cos(clat $sa dla)*sin(lon $so dlo) AS c${i}y, " +
+        s"sin(clat $sa dla) AS c${i}z" }.mkString(", ")
+    val eCols = Seq((1, 1, 2), (2, 2, 3), (3, 3, 4), (4, 4, 1)).map { case (e, i, j) =>
+      s"c${i}y*c${j}z - c${i}z*c${j}y AS e${e}x, " +
+        s"c${i}z*c${j}x - c${i}x*c${j}z AS e${e}y, " +
+        s"c${i}x*c${j}y - c${i}y*c${j}x AS e${e}z" }.mkString(", ")
+    val cnCols = (1 to 4).map { e =>
+      val en = s"sqrt(e${e}x*e${e}x + e${e}y*e${e}y + e${e}z*e${e}z)"
+      s"e${e}x/($en) AS cn${e}x, e${e}y/($en) AS cn${e}y, e${e}z/($en) AS cn${e}z"
+    }.mkString(", ")
+    def ep(vx: String, vy: String, vz: String) =
+      s"atan2(sqrt((ny*$vz - nz*$vy)*(ny*$vz - nz*$vy) + " +
+        s"(nz*$vx - nx*$vz)*(nz*$vx - nx*$vz) + " +
+        s"(nx*$vy - ny*$vx)*(nx*$vy - ny*$vx)), nx*$vx + ny*$vy + nz*$vz)"
+    val dEdges = (1 to 4).map { e =>
+      val j = e % 4 + 1
+      val cd = s"(cn${e}x*nx + cn${e}y*ny + cn${e}z*nz)"
+      val fx = s"(nx - $cd*cn${e}x)"
+      val fy = s"(ny - $cd*cn${e}y)"
+      val fz = s"(nz - $cd*cn${e}z)"
+      val winA = s"(c${e}y*$fz - c${e}z*$fy)*cn${e}x + " +
+        s"(c${e}z*$fx - c${e}x*$fz)*cn${e}y + (c${e}x*$fy - c${e}y*$fx)*cn${e}z >= 0"
+      val winB = s"($fy*c${j}z - $fz*c${j}y)*cn${e}x + " +
+        s"($fz*c${j}x - $fx*c${j}z)*cn${e}y + ($fx*c${j}y - $fy*c${j}x)*cn${e}z >= 0"
+      s"CASE WHEN ($winA) AND ($winB) " +
+        s"THEN atan2(abs($cd), sqrt($fx*$fx + $fy*$fy + $fz*$fz)) " +
+        s"ELSE least(${ep(s"c${e}x", s"c${e}y", s"c${e}z")}, " +
+        s"${ep(s"c${j}x", s"c${j}y", s"c${j}z")}) END"
+    }
+    val inside = (1 to 4).map(e =>
+      s"(e${e}x*nx + e${e}y*ny + e${e}z*nz > 0)").mkString(" AND ")
+    s"WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, " +
+      s"${lonSql("c_custkey")} AS lon FROM customer), " +
+      s"pts AS (SELECT k, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, " +
+      s"sin(lat) AS nz FROM keyed), " +
+      s"qkeyed AS (SELECT c_custkey AS qid, ${latSql("c_custkey")} AS lat, " +
+      s"${lonSql("c_custkey")} AS lon FROM customer WHERE c_custkey % 20 = 0), " +
+      s"qang AS (SELECT qid, lat*0.7 AS clat, lon, (2 + (qid % 7)) * $d2r AS dla, " +
+      s"(2 + (qid % 11)) * $d2r AS dlo FROM qkeyed), " +
+      s"qcrn AS MATERIALIZED (SELECT qid, $crnCols FROM qang), " +
+      s"qgeom AS MATERIALIZED (SELECT *, $eCols FROM qcrn), " +
+      s"qn AS MATERIALIZED (SELECT *, $cnCols FROM qgeom), " +
+      s"pair AS (SELECT p.k, q.qid, CASE WHEN $inside " +
+      s"THEN -least(${dEdges.mkString(", ")}) " +
+      s"ELSE least(${dEdges.mkString(", ")}) END AS sd FROM pts p CROSS JOIN qn q), " +
+      s"ranked AS (SELECT k, qid, greatest(sd, 0) AS rd, " +
+      s"row_number() OVER (PARTITION BY k ORDER BY greatest(sd, 0), qid) AS rn FROM pair) " +
+      s"SELECT k AS c_custkey, qid AS q_id, round(rd * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+      s"FROM ranked WHERE rn = 1 ORDER BY c_custkey"
+  }
+
   private val BoxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
   private val BoxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
 
@@ -1580,6 +1648,23 @@ object SparkEntry {
       // both the candidate generation AND the component resolution
       // are independently checked
       SpatialJoins.polygonDissolve(quadTable(s, dir), "c_custkey", "a_rings")
+        .orderBy("c_custkey")
+    }),
+    "q95_nearest_polygon" -> ((s, dir) => {
+      // nearest quad per customer (distance-to-region, ties by min
+      // quad id) through the escalation ladder — the 200 km start
+      // forces most points through several rounds. Oracle: fully
+      // symbolic per-edge segment-distance replay (normalized edge
+      // normals, perpendicular-foot bracket, endpoint fallback) +
+      // convex half-plane containment + argmin window per point
+      val quads = quadTable(s, dir)
+        .select(col("c_custkey").as("q_id"), col("a_rings").as("q_rings"))
+      SpatialJoins.nearestPolygon(
+          custPts(s, dir).select(col("c_custkey"), col("n")),
+          "n", "c_custkey", quads, "q_id", "q_rings",
+          startMeters = 200e3, radius = R)
+        .select(col("c_custkey"), col("q_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
         .orderBy("c_custkey")
     }),
     "q93_zonal_stats" -> ((s, dir) => {
@@ -3137,6 +3222,7 @@ object SparkEntry {
       },
       "q92_polygon_intersect" -> q92MirrorSql,
       "q94_polygon_dissolve" -> q94MirrorSql,
+      "q95_nearest_polygon" -> q95MirrorSql,
       "q93_zonal_stats" -> {
         val parts = PolyTable.map { case (id, r) =>
           s"SELECT k, '$id' AS poly_id FROM pts WHERE ${ringsInsideSql(r)}" }

@@ -983,6 +983,73 @@ object SpatialJoins {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Nearest-polygon join: for every point, the polygon minimizing
+    * the DISTANCE TO THE REGION (0 for contained points, great-circle
+    * distance to the nearest ring edge outside; ties by smallest
+    * polygon id), plus that distance in meters — nearest admin area /
+    * closest-AOI assignment. Output: (pointId, polyIdCol, distCol),
+    * one row per point whose nearest polygon lies within `maxMeters`
+    * (the default cap pi*R matches every point against a non-empty
+    * table). The frame is materialized and persisted; unpersist it
+    * when done, as with [[Clustering.dbscan]].
+    *
+    * Scale shape: an escalation ladder of provably-complete
+    * [[polygonBufferJoin]]s — round r joins only the still-unmatched
+    * points against covers grown by b_r (b, 4b, 16b, ...,
+    * maxMeters), so the cover volume paid per point is proportional
+    * to how far that point actually is from its nearest polygon,
+    * never to the search cap. Every polygon within b_r of a point is
+    * a candidate at round r (the buffered join's cover proof), so if
+    * a point has ANY candidate its per-point argmin is already the
+    * exact global nearest — matched points leave the ladder, starved
+    * points escalate. Rounds are log4(max/start), each one exchange
+    * + one map-side-combined min; the loop materializes only narrow
+    * (id, nvec) frames between rounds.
+    */
+  def nearestPolygon(points: DataFrame, pointNvec: String, pointId: String,
+                     polys: DataFrame, polyIdCol: String, ringsCol: String,
+                     startMeters: Double = 100e3,
+                     maxMeters: Double = math.Pi * MeanEarthRadius,
+                     radius: Double = MeanEarthRadius,
+                     distCol: String = "dist_m"): DataFrame = {
+    require(startMeters > 0.0, s"startMeters must be > 0 (got $startMeters)")
+    require(maxMeters >= startMeters,
+      s"maxMeters ($maxMeters) must be >= startMeters ($startMeters)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { retired += df.persist(lvl); df }
+    try {
+      var starved = keep(points.select(col(pointId), col(pointNvec)))
+      // round 1 always runs (it also types the empty-input result)
+      var more = true
+      val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var b = startMeters
+      while (more) {
+        val lastRound = b >= maxMeters
+        val cand = polygonBufferJoin(starved, pointNvec, pointId,
+          polys, polyIdCol, ringsCol, math.min(b, maxMeters), radius, "__sd")
+        val best = keep(cand
+          .groupBy(col(pointId))
+          .agg(min(struct(greatest(col("__sd"), lit(0.0)).as("d"),
+            col(polyIdCol).as("p"))).as("__m"))
+          .select(col(pointId), col("__m.p").as(polyIdCol),
+            col("__m.d").as(distCol)))
+        rounds += best
+        if (lastRound) more = false
+        else {
+          starved = keep(starved.join(best.select(col(pointId)),
+            Seq(pointId), "left_anti"))
+          more = starved.count() > 0L
+          b = b * 4.0
+        }
+      }
+      val out = rounds.reduceLeft(_ unionByName _)
+        .persist(lvl)
+      out.count()
+      out
+    } finally retired.foreach(_.unpersist())
+  }
+
   /** Dissolve: label every polygon with its overlay CONNECTED
     * COMPONENT — the transitive closure of pairwise intersection
     * (AOI consolidation, admin-boundary cleanup, merging duplicate

@@ -147,6 +147,32 @@ class PolygonTableJoinSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("nearestPolygon equals the brute region-distance argmin through ladder escalation") {
+    // 50 km start: the global-noise points are far from every
+    // polygon, so they must survive several escalation rounds and
+    // still come out with the exact global argmin
+    val got = SpatialJoins.nearestPolygon(ptsDf, "n", "id",
+      polysDf, "poly_id", "rings", startMeters = 50e3)
+    val gm = got.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    got.unpersist()
+    val R = Ellipsoids.MeanEarthRadius
+    val want = pts.map { case (i, la, lo) =>
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      val cands = polyDefs.map { case (id, rings) =>
+        (math.max(refBoundary(p, rings) * R, 0.0), id) }
+      val (d, id) = cands.min
+      i -> ((id, d))
+    }.toMap
+    assert(gm.keySet == want.keySet) // default cap matches every point
+    val bad = want.collect { case (k, (id, d))
+      if gm(k)._1 != id || math.abs(gm(k)._2 - d) > 1e-6 => (k, gm(k), (id, d)) }
+    assert(bad.isEmpty, s"${bad.take(5)}")
+    // contained points report region distance exactly 0
+    val inside = want.filter(_._2._2 == 0.0).keys
+    assert(inside.nonEmpty && inside.forall(k => gm(k)._2 == 0.0))
+  }
+
   test("an empty (or all-null-rings) polygon table yields the empty join") {
     val empty = Seq.empty[(String, Seq[Double])].toDF("poly_id", "rings")
     val allNull = Seq(("n1", null.asInstanceOf[Seq[Double]])).toDF("poly_id", "rings")

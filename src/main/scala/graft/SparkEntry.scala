@@ -370,6 +370,74 @@ object SparkEntry {
       s"FROM ranked WHERE rn = 1 ORDER BY c_custkey"
   }
 
+  /** Nearest-route mirror: every (customer, route) pair gets
+    * CellKernels.segDistRad replayed fully symbolically over the
+    * route TABLE's data-derived zig-zag vertices ([[routeTable]]'s
+    * exact construction: v1=(clat-dla, lon-dlo), v2=(clat+dla, lon),
+    * v3=(clat-dla, lon+dlo)) — per segment the NORMALIZED
+    * great-circle normal, perpendicular foot, winding brackets,
+    * atan2 distance or endpoint fallback (the >= 4-degree segments
+    * keep the degenerate branch unreachable) — min over the two
+    * segments, then the exact argmin per point with ties to the
+    * smaller route id (the operator's struct-min rule). A cross
+    * join, no corridor pruning: a ladder round whose buffered cover
+    * missed the true nearest route would surface as a wrong row.
+    */
+  private def q96MirrorSql: String = {
+    val d2r = fmt(math.Pi / 180.0)
+    val verts = Seq((1, -1, -1), (2, 1, 0), (3, -1, 1))
+    val vCols = verts.map { case (i, sa, so) =>
+      val la = s"(clat + ($sa)*dla)"
+      val lo = if (so == 0) "lon" else s"(lon + ($so)*dlo)"
+      s"cos($la)*cos($lo) AS v${i}x, cos($la)*sin($lo) AS v${i}y, " +
+        s"sin($la) AS v${i}z"
+    }.mkString(", ")
+    val segs = Seq((1, 1, 2), (2, 2, 3))
+    val eCols = segs.map { case (e, i, j) =>
+      s"v${i}y*v${j}z - v${i}z*v${j}y AS e${e}x, " +
+        s"v${i}z*v${j}x - v${i}x*v${j}z AS e${e}y, " +
+        s"v${i}x*v${j}y - v${i}y*v${j}x AS e${e}z" }.mkString(", ")
+    val cnCols = segs.map { case (e, _, _) =>
+      val en = s"sqrt(e${e}x*e${e}x + e${e}y*e${e}y + e${e}z*e${e}z)"
+      s"e${e}x/($en) AS cn${e}x, e${e}y/($en) AS cn${e}y, e${e}z/($en) AS cn${e}z"
+    }.mkString(", ")
+    def ep(vx: String, vy: String, vz: String) =
+      s"atan2(sqrt((ny*$vz - nz*$vy)*(ny*$vz - nz*$vy) + " +
+        s"(nz*$vx - nx*$vz)*(nz*$vx - nx*$vz) + " +
+        s"(nx*$vy - ny*$vx)*(nx*$vy - ny*$vx)), nx*$vx + ny*$vy + nz*$vz)"
+    val dSegs = segs.map { case (e, i, j) =>
+      val cd = s"(cn${e}x*nx + cn${e}y*ny + cn${e}z*nz)"
+      val fx = s"(nx - $cd*cn${e}x)"
+      val fy = s"(ny - $cd*cn${e}y)"
+      val fz = s"(nz - $cd*cn${e}z)"
+      val winA = s"(v${i}y*$fz - v${i}z*$fy)*cn${e}x + " +
+        s"(v${i}z*$fx - v${i}x*$fz)*cn${e}y + (v${i}x*$fy - v${i}y*$fx)*cn${e}z >= 0"
+      val winB = s"($fy*v${j}z - $fz*v${j}y)*cn${e}x + " +
+        s"($fz*v${j}x - $fx*v${j}z)*cn${e}y + ($fx*v${j}y - $fy*v${j}x)*cn${e}z >= 0"
+      s"CASE WHEN ($winA) AND ($winB) " +
+        s"THEN atan2(abs($cd), sqrt($fx*$fx + $fy*$fy + $fz*$fz)) " +
+        s"ELSE least(${ep(s"v${i}x", s"v${i}y", s"v${i}z")}, " +
+        s"${ep(s"v${j}x", s"v${j}y", s"v${j}z")}) END"
+    }
+    s"WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, " +
+      s"${lonSql("c_custkey")} AS lon FROM customer), " +
+      s"pts AS (SELECT k, cos(lat)*cos(lon) AS nx, cos(lat)*sin(lon) AS ny, " +
+      s"sin(lat) AS nz FROM keyed), " +
+      s"rkeyed AS (SELECT c_custkey AS rid, ${latSql("c_custkey")} AS lat, " +
+      s"${lonSql("c_custkey")} AS lon FROM customer WHERE c_custkey % 20 = 0), " +
+      s"rang AS (SELECT rid, lat*0.7 AS clat, lon, (2 + (rid % 7)) * $d2r AS dla, " +
+      s"(2 + (rid % 11)) * $d2r AS dlo FROM rkeyed), " +
+      s"rv AS MATERIALIZED (SELECT rid, $vCols FROM rang), " +
+      s"re AS MATERIALIZED (SELECT *, $eCols FROM rv), " +
+      s"rcn AS MATERIALIZED (SELECT *, $cnCols FROM re), " +
+      s"pair AS (SELECT p.k, r.rid, least(${dSegs.mkString(", ")}) AS d " +
+      s"FROM pts p CROSS JOIN rcn r), " +
+      s"ranked AS (SELECT k, rid, d, " +
+      s"row_number() OVER (PARTITION BY k ORDER BY d, rid) AS rn FROM pair) " +
+      s"SELECT k AS c_custkey, rid AS r_id, round(d * ${fmt(R)} / 1000.0, 6) AS dist_km " +
+      s"FROM ranked WHERE rn = 1 ORDER BY c_custkey"
+  }
+
   private val BoxA = Seq((-20.0, -40.0), (-20.0, 10.0), (25.0, 10.0), (25.0, -40.0))
   private val BoxB = Seq((30.0, 60.0), (30.0, 120.0), (60.0, 120.0), (60.0, 60.0))
 
@@ -509,6 +577,28 @@ object SparkEntry {
       Seq(crn(-1, -1), crn(-1, 1), crn(1, 1), crn(1, -1))
         .flatMap(c => Seq(geo.vx(c), geo.vy(c), geo.vz(c)))
     a0.select(col("c_custkey"), array(ringCols: _*).as("a_rings"))
+  }
+
+  /** Data-derived route TABLE for q96: one 3-vertex zig-zag polyline
+    * per 20th customer — same key-derived geometry family as
+    * [[quadTable]] (center at 0.7·lat to stay off the poles,
+    * half-widths 2–8°/2–12° from the key mod 7/11), so the DuckDB
+    * mirror can recompute every vertex symbolically. Segments span
+    * >= 4° of latitude, keeping the segment-distance kernel's
+    * degenerate-edge branch unreachable (the q95 argument).
+    */
+  private def routeTable(s: SparkSession, dir: String): DataFrame = {
+    val d2r = math.Pi / 180.0
+    val a0 = custPts(s, dir).filter(col("c_custkey") % 20 === 0)
+      .withColumn("__clat", col("lat") * 0.7)
+      .withColumn("__dla", (lit(2.0) + (col("c_custkey") % 7).cast("double")) * d2r)
+      .withColumn("__dlo", (lit(2.0) + (col("c_custkey") % 11).cast("double")) * d2r)
+    def v(sa: Int, so: Int) = geo.nvec(
+      col("__clat") + lit(sa) * col("__dla"),
+      col("lon") + lit(so) * col("__dlo"))
+    val verts = Seq(v(-1, -1), v(1, 0), v(-1, 1))
+      .flatMap(c => Seq(geo.vx(c), geo.vy(c), geo.vz(c)))
+    a0.select(col("c_custkey").as("r_id"), array(verts: _*).as("verts"))
   }
 
   private def custPts(s: SparkSession, dir: String): DataFrame =
@@ -1664,6 +1754,22 @@ object SparkEntry {
           "n", "c_custkey", quads, "q_id", "q_rings",
           startMeters = 200e3, radius = R)
         .select(col("c_custkey"), col("q_id"),
+          round(col("dist_m") / 1000.0, 6).as("dist_km"))
+        .orderBy("c_custkey")
+    }),
+    "q96_nearest_route" -> ((s, dir) => {
+      // nearest route per customer over a route TABLE (the route
+      // analogue of q95): escalation ladder of corridor joins, 200 km
+      // start so most points pay several rounds; candidates carry the
+      // exact segment-min distance computed on the ORIGINAL segment
+      // endpoints (corridorPieces only adds cover midpoints), so the
+      // oracle replays segDistRad verbatim over the symbolically
+      // recomputed zig-zag vertices and takes the same (d, id) argmin
+      SpatialJoins.nearestRoute(
+          custPts(s, dir).select(col("c_custkey"), col("n")),
+          "n", "c_custkey", routeTable(s, dir), "r_id", "verts",
+          startMeters = 200e3, radius = R)
+        .select(col("c_custkey"), col("r_id"),
           round(col("dist_m") / 1000.0, 6).as("dist_km"))
         .orderBy("c_custkey")
     }),
@@ -3223,6 +3329,7 @@ object SparkEntry {
       "q92_polygon_intersect" -> q92MirrorSql,
       "q94_polygon_dissolve" -> q94MirrorSql,
       "q95_nearest_polygon" -> q95MirrorSql,
+      "q96_nearest_route" -> q96MirrorSql,
       "q93_zonal_stats" -> {
         val parts = PolyTable.map { case (id, r) =>
           s"SELECT k, '$id' AS poly_id FROM pts WHERE ${ringsInsideSql(r)}" }

@@ -1050,6 +1050,72 @@ object SpatialJoins {
     } finally retired.foreach(_.unpersist())
   }
 
+  /** Nearest ROUTE per point over a route TABLE (the route analogue
+    * of [[nearestPolygon]], and the table-scale lift of
+    * [[snapToRoutes]]' global argmin): output (pointId, routeIdCol,
+    * distCol) — one row per point whose nearest route polyline lies
+    * within `maxMeters`, distance = exact min over the route's
+    * segments, ties to the smaller route id. The result is
+    * materialized and persisted; unpersist it when done.
+    *
+    * Scale shape: an escalation ladder of provably-complete
+    * [[corridorJoin]]s — round r joins only the still-unmatched
+    * points against corridors buffered by b_r (b, 4b, 16b, ...,
+    * maxMeters), so the candidate volume paid per point tracks how
+    * far that point actually is from its nearest route, never the
+    * search cap. Every route within b_r of a point is a candidate at
+    * round r (the corridor cover proof), and candidates carry their
+    * EXACT segment-min distance, so a point with any candidate
+    * already holds its global argmin (non-candidates sit beyond b_r
+    * >= every candidate distance); matched points leave the ladder,
+    * starved points escalate. Rounds are log4(max/start), each one
+    * candidate equi-join + one map-side-combined min; only narrow
+    * (id, nvec) frames persist between rounds.
+    */
+  def nearestRoute(points: DataFrame, pointNvec: String, pointId: String,
+                   routes: DataFrame, routeIdCol: String, vertsCol: String,
+                   startMeters: Double = 100e3,
+                   maxMeters: Double = math.Pi * MeanEarthRadius,
+                   radius: Double = MeanEarthRadius,
+                   pieceFactor: Double = 4.0,
+                   distCol: String = "dist_m"): DataFrame = {
+    require(startMeters > 0.0, s"startMeters must be > 0 (got $startMeters)")
+    require(maxMeters >= startMeters,
+      s"maxMeters ($maxMeters) must be >= startMeters ($startMeters)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { retired += df.persist(lvl); df }
+    try {
+      var starved = keep(points.select(col(pointId), col(pointNvec)))
+      var more = true
+      val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var b = startMeters
+      while (more) {
+        val lastRound = b >= maxMeters
+        val cand = corridorJoin(starved, pointNvec, pointId,
+          routes, routeIdCol, vertsCol, math.min(b, maxMeters), radius,
+          pieceFactor, "__sd")
+        val best = keep(cand
+          .groupBy(col(pointId))
+          .agg(min(struct(col("__sd").as("d"), col(routeIdCol).as("r"))).as("__m"))
+          .select(col(pointId), col("__m.r").as(routeIdCol),
+            col("__m.d").as(distCol)))
+        rounds += best
+        if (lastRound) more = false
+        else {
+          starved = keep(starved.join(best.select(col(pointId)),
+            Seq(pointId), "left_anti"))
+          more = starved.count() > 0L
+          b = b * 4.0
+        }
+      }
+      val out = rounds.reduceLeft(_ unionByName _)
+        .persist(lvl)
+      out.count()
+      out
+    } finally retired.foreach(_.unpersist())
+  }
+
   /** Dissolve: label every polygon with its overlay CONNECTED
     * COMPONENT — the transitive closure of pairwise intersection
     * (AOI consolidation, admin-boundary cleanup, merging duplicate

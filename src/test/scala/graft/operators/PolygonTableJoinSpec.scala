@@ -173,6 +173,71 @@ class PolygonTableJoinSpec extends AnyFunSuite {
     assert(inside.nonEmpty && inside.forall(k => gm(k)._2 == 0.0))
   }
 
+  // route-TABLE fixture for nearestRoute: three polylines of very
+  // different lengths/locations (the global-noise points are far from
+  // all of them, forcing several escalation rounds)
+  private val routeDefs = Seq(
+    "ra" -> Seq((0.0, -30.0), (12.0, -20.0), (20.0, -5.0)),
+    "rb" -> Seq((35.0, 65.0), (45.0, 75.0), (50.0, 88.0), (42.0, 95.0)),
+    "rc" -> Seq((40.5, 100.2), (41.2, 101.3)))
+
+  private def flatVerts(vs: Seq[(Double, Double)]): Seq[Double] =
+    vs.flatMap { case (la, lo) =>
+      val v = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      Seq(v.x, v.y, v.z)
+    }
+
+  private def routesDf = routeDefs.map { case (id, vs) => (id, flatVerts(vs)) }
+    .toDF("route_id", "verts")
+
+  private def refRouteDist(p: Vec3, vs: Seq[(Double, Double)]): Double = {
+    val vn = vs.map { case (la, lo) =>
+      Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo)) }
+    vn.indices.init.map { i =>
+      graft.index.CellKernels.segDistRad(p.x, p.y, p.z,
+        vn(i).x, vn(i).y, vn(i).z,
+        vn(i + 1).x, vn(i + 1).y, vn(i + 1).z)
+    }.min
+  }
+
+  test("nearestRoute equals the brute segment-distance argmin through ladder escalation") {
+    val got = SpatialJoins.nearestRoute(ptsDf, "n", "id",
+      routesDf, "route_id", "verts", startMeters = 50e3)
+    val gm = got.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    got.unpersist()
+    val want = pts.map { case (i, la, lo) =>
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      val (d, id) = routeDefs.map { case (id, vs) =>
+        (refRouteDist(p, vs) * R, id) }.min
+      i -> ((id, d))
+    }.toMap
+    assert(gm.keySet == want.keySet) // default cap matches every point
+    val bad = want.collect { case (k, (id, d))
+      if gm(k)._1 != id || math.abs(gm(k)._2 - d) > 1e-6 => (k, gm(k), (id, d)) }
+    assert(bad.isEmpty, s"${bad.take(5)}")
+  }
+
+  test("nearestRoute under a cap keeps exactly the points within maxMeters") {
+    val cap = 500e3
+    val got = SpatialJoins.nearestRoute(ptsDf, "n", "id",
+      routesDf, "route_id", "verts", startMeters = 50e3, maxMeters = cap)
+    val gm = got.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    got.unpersist()
+    val want = pts.flatMap { case (i, la, lo) =>
+      val p = Gade.latLonToNvec(math.toRadians(la), math.toRadians(lo))
+      val (d, id) = routeDefs.map { case (id, vs) =>
+        (refRouteDist(p, vs) * R, id) }.min
+      if (d <= cap) Some(i -> ((id, d))) else None
+    }.toMap
+    assert(want.nonEmpty && want.size < pts.size, s"degenerate cap fixture: ${want.size}")
+    assert(gm.keySet == want.keySet)
+    val bad = want.collect { case (k, (id, d))
+      if gm(k)._1 != id || math.abs(gm(k)._2 - d) > 1e-6 => (k, gm(k), (id, d)) }
+    assert(bad.isEmpty, s"${bad.take(5)}")
+  }
+
   test("an empty (or all-null-rings) polygon table yields the empty join") {
     val empty = Seq.empty[(String, Seq[Double])].toDF("poly_id", "rings")
     val allNull = Seq(("n1", null.asInstanceOf[Seq[Double]])).toDF("poly_id", "rings")

@@ -302,6 +302,64 @@ object SparkEntry {
       s"GROUP BY node ORDER BY c_custkey"
   }
 
+  /** Route-route crossing mirror for q97: routeTableDense's 3-vertex
+    * zig-zags recomputed symbolically (v1..v3, segment normals e1 =
+    * v1 x v2, e2 = v2 x v3 as MATERIALIZED columns), self-joined on
+    * a.k < b.k with the kernel's 2x2 segment-pair crossing brackets —
+    * u = na x nb inlined per component, both bracket orientations as
+    * the >= 0 / <= 0 mirror of the same four triple products. No
+    * cover arithmetic at all, so the candidate machinery is fully
+    * machine-checked; the degenerate-edge and coincident-circle
+    * branches are unreachable for these hashed >= 4-degree segments
+    * (the q95/q96 argument).
+    */
+  private def q97MirrorSql: String = {
+    val d2r = fmt(math.Pi / 180.0)
+    // vertex (sa, so) of the zig-zag: (clat + sa*dla, lon + so*dlo);
+    // `lon + 0*dlo` is written out so a -0.0 longitude rounds through
+    // the identical float ops as the engine's lit(0) * dlo
+    val verts = Seq((1, "clat - dla", "(lon - dlo)"),
+      (2, "clat + dla", "(lon + 0*dlo)"), (3, "clat - dla", "(lon + dlo)"))
+    val crnCols = verts.map { case (i, la, lo) =>
+      s"cos($la)*cos($lo) AS c${i}x, cos($la)*sin($lo) AS c${i}y, " +
+        s"sin($la) AS c${i}z" }.mkString(", ")
+    val eCols = Seq((1, 1, 2), (2, 2, 3)).map { case (e, i, j) =>
+      s"c${i}y*c${j}z - c${i}z*c${j}y AS e${e}x, " +
+        s"c${i}z*c${j}x - c${i}x*c${j}z AS e${e}y, " +
+        s"c${i}x*c${j}y - c${i}y*c${j}x AS e${e}z" }.mkString(", ")
+    def crossC(p: String, q: String, w: String): String = w match {
+      case "x" => s"(${p}y*${q}z - ${p}z*${q}y)"
+      case "y" => s"(${p}z*${q}x - ${p}x*${q}z)"
+      case _   => s"(${p}x*${q}y - ${p}y*${q}x)"
+    }
+    val crosses = (for (e <- 1 to 2; f <- 1 to 2) yield {
+      val j = e + 1; val g = f + 1
+      def u(w: String) = crossC(s"a.e$e", s"b.e$f", w)
+      def tripleU(v1: Either[String, Unit], v2: Either[String, Unit], n: String) = {
+        def comp(v: Either[String, Unit], w: String) =
+          v.fold(p => s"$p$w", _ => u(w))
+        Seq(("y", "z"), ("z", "x"), ("x", "y")).zip(Seq("x", "y", "z"))
+          .map { case ((w1, w2), w) =>
+            s"(${comp(v1, w1)}*${comp(v2, w2)} - ${comp(v1, w2)}*${comp(v2, w1)})*$n$w"
+          }.mkString(" + ")
+      }
+      val t1 = tripleU(Left(s"a.c$e"), Right(()), s"a.e$e")
+      val t2 = tripleU(Right(()), Left(s"a.c$j"), s"a.e$e")
+      val s1 = tripleU(Left(s"b.c$f"), Right(()), s"b.e$f")
+      val s2 = tripleU(Right(()), Left(s"b.c$g"), s"b.e$f")
+      s"((($t1) >= 0 AND ($t2) >= 0 AND ($s1) >= 0 AND ($s2) >= 0) OR " +
+        s"(($t1) <= 0 AND ($t2) <= 0 AND ($s1) <= 0 AND ($s2) <= 0))"
+    }).mkString(" OR ")
+    s"WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat, " +
+      s"${lonSql("c_custkey")} AS lon FROM customer WHERE c_custkey % 5 = 0), " +
+      s"ang AS (SELECT k, lat*0.7 AS clat, lon, (5 + (k % 9)) * $d2r AS dla, " +
+      s"(6 + (k % 13)) * $d2r AS dlo FROM keyed), " +
+      s"crn AS MATERIALIZED (SELECT k, $crnCols FROM ang), " +
+      s"geom AS MATERIALIZED (SELECT *, $eCols FROM crn) " +
+      s"SELECT a.k AS r_id, b.k AS b_id FROM geom a " +
+      s"JOIN geom b ON a.k < b.k AND ($crosses) ORDER BY r_id, b_id"
+  }
+
   /** Nearest-polygon mirror: every (customer, quad) pair gets the
     * kernel's signed boundary distance replayed fully symbolically —
     * per edge: the NORMALIZED great-circle normal, the perpendicular
@@ -593,6 +651,27 @@ object SparkEntry {
       .withColumn("__clat", col("lat") * 0.7)
       .withColumn("__dla", (lit(2.0) + (col("c_custkey") % 7).cast("double")) * d2r)
       .withColumn("__dlo", (lit(2.0) + (col("c_custkey") % 11).cast("double")) * d2r)
+    def v(sa: Int, so: Int) = geo.nvec(
+      col("__clat") + lit(sa) * col("__dla"),
+      col("lon") + lit(so) * col("__dlo"))
+    val verts = Seq(v(-1, -1), v(1, 0), v(-1, 1))
+      .flatMap(c => Seq(geo.vx(c), geo.vy(c), geo.vz(c)))
+    a0.select(col("c_custkey").as("r_id"), array(verts: _*).as("verts"))
+  }
+
+  /** Denser, wider route family for the q97 crossing gate: every 5th
+    * customer, half-widths 5-13°/6-18° — mod-20 routes cross nowhere
+    * at sf0.001 (7 routes on the whole sphere), and an empty gate is
+    * no evidence; this family crosses at every SF (2 pairs at
+    * sf0.001, ~100k at sf0.1) while keeping the oracle's all-pairs
+    * sweep ~10 s at sf0.1.
+    */
+  private def routeTableDense(s: SparkSession, dir: String): DataFrame = {
+    val d2r = math.Pi / 180.0
+    val a0 = custPts(s, dir).filter(col("c_custkey") % 5 === 0)
+      .withColumn("__clat", col("lat") * 0.7)
+      .withColumn("__dla", (lit(5.0) + (col("c_custkey") % 9).cast("double")) * d2r)
+      .withColumn("__dlo", (lit(6.0) + (col("c_custkey") % 13).cast("double")) * d2r)
     def v(sa: Int, so: Int) = geo.nvec(
       col("__clat") + lit(sa) * col("__dla"),
       col("lon") + lit(so) * col("__dlo"))
@@ -1984,6 +2063,55 @@ object SparkEntry {
           round(Dedup.ngramJaccardFast(col("text"), col("ttrunc")), 6).as("j_trunc"),
           round(Dedup.ngramJaccardFast(col("text"), col("tnext")), 6).as("j_next"))
         .orderBy("doc_id")
+    }),
+    "q97_route_cross" -> ((s, dir) => {
+      // route-route intersection self-join over the dense route table
+      // (a.r_id < b.r_id): cover-cell candidates + exact segsCross on
+      // the original segment endpoints. The oracle replays the FULL
+      // symmetric 2x2 segment-pair crossing decomposition (normals,
+      // u = na x nb, both bracket orientations) with both vertex sets
+      // symbolic — no cover pruning, so a cover/level-alignment miss
+      // surfaces as a missing pair
+      val a = routeTableDense(s, dir)
+      val b = routeTableDense(s, dir)
+        .select(col("r_id").as("b_id"), col("verts").as("b_verts"))
+      graft.operators.SpatialJoins.routeIntersectJoin(
+          a, "r_id", "verts", b, "b_id", "b_verts", pieceMeters = 500e3)
+        .filter(col("r_id") < col("b_id"))
+        .orderBy("r_id", "b_id")
+    }),
+    "q98_track_dwell" -> ((s, dir) => {
+      // dwell seconds (event_id units) inside the q81 fences along
+      // the same jittered tracks: left-constant interval attribution,
+      // zero-dwell (track, fence) rows included. Interval gaps are
+      // exact integers, so the double sums are order-independent and
+      // hash-exact against the oracle's window + CASE replay
+      val ev = t(s, dir, "events")
+        .withColumn("lat", latRad(col("user_id") * 13 + 1) * 0.95 +
+          (((col("event_id") * 2654435761L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("lon", lonRad(col("user_id") * 13 + 1) * 0.97 +
+          (((col("event_id") * 40503L) % 4001L) / 2000.0 - 1.0) * 0.01)
+        .withColumn("nv", geo.nvec(col("lat"), col("lon")))
+      graft.operators.SpatialJoins.trackDwell(ev, "user_id", "event_id",
+          "nv", geofenceAois)
+        .orderBy("user_id", "aoi_id")
+    }),
+    "q99_polygon_shape" -> ((s, dir) => {
+      // perimeter + isoperimetric compactness (4*pi*A/P^2) of the
+      // q51 pentagon family — the length companion of the area gate,
+      // mirrored edge-by-edge at the exact floating-op order (eq 16
+      // atan2 terms, left-associated sum, shared radius constant)
+      val verts = (0 until 5).map { j =>
+        val ang = 2.0 * math.Pi * j / 5.0
+        geo.nvec(col("lat") * 0.9 + lit(0.02 * math.cos(ang)),
+          col("lon") * 0.98 + lit(0.02 * math.sin(ang)))
+      }
+      val per = geo.polygonPerimeter(verts)
+      val area = geo.polygonArea(verts)
+      custPts(s, dir).select(col("c_custkey"),
+          round(per / 1000.0, 6).as("perim_km"),
+          round(lit(4.0 * math.Pi) * area / (per * per), 9).as("compactness"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -3623,7 +3751,77 @@ object SparkEntry {
           | LEFT JOIN it ON it.doc_id = d.doc_id
           | LEFT JOIN inx ON inx.doc_id = d.doc_id
           | LEFT JOIN nn ON nn.doc_id = d.doc_id
-          | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+          | ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      "q97_route_cross" -> q97MirrorSql,
+      // dwell: the q81 p/v track CTEs + ONE per-track lead window for
+      // the inter-fix gap, then the per-fence CASE sums — DOUBLE sums
+      // of exact integers, order-independent
+      "q98_track_dwell" -> {
+        def inzSql(a: graft.operators.SpatialJoins.Aoi): String = {
+          val vs = a.vertsN
+          vs.indices.map { i =>
+            val p = vs(i); val q = vs((i + 1) % vs.length)
+            val c = p cross q
+            s"(${fmt(c.x)}*nx + ${fmt(c.y)}*ny + ${fmt(c.z)}*nz > 0)"
+          }.mkString("(", " AND ", ")")
+        }
+        val flags = geofenceAois.map { a =>
+          s"SELECT user_id, '${a.id}' AS aoi_id, " +
+            s"CASE WHEN ${inzSql(a)} AND dt IS NOT NULL THEN dt ELSE 0.0 END AS indt, " +
+            s"CASE WHEN ${inzSql(a)} THEN 1 END AS infix FROM d"
+        }.mkString(" UNION ALL ")
+        s"""WITH p AS (SELECT user_id, event_id,
+           |   ${latSql("(user_id * 13 + 1)")} * 0.95
+           |     + (((event_id * 2654435761) % 4001) / 2000.0 - 1.0) * 0.01 AS lat,
+           |   ${lonSql("(user_id * 13 + 1)")} * 0.97
+           |     + (((event_id * 40503) % 4001) / 2000.0 - 1.0) * 0.01 AS lon FROM events),
+           | v AS (SELECT user_id, event_id, cos(lat)*cos(lon) AS nx,
+           |   cos(lat)*sin(lon) AS ny, sin(lat) AS nz FROM p),
+           | d AS (SELECT user_id, nx, ny, nz,
+           |   CAST(lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           |     - event_id AS DOUBLE) AS dt FROM v),
+           | f AS ($flags)
+           | SELECT user_id, aoi_id, sum(indt) AS dwell_t,
+           |   count(infix) AS fixes_inside
+           | FROM f GROUP BY user_id, aoi_id
+           | ORDER BY user_id, aoi_id""".stripMargin.replace("\n", " ")
+      },
+      // perimeter/compactness: the q51 pentagon columns + eq-16 edge
+      // terms at the engine's exact op order (left-assoc sum, shared
+      // radius constants, identical division tree)
+      "q99_polygon_shape" -> {
+        val offs = (0 until 5).map { j =>
+          val ang = 2.0 * math.Pi * j / 5.0
+          (fmt(0.02 * math.cos(ang)), fmt(0.02 * math.sin(ang)))
+        }
+        val vcols = offs.zipWithIndex.map { case ((dla, dlo), j) =>
+          s"""cos(lat*0.9 + $dla)*cos(lon*0.98 + $dlo) AS x$j,
+             | cos(lat*0.9 + $dla)*sin(lon*0.98 + $dlo) AS y$j,
+             | sin(lat*0.9 + $dla) AS z$j""".stripMargin.replace("\n", " ")
+        }.mkString(", ")
+        def tri(a: Int, b: Int, c: Int): String =
+          s"""2.0*atan2(x$a*(y$b*z$c - z$b*y$c) + y$a*(z$b*x$c - x$b*z$c) + z$a*(x$b*y$c - y$b*x$c),
+             | 1.0 + (x$a*x$b + y$a*y$b + z$a*z$b) + (x$b*x$c + y$b*y$c + z$b*z$c)
+             | + (x$c*x$a + y$c*y$a + z$c*z$a))""".stripMargin.replace("\n", " ")
+        def edge(i: Int, j: Int): String =
+          s"""atan2(sqrt((y$i*z$j - z$i*y$j)*(y$i*z$j - z$i*y$j)
+             | + (z$i*x$j - x$i*z$j)*(z$i*x$j - x$i*z$j)
+             | + (x$i*y$j - y$i*x$j)*(x$i*y$j - y$i*x$j)),
+             | x$i*x$j + y$i*y$j + z$i*z$j)""".stripMargin.replace("\n", " ")
+        val psum = (0 until 5).map(i => s"(${edge(i, (i + 1) % 5)})").mkString(" + ")
+        val r = fmt(graft.geo.Ellipsoids.MeanEarthRadius)
+        val r2 = fmt(graft.geo.Ellipsoids.MeanEarthRadius *
+          graft.geo.Ellipsoids.MeanEarthRadius)
+        val fourPi = fmt(4.0 * math.Pi)
+        s"""WITH keyed AS (SELECT c_custkey AS k, ${latSql("c_custkey")} AS lat,
+           | ${lonSql("c_custkey")} AS lon FROM customer),
+           | v AS (SELECT k, $vcols FROM keyed),
+           | m AS (SELECT k, ${tri(0, 1, 2)} + ${tri(0, 2, 3)} + ${tri(0, 3, 4)} AS exc,
+           |   ($psum) * $r AS per FROM v)
+           | SELECT k AS c_custkey, round(per / 1000.0, 6) AS perim_km,
+           |   round($fourPi * (abs(exc) * $r2) / (per * per), 9) AS compactness
+           | FROM m ORDER BY c_custkey""".stripMargin.replace("\n", " ")
+      }
     )
   }
 }

@@ -235,6 +235,20 @@ object geo {
   def polygonAreaArr(vertexArr: Column, radius: Double = MeanEarthRadius): Column =
     abs(polygonExcessArr(vertexArr)) * lit(radius * radius)
 
+  /** Great-circle perimeter [m] of the closed polygon with the given
+    * n-vector vertices (fixed arity >= 3, closing edge included) —
+    * the length companion of [[polygonArea]]; together they give the
+    * isoperimetric compactness 4*pi*A/P^2 (1 for a spherical cap,
+    * -> 0 as the shape elongates).
+    */
+  def polygonPerimeter(vertices: Seq[Column],
+                       radius: Double = MeanEarthRadius): Column = {
+    require(vertices.length >= 3, "polygon needs >= 3 vertices")
+    vertices.indices
+      .map(i => gcDistanceRad(vertices(i), vertices((i + 1) % vertices.length)))
+      .reduce(_ + _) * lit(radius)
+  }
+
   /** Great-circle distance [rad] from `p` to the ARC from `a1` to
     * `a2` (the segment, not the full circle): the cross-circle
     * distance when the foot of the perpendicular lies ON the arc,

@@ -238,11 +238,19 @@ object CellKernels {
     * arc brackets inside the other.
     */
   private def arcsCross(va: Array[Double], i1: Int, i2: Int,
-                        vb: Array[Double], j1: Int, j2: Int): Boolean = {
-    val ax = va(i1); val ay = va(i1 + 1); val az = va(i1 + 2)
-    val bx = va(i2); val by = va(i2 + 1); val bz = va(i2 + 2)
-    val cx = vb(j1); val cy = vb(j1 + 1); val cz = vb(j1 + 2)
-    val dx = vb(j2); val dy = vb(j2 + 1); val dz = vb(j2 + 2)
+                        vb: Array[Double], j1: Int, j2: Int): Boolean =
+    segsCross(va(i1), va(i1 + 1), va(i1 + 2), va(i2), va(i2 + 1), va(i2 + 2),
+      vb(j1), vb(j1 + 1), vb(j1 + 2), vb(j2), vb(j2 + 1), vb(j2 + 2))
+
+  /** [[arcsCross]] in flat-coordinate form — the JIT entry point for
+    * segment-segment crossing as a Column predicate (route-route
+    * intersection joins); same semantics, same degenerate-edge and
+    * coincident-circle handling.
+    */
+  def segsCross(ax: Double, ay: Double, az: Double,
+                bx: Double, by: Double, bz: Double,
+                cx: Double, cy: Double, cz: Double,
+                dx: Double, dy: Double, dz: Double): Boolean = {
     val nax = ay * bz - az * by
     val nay = az * bx - ax * bz
     val naz = ax * by - ay * bx

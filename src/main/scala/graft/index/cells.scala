@@ -84,6 +84,19 @@ object cells {
         geo.vx(a2), geo.vy(a2), geo.vz(a2)),
       Seq.fill(9)(DoubleType))
 
+  /** True when minor arcs a1->a2 and b1->b2 share a point (endpoint
+    * touches included) — ONE JITed CellKernels.segsCross call, the
+    * crossing predicate of [[ringsIntersect]] exposed per segment
+    * pair for route-route intersection joins.
+    */
+  def segsCross(a1: Column, a2: Column, b1: Column, b2: Column): Column =
+    GraftSqlBridge.staticInvoke(kernelsClass, BooleanType, "segsCross",
+      Seq(geo.vx(a1), geo.vy(a1), geo.vz(a1),
+        geo.vx(a2), geo.vy(a2), geo.vz(a2),
+        geo.vx(b1), geo.vy(b1), geo.vz(b1),
+        geo.vx(b2), geo.vy(b2), geo.vz(b2)),
+      Seq.fill(12)(DoubleType))
+
   /** Level field of a cell id — pure bitwise Columns (exactly the
     * CellIndex bit layout), so SQL mirrors reproduce it verbatim.
     */

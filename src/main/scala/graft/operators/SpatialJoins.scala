@@ -813,6 +813,76 @@ object SpatialJoins {
       .agg(min(col(distCol)).as(distCol))
   }
 
+  /** Route-route INTERSECTION join between two polyline TABLES: one
+    * row per (aId, bId) pair whose geodesic polylines share a point —
+    * some minor-arc segment of one crossing or touching a segment of
+    * the other ([[cells.segsCross]], the exact crossing predicate of
+    * ringsIntersect per segment pair).
+    *
+    * Scale shape: each side splits into corridor pieces of at most
+    * `pieceMeters` arc (cells.corridorPieces), covers each piece's
+    * circumdisc at ONE shared level sized from the piece angle
+    * (corridorJoin's ~96-cells-per-disc rule), and candidates are the
+    * cell EQUI-join of the two covers — a crossing point lies on a
+    * piece of each side, hence within maxPiece/2 of both piece
+    * midpoints, so its cell keys both covers. The exact predicate
+    * runs on the ORIGINAL segment endpoints (pieces only add the
+    * cover midpoint), so piece granularity moves cost, never
+    * correctness; duplicate candidates (several shared cells /
+    * several crossing segment pairs) collapse in the final distinct,
+    * bounded by candidate pairs, not the id cross product. No
+    * driver-side values at all — the level is computed from the
+    * constant piece angle, so either side empty just yields the
+    * typed empty result through the ordinary join.
+    *
+    * Contract: a fully DEGENERATE polyline (every vertex coincident)
+    * spans no arc and never matches — its point piece fails the
+    * crossing predicate by the degenerate-edge rule; route tables
+    * with point rows should pre-filter or route them through
+    * [[corridorJoin]] with a radius instead. Column names of the two
+    * sides must be disjoint.
+    */
+  def routeIntersectJoin(aRoutes: DataFrame, aIdCol: String, aVertsCol: String,
+                         bRoutes: DataFrame, bIdCol: String, bVertsCol: String,
+                         pieceMeters: Double = 250e3,
+                         radius: Double = MeanEarthRadius): DataFrame = {
+    require(pieceMeters > 0.0, s"pieceMeters must be > 0 (got $pieceMeters)")
+    val maxPiece = math.min(math.Pi, pieceMeters / radius)
+    // 1e-9 relative slack absorbs the slerp midpoint's rounding so a
+    // crossing point at exactly maxPiece/2 of the computed midpoint
+    // still lands inside the cap
+    val coverAngle = (maxPiece / 2.0) * (1.0 + 1e-9)
+    // same sizing rule as corridorJoin / the AOI covers: ~96 cells
+    // per piece disc
+    val level = {
+      val discArea = 2.0 * math.Pi * (1.0 - math.cos(math.max(coverAngle, 1e-6)))
+      val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
+        math.log(2.0))).ceil.toInt
+      math.max(2, math.min(CellIndex.MaxLevel, l))
+    }
+    def pc(i: Int) = element_at(col("__p"), i)
+    // endpoints ride as flat doubles, the predicate is ONE JITed
+    // kernel call — the corridorJoin NestedColumnAliasing note
+    // applies verbatim
+    def keyed(df: DataFrame, idCol: String, vertsCol: String, tag: String) = df
+      .select(col(idCol),
+        explode(cells.corridorPieces(col(vertsCol), maxPiece)).as("__p"))
+      .select(col(idCol),
+        pc(2).as(s"__${tag}ax"), pc(3).as(s"__${tag}ay"), pc(4).as(s"__${tag}az"),
+        pc(5).as(s"__${tag}bx"), pc(6).as(s"__${tag}by"), pc(7).as(s"__${tag}bz"),
+        explode(cells.capCells(geo.vec(pc(8), pc(9), pc(10)), level, coverAngle))
+          .as("__cell"))
+    keyed(aRoutes, aIdCol, aVertsCol, "a")
+      .join(keyed(bRoutes, bIdCol, bVertsCol, "b"), "__cell")
+      .filter(cells.segsCross(
+        geo.vec(col("__aax"), col("__aay"), col("__aaz")),
+        geo.vec(col("__abx"), col("__aby"), col("__abz")),
+        geo.vec(col("__bax"), col("__bay"), col("__baz")),
+        geo.vec(col("__bbx"), col("__bby"), col("__bbz"))))
+      .select(col(aIdCol), col(bIdCol))
+      .dropDuplicates(aIdCol, bIdCol)
+  }
+
   /** Shared candidate machinery of the polygon-TABLE joins: each
     * polygon row emits its mixed-level ring-circumdisc cover
     * ([[cells.ringCoverCells]] — every ring at its OWN ~96-cell
@@ -1287,5 +1357,49 @@ object SpatialJoins {
         (col("__prev").isNotNull && col("__prev") =!= col("__in")))
       .select(col(trackCol), col(timeCol), col("aoi_id"),
         when(col("__in"), lit("enter")).otherwise(lit("exit")).as("event"))
+  }
+
+  /** Dwell time per (track, AOI): the total time spent inside each
+    * fence, attributing each inter-fix interval [t_i, t_{i+1}) to
+    * the STATE AT ITS START (left-constant interpolation — the same
+    * convention sessionize/staypoints use for gaps); the last fix of
+    * a track anchors no interval. Every (track, AOI) pair with at
+    * least one valid fix gets a row — zero dwell included — plus the
+    * inside-fix count so downstream can tell "never entered" from
+    * "entered between samples". Null time / null position rows drop
+    * by the track-operator contract. `timeCol` must be NUMERIC and
+    * unique within a track (duplicate stamps make which tied fix
+    * anchors the next interval order-dependent).
+    *
+    * Scale shape: the ONLY shuffle is the per-track window for the
+    * inter-fix gap, and it runs BEFORE the AOI fan-out (the gap is
+    * AOI-independent), so the window carries points rows, not
+    * points x |aois|; the fan-out itself is a map-only cross join
+    * with the broadcast literal fence list and one winding-kernel
+    * call per (fix, AOI), and the final group-by partial-aggregates
+    * to |tracks| x |aois| rows.
+    */
+  def trackDwell(points: DataFrame, trackCol: String, timeCol: String,
+                 pointNvec: String, aois: Seq[Aoi],
+                 dwellCol: String = "dwell_t"): DataFrame = {
+    require(aois.nonEmpty)
+    aois.foreach(_.validated) // winding-test hemisphere contract
+    val spark = points.sparkSession
+    import spark.implicits._
+    val vertsDf = broadcast(
+      aois.map(a => (a.id, a.flatVerts.toSeq)).toDF("aoi_id", "__verts"))
+    val w = Window.partitionBy(col(trackCol)).orderBy(col(timeCol))
+    points
+      .filter(col(timeCol).isNotNull && col(pointNvec).isNotNull)
+      .select(col(trackCol), col(timeCol), col(pointNvec))
+      .withColumn("__dt",
+        (lead(col(timeCol), 1).over(w) - col(timeCol)).cast("double"))
+      .crossJoin(vertsDf)
+      .withColumn("__in", cells.pointInPolygon(col(pointNvec), col("__verts")))
+      .groupBy(col(trackCol), col("aoi_id"))
+      .agg(
+        sum(when(col("__in") && col("__dt").isNotNull, col("__dt"))
+          .otherwise(0.0)).as(dwellCol),
+        count(when(col("__in"), lit(1))).as("fixes_inside"))
   }
 }

@@ -85,6 +85,28 @@ object GeoFunctions {
           lit("geo_polygon_area: flat [x0,y0,z0,...] n-vector array " +
             "with >= 3 vertices expected (got length "),
           sz.cast("string"), lit(")")))) }),
+    "geo_polygon_perimeter" -> (1, { case Seq(vertsArr) =>
+      // same flat encoding, regrouping, and loud-failure contract as
+      // geo_polygon_area
+      val sz = size(vertsArr)
+      val structs = transform(
+        sequence(lit(0), (sz / 3).cast("int") - 1),
+        i => geo.vec(element_at(vertsArr, i * 3 + 1),
+          element_at(vertsArr, i * 3 + 2),
+          element_at(vertsArr, i * 3 + 3)))
+      when(vertsArr.isNull, lit(null).cast("double"))
+        .when(sz % 3 === 0 && sz >= 9, geo.polygonPerimeterArr(structs))
+        .otherwise(raise_error(concat(
+          lit("geo_polygon_perimeter: flat [x0,y0,z0,...] n-vector " +
+            "array with >= 3 vertices expected (got length "),
+          sz.cast("string"), lit(")")))) }),
+    // segment-segment crossing (lat/lon in degrees): the exact
+    // route-route intersection predicate, endpoint touches included
+    "geo_segs_cross" -> (8, { case Seq(a1la, a1lo, a2la, a2lo,
+                                       b1la, b1lo, b2la, b2lo) =>
+      graft.index.cells.segsCross(
+        geo.nvecDeg(a1la, a1lo), geo.nvecDeg(a2la, a2lo),
+        geo.nvecDeg(b1la, b1lo), geo.nvecDeg(b2la, b2lo)) }),
     "geo_pip" -> (3, { case Seq(latDeg, lonDeg, vertsArr) =>
       graft.index.cells.pointInPolygon(geo.nvecDeg(latDeg, lonDeg), vertsArr) }),
     "geo_boundary_dist" -> (3, { case Seq(latDeg, lonDeg, vertsArr) =>

@@ -249,6 +249,18 @@ object geo {
       .reduce(_ + _) * lit(radius)
   }
 
+  /** Variable-arity perimeter over an `array<struct<x,y,z>>` column —
+    * same null/short-input contract as [[polygonExcessArr]] (< 3
+    * vertices yield 0.0, a NULL array propagates null).
+    */
+  def polygonPerimeterArr(vertexArr: Column,
+                          radius: Double = MeanEarthRadius): Column =
+    when(size(vertexArr) >= 3,
+      aggregate(sequence(lit(1), size(vertexArr)), lit(0.0),
+        (acc, i) => acc + gcDistanceRad(element_at(vertexArr, i),
+          element_at(vertexArr, (i % size(vertexArr)) + 1))) * lit(radius))
+      .when(vertexArr.isNotNull, lit(0.0))
+
   /** Great-circle distance [rad] from `p` to the ARC from `a1` to
     * `a2` (the segment, not the full circle): the cross-circle
     * distance when the foot of the perpendicular lies ON the arc,

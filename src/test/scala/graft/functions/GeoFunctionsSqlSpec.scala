@@ -133,6 +133,30 @@ class GeoFunctionsSqlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) / approx - 1.0) < 0.03)
   }
 
+  test("geo_polygon_perimeter and geo_segs_cross match the kernels") {
+    GeoFunctions.register(spark)
+    def fl(d: Double) = "CAST(%.17g AS DOUBLE)".format(d)
+    val ring = Seq((-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0), (10.0, -10.0))
+    val flatSql = "array(" + ring.flatMap { case (la, lo) =>
+      val v = Gade.latLonToNvec(rad(la), rad(lo)); Seq(v.x, v.y, v.z)
+    }.map(fl).mkString(", ") + ")"
+    val r = spark.sql(
+      s"""SELECT
+         |  geo_polygon_perimeter($flatSql) AS per,
+         |  geo_segs_cross(-5.0, 0.0, 5.0, 0.0, 0.0, -5.0, 0.0, 5.0) AS cr,
+         |  geo_segs_cross(0.0, 0.0, 0.0, 10.0, 5.0, 0.0, 5.0, 10.0) AS nocr
+         |""".stripMargin).collect()(0)
+    // kernel-path perimeter: the same edges summed driver-side
+    val expected = ring.indices.map { i =>
+      val a = Gade.latLonToNvec(rad(ring(i)._1), rad(ring(i)._2))
+      val b = Gade.latLonToNvec(rad(ring((i + 1) % 4)._1), rad(ring((i + 1) % 4)._2))
+      val c = a cross b
+      math.atan2(c.norm, a dot b)
+    }.sum * 6371009.0
+    assert(math.abs(r.getDouble(0) - expected) / expected < 1e-12)
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+  }
+
   private def SpatialJoinsAoiM(ring: Seq[(Double, Double)]): Array[Double] =
     graft.operators.SpatialJoins.AoiM("t", Seq(ring)).flatRings
 }

@@ -825,15 +825,18 @@ object SpatialJoins {
     * (corridorJoin's ~96-cells-per-disc rule), and candidates are the
     * cell EQUI-join of the two covers — a crossing point lies on a
     * piece of each side, hence within maxPiece/2 of both piece
-    * midpoints, so its cell keys both covers. The exact predicate
+    * midpoints, so its cell keys both covers. The fan-out rows are
+    * SLIM — (id, segment index, cell) only; segment endpoints rejoin
+    * per deduped candidate — so the cover sort/shuffle volume is the
+    * cell count, not cells x endpoint payload. The exact predicate
     * runs on the ORIGINAL segment endpoints (pieces only add the
     * cover midpoint), so piece granularity moves cost, never
-    * correctness; duplicate candidates (several shared cells /
-    * several crossing segment pairs) collapse in the final distinct,
-    * bounded by candidate pairs, not the id cross product. No
-    * driver-side values at all — the level is computed from the
-    * constant piece angle, so either side empty just yields the
-    * typed empty result through the ordinary join.
+    * correctness; duplicate cell hits collapse at the (aId, aSeg,
+    * bId, bSeg) grain before the kernel runs, the final distinct at
+    * (aId, bId) — both bounded by candidate pairs, not the id cross
+    * product. No driver-side values at all — the level is computed
+    * from the constant piece angle, so either side empty just yields
+    * the typed empty result through the ordinary join.
     *
     * Contract: a fully DEGENERATE polyline (every vertex coincident)
     * spans no arc and never matches — its point piece fails the
@@ -861,19 +864,35 @@ object SpatialJoins {
       math.max(2, math.min(CellIndex.MaxLevel, l))
     }
     def pc(i: Int) = element_at(col("__p"), i)
-    // endpoints ride as flat doubles, the predicate is ONE JITed
-    // kernel call — the corridorJoin NestedColumnAliasing note
-    // applies verbatim
-    def keyed(df: DataFrame, idCol: String, vertsCol: String, tag: String) = df
-      .select(col(idCol),
+    // the cell fan-out carries ONLY (id, segment index, cell) — the
+    // six endpoint doubles would triple the sorted/shuffled cover
+    // volume (an 800k-route probe OOMed the cover sort at the default
+    // 8g with endpoints riding the explode); candidates dedup at the
+    // slim (aId, aSeg, bId, bSeg) grain so the crossing kernel runs
+    // once per segment pair, then endpoints rejoin by (id, seg). The
+    // predicate stays ONE JITed kernel call over flat doubles — the
+    // corridorJoin NestedColumnAliasing note applies verbatim
+    def keyed(df: DataFrame, idCol: String, vertsCol: String, tag: String) = {
+      val pieces = df.select(col(idCol),
         explode(cells.corridorPieces(col(vertsCol), maxPiece)).as("__p"))
-      .select(col(idCol),
-        pc(2).as(s"__${tag}ax"), pc(3).as(s"__${tag}ay"), pc(4).as(s"__${tag}az"),
-        pc(5).as(s"__${tag}bx"), pc(6).as(s"__${tag}by"), pc(7).as(s"__${tag}bz"),
+      val cover = pieces.select(col(idCol),
+        pc(1).cast("int").as(s"__${tag}seg"),
         explode(cells.capCells(geo.vec(pc(8), pc(9), pc(10)), level, coverAngle))
           .as("__cell"))
-    keyed(aRoutes, aIdCol, aVertsCol, "a")
-      .join(keyed(bRoutes, bIdCol, bVertsCol, "b"), "__cell")
+      val segs = pieces.select(col(idCol),
+        pc(1).cast("int").as(s"__${tag}seg"),
+        pc(2).as(s"__${tag}ax"), pc(3).as(s"__${tag}ay"), pc(4).as(s"__${tag}az"),
+        pc(5).as(s"__${tag}bx"), pc(6).as(s"__${tag}by"), pc(7).as(s"__${tag}bz"))
+        .dropDuplicates(idCol, s"__${tag}seg")
+      (cover, segs)
+    }
+    val (coverA, segsA) = keyed(aRoutes, aIdCol, aVertsCol, "a")
+    val (coverB, segsB) = keyed(bRoutes, bIdCol, bVertsCol, "b")
+    coverA.join(coverB, "__cell")
+      .select(col(aIdCol), col("__aseg"), col(bIdCol), col("__bseg"))
+      .dropDuplicates(aIdCol, "__aseg", bIdCol, "__bseg")
+      .join(segsA, Seq(aIdCol, "__aseg"))
+      .join(segsB, Seq(bIdCol, "__bseg"))
       .filter(cells.segsCross(
         geo.vec(col("__aax"), col("__aay"), col("__aaz")),
         geo.vec(col("__abx"), col("__aby"), col("__abz")),

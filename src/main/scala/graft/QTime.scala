@@ -28,11 +28,13 @@ object QTime {
         sys.error(s"unknown query $q; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // noop sink — same methodology as Bench (count() lets
+        // Catalyst prune projection-heavy queries to near zero)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        (dt, n)
+        (dt, 0L)
       }
-      println(f"QTIME $q rows=${times.head._2} " +
+      println(f"QTIME $q " +
         times.map(t => f"${t._1}%.2f").mkString("[", ", ", "]") + " sec")
     }
     spark.stop()

@@ -1920,7 +1920,7 @@ object SparkEntry {
           suppPts(s, dir).select(col("s_suppkey"), col("s_n")), "s_n",
           custPts(s, dir).select(col("n"), col("c_acctbal")), "n", "c_acctbal",
           radiusMeters = 2000e3, power = 2.0, minDistMeters = 1.0,
-          sphereRadius = R)
+          sphereRadius = R, queryIdCol = Some("s_suppkey"))
         .select(col("s_suppkey"),
           coalesce(round(col("est"), 2), lit(-999.0)).as("est"),
           col("n_samples"))
@@ -2076,7 +2076,8 @@ object SparkEntry {
       val b = routeTableDense(s, dir)
         .select(col("r_id").as("b_id"), col("verts").as("b_verts"))
       graft.operators.SpatialJoins.routeIntersectJoin(
-          a, "r_id", "verts", b, "b_id", "b_verts", pieceMeters = 500e3)
+          a, "r_id", "verts", b, "b_id", "b_verts", pieceMeters = 500e3,
+          orderedPairs = true)
         .filter(col("r_id") < col("b_id"))
         .orderBy("r_id", "b_id")
     }),

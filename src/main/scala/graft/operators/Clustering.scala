@@ -175,16 +175,44 @@ object Clustering {
         // (dense-cell count^2 alone undercounts uniformly dense data
         // ~10-25x and could route a billion-pair input to the
         // materializing plan). A heuristic, not a proof: both plans
-        // are exact, the dispatch steers only cost. Narrow cells-only
-        // self-join; summed in doubles so extreme inputs saturate
-        // instead of wrapping.
-        val hazard = cellCnt
-          .select(explode(cells.ringCells(col("__gc"), 3)).as("__gc2"),
-            col("__dn0").cast("double").as("__na"))
-          .join(cellCnt.select(col("__gc").as("__gc2"),
-            col("__dn0").cast("double").as("__nb")), "__gc2")
-          .agg(coalesce(sum(col("__na") * col("__nb")), lit(0.0)).as("__h"))
-          .first().getDouble(0)
+        // are exact, the dispatch steers only cost. Summed in doubles
+        // so extreme inputs saturate instead of wrapping.
+        //
+        // Cost of the estimate itself: when the occupied-cell list is
+        // small (<= 50k narrow (cell, count) rows, ~1 MB collected)
+        // the SAME sum is computed driver-locally off one collect of
+        // the already-needed cellCnt aggregate — no ring-explode
+        // self-join, no extra exchange. Only genuinely wide inputs
+        // (> 50k occupied cells, where the contracted plan's fixed
+        // stages are already amortized) pay the distributed join.
+        // Identical hazard value either way, so plan routing does not
+        // depend on which side computed it.
+        val cellCap = 50000
+        val local = cellCnt.limit(cellCap + 1).collect()
+        val hazard: Double =
+          if (local.length <= cellCap) {
+            val cnt = new java.util.HashMap[java.lang.Long, java.lang.Double](
+              local.length * 2)
+            local.foreach(r => cnt.put(r.getLong(0), r.getLong(1).toDouble))
+            var h = 0.0
+            local.foreach { r =>
+              val na = r.getLong(1).toDouble
+              val ring = CellIndex.ring(r.getLong(0), 3)
+              var i = 0
+              while (i < ring.length) {
+                val nb = cnt.get(ring(i))
+                if (nb != null) h += na * nb.doubleValue()
+                i += 1
+              }
+            }
+            h
+          } else cellCnt
+            .select(explode(cells.ringCells(col("__gc"), 3)).as("__gc2"),
+              col("__dn0").cast("double").as("__na"))
+            .join(cellCnt.select(col("__gc").as("__gc2"),
+              col("__dn0").cast("double").as("__nb")), "__gc2")
+            .agg(coalesce(sum(col("__na") * col("__nb")), lit(0.0)).as("__h"))
+            .first().getDouble(0)
         if (dbg) println(s"[dbscan] dispatch hazard=$hazard budget=$pairwiseBudget")
         if (hazard <= pairwiseBudget.toDouble)
           // finally releases cellCnt; the member-pair plan re-derives

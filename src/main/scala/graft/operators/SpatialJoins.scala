@@ -820,23 +820,39 @@ object SpatialJoins {
     * ringsIntersect per segment pair).
     *
     * Scale shape: each side splits into corridor pieces of at most
-    * `pieceMeters` arc (cells.corridorPieces), covers each piece's
-    * circumdisc at ONE shared level sized from the piece angle
-    * (corridorJoin's ~96-cells-per-disc rule), and candidates are the
-    * cell EQUI-join of the two covers — a crossing point lies on a
-    * piece of each side, hence within maxPiece/2 of both piece
-    * midpoints, so its cell keys both covers. The fan-out rows are
-    * SLIM — (id, segment index, cell) only; segment endpoints rejoin
-    * per deduped candidate — so the cover sort/shuffle volume is the
-    * cell count, not cells x endpoint payload. The exact predicate
-    * runs on the ORIGINAL segment endpoints (pieces only add the
-    * cover midpoint), so piece granularity moves cost, never
-    * correctness; duplicate cell hits collapse at the (aId, aSeg,
-    * bId, bSeg) grain before the kernel runs, the final distinct at
-    * (aId, bId) — both bounded by candidate pairs, not the id cross
-    * product. No driver-side values at all — the level is computed
-    * from the constant piece angle, so either side empty just yields
-    * the typed empty result through the ordinary join.
+    * `pieceMeters` arc (cells.corridorPieces) and candidates come
+    * from an ASYMMETRIC cap-vs-cell equi-join (the corridorJoin
+    * pattern, made exactly-once): a crossing point lies on a piece
+    * of each side, hence within maxPiece/2 of BOTH piece midpoints,
+    * so the two midpoints sit within maxPiece of each other — the A
+    * side covers each piece midpoint's cap of radius maxPiece (~96
+    * cells at the level the sizing rule picks for that disc), the B
+    * side emits ONE row per piece: its midpoint's own cell at the
+    * same level. The B cell's safe lower-bound distance to the A
+    * midpoint is <= the midpoint distance <= maxPiece, so it is in
+    * the A cap cover — candidates are complete; and since a cap
+    * cover's cells are distinct while B contributes a single cell,
+    * each (A piece, B piece) pair joins AT MOST ONCE — no cell-grain
+    * duplicate hits at all (the symmetric two-sided cover this
+    * replaces multiplied every pair by its shared-cell count), and
+    * the B-side fan-out is one slim row per piece instead of ~96.
+    * The fan-out rows are SLIM — (id, segment index, cell) only;
+    * segment endpoints rejoin per candidate — so the cover
+    * sort/shuffle volume is the cell count, not cells x endpoint
+    * payload. The exact predicate runs on the ORIGINAL segment
+    * endpoints (pieces only add the cover midpoint), so piece
+    * granularity moves cost, never correctness; piece multiplicity
+    * collapses at the (aId, aSeg, bId, bSeg) grain before the kernel
+    * runs, the final distinct at (aId, bId) — both bounded by
+    * candidate pairs, not the id cross product. No driver-side
+    * values at all — the level is computed from the constant piece
+    * angle, so either side empty just yields the typed empty result
+    * through the ordinary join.
+    *
+    * `orderedPairs = true` (for SELF joins where only a < b pairs are
+    * wanted) applies `aIdCol < bIdCol` at the candidate grain —
+    * before the dedups and the kernel — halving the downstream work;
+    * the result is exactly the symmetric result filtered to a < b.
     *
     * Contract: a fully DEGENERATE polyline (every vertex coincident)
     * spans no arc and never matches — its point piece fails the
@@ -848,15 +864,17 @@ object SpatialJoins {
   def routeIntersectJoin(aRoutes: DataFrame, aIdCol: String, aVertsCol: String,
                          bRoutes: DataFrame, bIdCol: String, bVertsCol: String,
                          pieceMeters: Double = 250e3,
-                         radius: Double = MeanEarthRadius): DataFrame = {
+                         radius: Double = MeanEarthRadius,
+                         orderedPairs: Boolean = false): DataFrame = {
     require(pieceMeters > 0.0, s"pieceMeters must be > 0 (got $pieceMeters)")
     val maxPiece = math.min(math.Pi, pieceMeters / radius)
-    // 1e-9 relative slack absorbs the slerp midpoint's rounding so a
-    // crossing point at exactly maxPiece/2 of the computed midpoint
-    // still lands inside the cap
-    val coverAngle = (maxPiece / 2.0) * (1.0 + 1e-9)
+    // 1e-9 relative slack absorbs the slerp midpoints' rounding (both
+    // sides') so two pieces crossing with midpoints at exactly
+    // maxPiece apart still key the same cell/cap
+    val coverAngle = math.min(math.Pi, maxPiece * (1.0 + 1e-9))
     // same sizing rule as corridorJoin / the AOI covers: ~96 cells
-    // per piece disc
+    // per A-side cap disc (radius maxPiece, one level coarser than
+    // the old half-angle symmetric cover)
     val level = {
       val discArea = 2.0 * math.Pi * (1.0 - math.cos(math.max(coverAngle, 1e-6)))
       val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
@@ -867,32 +885,42 @@ object SpatialJoins {
     // the cell fan-out carries ONLY (id, segment index, cell) — the
     // six endpoint doubles would triple the sorted/shuffled cover
     // volume (an 800k-route probe OOMed the cover sort at the default
-    // 8g with endpoints riding the explode); candidates dedup at the
-    // slim (aId, aSeg, bId, bSeg) grain so the crossing kernel runs
-    // once per segment pair, then endpoints rejoin by (id, seg). The
-    // predicate stays ONE JITed kernel call over flat doubles — the
-    // corridorJoin NestedColumnAliasing note applies verbatim
-    def keyed(df: DataFrame, idCol: String, vertsCol: String, tag: String) = {
-      val pieces = df.select(col(idCol),
-        explode(cells.corridorPieces(col(vertsCol), maxPiece)).as("__p"))
-      val cover = pieces.select(col(idCol),
-        pc(1).cast("int").as(s"__${tag}seg"),
+    // 8g with endpoints riding the explode); candidates collapse at
+    // the slim (aId, aSeg, bId, bSeg) grain so the crossing kernel
+    // runs once per segment pair, then endpoints rejoin by (id, seg).
+    // The predicate stays ONE JITed kernel call over flat doubles —
+    // the corridorJoin NestedColumnAliasing note applies verbatim.
+    //
+    // Endpoints come from a ONE-piece-per-segment corridorPieces pass
+    // (maxPieceRad = pi): same per-segment emission rule and the same
+    // degenerate-polyline fallback as the subdividing pass, so the
+    // joined (id, seg) keys and endpoint doubles are identical — and
+    // being one row per segment, it needs no dropDuplicates and does
+    // not re-run the subdividing explode (the old plan executed it
+    // twice per side).
+    def segsOf(df: DataFrame, idCol: String, vertsCol: String, tag: String) =
+      df.select(col(idCol),
+        explode(cells.corridorPieces(col(vertsCol), math.Pi)).as("__p"))
+        .select(col(idCol),
+          pc(1).cast("int").as(s"__${tag}seg"),
+          pc(2).as(s"__${tag}ax"), pc(3).as(s"__${tag}ay"), pc(4).as(s"__${tag}az"),
+          pc(5).as(s"__${tag}bx"), pc(6).as(s"__${tag}by"), pc(7).as(s"__${tag}bz"))
+    val coverA = aRoutes.select(col(aIdCol),
+        explode(cells.corridorPieces(col(aVertsCol), maxPiece)).as("__p"))
+      .select(col(aIdCol), pc(1).cast("int").as("__aseg"),
         explode(cells.capCells(geo.vec(pc(8), pc(9), pc(10)), level, coverAngle))
           .as("__cell"))
-      val segs = pieces.select(col(idCol),
-        pc(1).cast("int").as(s"__${tag}seg"),
-        pc(2).as(s"__${tag}ax"), pc(3).as(s"__${tag}ay"), pc(4).as(s"__${tag}az"),
-        pc(5).as(s"__${tag}bx"), pc(6).as(s"__${tag}by"), pc(7).as(s"__${tag}bz"))
-        .dropDuplicates(idCol, s"__${tag}seg")
-      (cover, segs)
-    }
-    val (coverA, segsA) = keyed(aRoutes, aIdCol, aVertsCol, "a")
-    val (coverB, segsB) = keyed(bRoutes, bIdCol, bVertsCol, "b")
-    coverA.join(coverB, "__cell")
+    val keyB = bRoutes.select(col(bIdCol),
+        explode(cells.corridorPieces(col(bVertsCol), maxPiece)).as("__p"))
+      .select(col(bIdCol), pc(1).cast("int").as("__bseg"),
+        cells.cellAt(geo.vec(pc(8), pc(9), pc(10)), level).as("__cell"))
+    val cand0 = coverA.join(keyB, "__cell")
+    val cand = if (orderedPairs) cand0.filter(col(aIdCol) < col(bIdCol)) else cand0
+    cand
       .select(col(aIdCol), col("__aseg"), col(bIdCol), col("__bseg"))
       .dropDuplicates(aIdCol, "__aseg", bIdCol, "__bseg")
-      .join(segsA, Seq(aIdCol, "__aseg"))
-      .join(segsB, Seq(bIdCol, "__bseg"))
+      .join(segsOf(aRoutes, aIdCol, aVertsCol, "a"), Seq(aIdCol, "__aseg"))
+      .join(segsOf(bRoutes, bIdCol, bVertsCol, "b"), Seq(bIdCol, "__bseg"))
       .filter(cells.segsCross(
         geo.vec(col("__aax"), col("__aay"), col("__aaz")),
         geo.vec(col("__abx"), col("__aby"), col("__abz")),
@@ -1228,8 +1256,8 @@ object SpatialJoins {
                       componentCol: String = "component"): DataFrame = {
     val a = polys.select(col(polyIdCol).as("__pa"), col(ringsCol).as("__ra"))
     val b = polys.select(col(polyIdCol).as("__pb"), col(ringsCol).as("__rb"))
-    val edges = polygonIntersectJoin(a, "__pa", "__ra", b, "__pb", "__rb")
-      .filter(col("__pa") < col("__pb"))
+    val edges = polygonIntersectJoin(a, "__pa", "__ra", b, "__pb", "__rb",
+      orderedPairs = true)
     val comp = Dedup.connectedComponents(edges, "__pa", "__pb")
     polys.filter(col(ringsCol).isNotNull)
       .select(col(polyIdCol))
@@ -1263,7 +1291,8 @@ object SpatialJoins {
     */
   def polygonIntersectJoin(aPolys: DataFrame, aIdCol: String, aRingsCol: String,
                            bPolys: DataFrame, bIdCol: String,
-                           bRingsCol: String): DataFrame = {
+                           bRingsCol: String,
+                           orderedPairs: Boolean = false): DataFrame = {
     def lv(df: DataFrame, rings: String): Array[Int] = df
       .select(explode(cells.ringCoverLevels(col(rings), 0.0)).as("__l"))
       .distinct().collect().map(_.getInt(0)).sorted
@@ -1293,8 +1322,14 @@ object SpatialJoins {
       cover.select(col(idCol), explode(array(targets: _*)).as("__key"))
         .filter(col("__key").isNotNull)
     }
-    keyed(aPolys, aIdCol, aRingsCol, levelsA, levelsB)
+    // orderedPairs (self joins wanting only a < b): the id filter
+    // lands at the candidate grain — before the pair dedup, the ring
+    // rejoin and the kernel — halving the downstream work; the result
+    // is exactly the symmetric result filtered to a < b.
+    val cand0 = keyed(aPolys, aIdCol, aRingsCol, levelsA, levelsB)
       .join(keyed(bPolys, bIdCol, bRingsCol, levelsB, levelsA), "__key")
+    val cand = if (orderedPairs) cand0.filter(col(aIdCol) < col(bIdCol)) else cand0
+    cand
       .dropDuplicates(aIdCol, bIdCol)
       .join(aPolys.select(col(aIdCol), col(aRingsCol)), aIdCol)
       .join(bPolys.select(col(bIdCol), col(bRingsCol)), bIdCol)

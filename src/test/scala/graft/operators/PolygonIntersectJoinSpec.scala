@@ -145,4 +145,27 @@ class PolygonIntersectJoinSpec extends AnyFunSuite {
     assert(got == want,
       s"missing=${(want -- got).take(6)} extra=${(got -- want).take(6)}")
   }
+
+  test("orderedPairs self-join equals the symmetric result filtered to a < b") {
+    def h(i: Long, s: Long) = ((i * 2654435761L + s) % 2000001L) / 1000000.0 - 1.0
+    val rows = (0 until 40).map { i =>
+      val la = 55.0 * h(5000 + i, 1)
+      val lo = 160.0 * h(5000 + i, 2)
+      val dla = 0.3 + 6.0 * math.abs(h(5000 + i, 3))
+      val dlo = 0.3 + 6.0 * math.abs(h(5000 + i, 4))
+      (s"q$i", flatRings(Seq(box(la - dla, lo - dlo, la + dla, lo + dlo))))
+    }
+    val a = rows.toDF("a_id", "a_rings")
+    val b = rows.toDF("b_id", "b_rings")
+    val sym = SpatialJoins.polygonIntersectJoin(a, "a_id", "a_rings",
+        b, "b_id", "b_rings")
+      .filter(col("a_id") < col("b_id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val ord = SpatialJoins.polygonIntersectJoin(a, "a_id", "a_rings",
+        b, "b_id", "b_rings", orderedPairs = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ord.forall { case (x, y) => x < y })
+    assert(sym.nonEmpty && ord == sym,
+      s"missing=${(sym -- ord).take(6)} extra=${(ord -- sym).take(6)}")
+  }
 }

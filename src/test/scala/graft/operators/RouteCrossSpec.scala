@@ -93,6 +93,19 @@ class RouteCrossSpec extends AnyFunSuite {
     }
   }
 
+  test("orderedPairs self-join equals the symmetric result filtered to a < b") {
+    val rs = routes(40)
+    val expected = bruteCrossPairs(rs)
+    val df = rs.map { case (k, vs) => (k, flatVerts(vs)) }.toDF("r_id", "verts")
+    val dfB = df.select(col("r_id").as("b_id"), col("verts").as("b_verts"))
+    val got = SpatialJoins.routeIntersectJoin(df, "r_id", "verts",
+        dfB, "b_id", "b_verts", pieceMeters = 500e3, orderedPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a < b })
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("either side empty yields the typed empty result") {
     val rs = routes(3)
     val df = rs.map { case (k, vs) => (k, flatVerts(vs)) }.toDF("r_id", "verts")

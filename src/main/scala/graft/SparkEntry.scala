@@ -666,7 +666,7 @@ object SparkEntry {
     * sf0.001, ~100k at sf0.1) while keeping the oracle's all-pairs
     * sweep ~10 s at sf0.1.
     */
-  private def routeTableDense(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def routeTableDense(s: SparkSession, dir: String): DataFrame = {
     val d2r = math.Pi / 180.0
     val a0 = custPts(s, dir).filter(col("c_custkey") % 5 === 0)
       .withColumn("__clat", col("lat") * 0.7)

@@ -492,6 +492,12 @@ object Clustering {
     val left = ids.select(col(idCol).as("__a"), col(nvecCol).as("__an"))
     val right = ids.select(col(idCol).as("__b"), col(nvecCol).as("__bn"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dbg = java.lang.Boolean.getBoolean("graft.dbscan.debug") ||
+      sys.env.get("GRAFT_DBSCAN_DEBUG").contains("1")
+    def tick(tag: String, df: DataFrame): Unit = if (dbg) {
+      val t0 = System.nanoTime(); val n = df.count()
+      println(f"[dbscan-pw] $tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
     val pairs = SpatialJoins
       .distanceJoin(left, right, "__an", "__bn", epsMeters, sphereRadius,
         skewSalt = skewSalt)
@@ -499,17 +505,21 @@ object Clustering {
       .select("__a", "__b")
       .repartition(col("__a"))
       .persist(lvl)
+    tick("pairs", pairs)
     val cores =
       if (minPts <= 1) ids.select(col(idCol).as("__core"))
       else pairs.groupBy("__a").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") + 1 >= minPts)
         .select(col("__a").as("__core"))
     try {
+      tick("cores", cores)
       val coreEdges = pairs
         .join(cores.withColumnRenamed("__core", "__a"), "__a")
         .join(cores.withColumnRenamed("__core", "__b"), "__b")
         .filter(col("__a") < col("__b"))
+      val tC0 = System.nanoTime()
       val comp = Dedup.connectedComponents(coreEdges, "__a", "__b")
+      if (dbg) println(f"[dbscan-pw] components sec=${(System.nanoTime() - tC0) / 1e9}%.1f")
       val coreLabel = cores
         .join(comp.withColumnRenamed("node", "__core"), Seq("__core"), "left")
         .select(col("__core"),
@@ -527,6 +537,7 @@ object Clustering {
             .when(col("__nbrCluster").isNotNull, "border")
             .otherwise("noise").as("kind"))
         .persist(lvl)
+      tick("out", out)
       out.count()
       comp.unpersist(blocking = false)
       out

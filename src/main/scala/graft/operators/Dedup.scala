@@ -330,7 +330,11 @@ object Dedup {
     * never a stats guess. The local pass costs the driver ~150 B per
     * symmetrized edge transiently (collected rows + union-find maps +
     * the output array), so the default threshold keeps it under
-    * ~100 MB; raise it only with driver memory to match. Rows with a
+    * ~300 MB — sized for ordinary production driver heaps (8 GB+),
+    * and several distributed rounds of 3 jobs each cost more wall
+    * than collecting 2M narrow edges (measured: the 15k-point dbscan
+    * gate's ~900k-edge core graph spent 1.1-2.7 s in pointer-doubling
+    * rounds vs ~0.3 s local). Lower it on memory-tight drivers. Rows with a
     * null id on either side never crash either path: a null id is
     * not a node, and the non-null side of a half-null pair still
     * comes out as an isolated component.
@@ -353,37 +357,45 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50,
-                          localEdgeThreshold: Long = 500000L): DataFrame = {
+                          localEdgeThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // a null id is not a node: drop null-src rows up front (the
     // symmetrized union still registers the non-null side of a
     // half-null pair as an isolated node via its mirror row)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edgesRaw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .filter(col("src").isNotNull)
-      .distinct()
       .persist(lvl)
     val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    retired += edgesRaw
     try {
-      // Exact-count guard for a LOCAL fast path: the count only
-      // materializes the persisted edge cache that round 1 of the
-      // distributed loop reads anyway — not an extra scan. Near-dup
-      // pair lists are orders of magnitude smaller than the corpus
-      // (they are the violations, not the data), so in the common
-      // case the whole component resolution is one collect + one
-      // driver union-find instead of log(diameter) rounds of 3 jobs
-      // each. Integral ids only (Spark's min over strings is binary
-      // UTF-8 order, which java.lang.String ordering does not match
-      // for non-BMP text — those stay on the distributed path).
-      val edgeCount = edges.count()
+      // Exact-count guard for a LOCAL fast path, taken on the RAW
+      // symmetrized count — BEFORE the distinct, so the fast path
+      // costs one pass over the pair list plus a collect and never
+      // shuffles at all (the distinct only helps the distributed
+      // rounds; duplicate edges are idempotent no-ops to union-find,
+      // and localComponents' one-direction filter dedups orientation
+      // anyway). Raw >= distinct, so the guard is conservative: a
+      // heavily-duplicated list just past the threshold runs
+      // distributed, which is a cost choice, not a correctness one.
+      // Near-dup pair lists are orders of magnitude smaller than the
+      // corpus (they are the violations, not the data), so in the
+      // common case the whole component resolution is one collect +
+      // one driver union-find instead of log(diameter) rounds of 3
+      // jobs each. Integral ids only (Spark's min over strings is
+      // binary UTF-8 order, which java.lang.String ordering does not
+      // match for non-BMP text — those stay on the distributed path).
+      val rawCount = edgesRaw.count()
       val integralIds = {
         import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
-        Seq(edges.schema("src").dataType, edges.schema("dst").dataType)
+        Seq(edgesRaw.schema("src").dataType, edgesRaw.schema("dst").dataType)
           .forall(t => t == LongType || t == IntegerType || t == ShortType)
       }
-      if (integralIds && edgeCount <= localEdgeThreshold)
-        return localComponents(edges, edgeCount)
+      if (integralIds && rawCount <= localEdgeThreshold)
+        return localComponents(edgesRaw, rawCount)
+      val edges = edgesRaw.distinct().persist(lvl)
+      retired += edges
       var labels = edges.groupBy(col("src").as("node"))
         .agg(min("dst").as("__nmin"))
         .select(col("node"), least(col("node"), col("__nmin")).as("label"))
@@ -445,10 +457,7 @@ object Dedup {
         .persist(lvl)
       out.count() // materialize before the finally releases parents
       out
-    } finally {
-      edges.unpersist(blocking = false)
-      retired.foreach(_.unpersist(blocking = false))
-    }
+    } finally retired.foreach(_.unpersist(blocking = false))
   }
 
   /** Rounds the last DISTRIBUTED [[connectedComponents]] run took

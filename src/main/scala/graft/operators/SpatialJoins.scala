@@ -131,51 +131,67 @@ object SpatialJoins {
     val angle = radiusMeters / sphereRadius
     require(radiusMeters >= 0 && angle <= math.Pi,
       s"radiusMeters=$radiusMeters out of range for sphereRadius=$sphereRadius")
-    // Among the provably-covering (level, ring k) plans, take the one
-    // with the smallest BLOCK FRACTION (2k+1)^2 / 4^level — that is
-    // the expected candidate volume per (probe, build) pair under
-    // any roughly uniform density. Wider rings reach FINER levels
-    // (e.g. 600 km: k=1 only proves level 2 -> 9/16 of a face per
-    // probe, while k=3 proves level 4 -> 49/256, a ~3x candidate
-    // reduction measured at sf0.1); ties break toward smaller k
-    // (fewer exploded probe rows).
-    val plan = (1 to 4).flatMap { k =>
+    // Two provably-complete cover families compete on the BLOCK
+    // FRACTION metric (expected candidate volume per (probe, build)
+    // pair under roughly uniform density, as a fraction of a face):
+    //
+    //  - ring plans (level, k): probe explodes its cell's (2k+1)^2
+    //    Chebyshev block, level the finest levelForRadiusSafe proves
+    //    against worst-case gnomonic compression. Fraction
+    //    (2k+1)^2 / 4^level. Cheap per probe row (fixed explode, one
+    //    ring kernel), but face-corner distortion forces COARSE
+    //    provable levels: 600 km proves only k=3/level 4 = 49/256 of
+    //    a face per probe.
+    //  - the per-row quadtree DISC COVER: probe explodes the cells
+    //    whose safe lower-bound distance is within the radius
+    //    (cells.capCells — complete at ANY radius, not just beyond
+    //    the ring family's ~0.26 rad ceiling), at a level sized so a
+    //    cap covers ~48 cells. Fraction ~ (cap area + boundary slop)
+    //    / cell area / 4^level — for radii whose provable ring level
+    //    is far coarser than the radius-matched level this is many
+    //    times tighter (600 km: ~0.03 vs 0.19, measured 2.5 s -> 0.6 s
+    //    on the 15k-point sf0.1 dbscan pair join).
+    //
+    // The cap cover pays a quadtree descent per probe row and a
+    // larger explode factor, so it must win the fraction metric by
+    // 2x before it is chosen; both plans produce each (probe, build)
+    // pair at most once (distinct cover cells vs single build cell),
+    // and the exact distance filter decides membership either way —
+    // the choice moves only cost. Only when the cap spans most of
+    // the sphere — where matching pairs are a constant fraction of
+    // |L| x |R| and the OUTPUT is quadratic — does the
+    // exact-filtered cross join remain.
+    val ringPlan = (1 to 4).flatMap { k =>
         val l = CellIndex.levelForRadiusSafe(angle, k)
         if (l >= 0) Some((l, k)) else None
       }
       .sortBy { case (l, k) =>
         ((2.0 * k + 1) * (2.0 * k + 1) / math.pow(4.0, l), k) }
       .headOption
-    if (plan.isEmpty) {
-      // beyond any provable ring block (~0.26 rad): per-row quadtree
-      // disc covers at a coarse level keep pruning — every right row
-      // within `angle` of a query lies in a cell whose lower-bound
-      // distance is <= angle, so the cover is provably complete.
-      // Level sized so a cap covers ~<=48 cells (plus boundary).
-      // Only when the cap spans most of the sphere — where matching
-      // pairs are a constant fraction of |L| x |R| and the OUTPUT is
-      // quadratic — does the exact-filtered cross join remain.
-      val capFrac = (1.0 - math.cos(angle)) / 2.0
-      if (capFrac <= 0.7) {
-        val lvl = math.max(1, math.min(6,
-          (math.log(8.0 / capFrac) / math.log(4.0)).floor.toInt))
-        val probes = left.withColumn("__cell",
-          explode(cells.capCells(col(leftNvec), lvl, angle)))
-        val build1 = right.withColumn("__cell", cells.cellAt(col(rightNvec), lvl))
-        val build = if (broadcastRight) broadcast(build1) else build1
-        return probes.join(build, "__cell")
-          .withColumn(distCol, geo.gcDistance(col(leftNvec), col(rightNvec), sphereRadius))
-          .filter(col(distCol) <= radiusMeters)
-          .drop("__cell")
-      }
+    val capFrac = (1.0 - math.cos(angle)) / 2.0
+    val capPlan: Option[Int] =
+      if (capFrac > 0.7 || capFrac <= 0.0) None
+      else Some(math.max(1, math.min(CellIndex.MaxLevel,
+        (math.log(8.0 / capFrac) / math.log(4.0)).floor.toInt)))
+    def capBlockFrac(lvl: Int): Double = {
+      // expected cap cells = area term + perimeter/corner slop
+      val areaCells = capFrac * 6.0 * math.pow(4.0, lvl)
+      (areaCells + 4.0 * math.sqrt(areaCells) + 4.0) / math.pow(4.0, lvl)
+    }
+    val useCap = capPlan.isDefined && (ringPlan.isEmpty ||
+      capBlockFrac(capPlan.get) * 2.0 <
+        { val (l, k) = ringPlan.get; (2.0 * k + 1) * (2.0 * k + 1) / math.pow(4.0, l) })
+    if (ringPlan.isEmpty && capPlan.isEmpty) {
       val b = if (broadcastRight) broadcast(right) else right
       return left.crossJoin(b)
         .withColumn(distCol, geo.gcDistance(col(leftNvec), col(rightNvec), sphereRadius))
         .filter(col(distCol) <= radiusMeters)
     }
-    val (level, ringK) = plan.get
-    val probesAll = left.withColumn("__cell",
-      explode(cells.ringCells(cells.cellAt(col(leftNvec), level), ringK)))
+    val level = if (useCap) capPlan.get else ringPlan.get._1
+    def coverOf(n: Column): Column =
+      if (useCap) cells.capCells(n, level, angle)
+      else cells.ringCells(cells.cellAt(n, level), ringPlan.get._2)
+    val probesAll = left.withColumn("__cell", explode(coverOf(col(leftNvec))))
     val build0 = right.withColumn("__cell", cells.cellAt(col(rightNvec), level))
     val probes0 =
       if (!probeSideBloom) probesAll
@@ -215,8 +231,7 @@ object SpatialJoins {
           sampleCellFraction, 1000.0 / math.max(1.0, hotCellThreshold.toDouble)))
         val sampleCut = math.max(2L, (hotCellThreshold * frac / 2.0).toLong)
         val hot = left.sample(withReplacement = false, frac, seed = 42L)
-          .select(explode(cells.ringCells(cells.cellAt(col(leftNvec), level), ringK))
-            .as("__cell"))
+          .select(explode(coverOf(col(leftNvec))).as("__cell"))
           .groupBy("__cell").count()
           .filter(col("count") >= sampleCut)
           .collect().map(_.getLong(0))
@@ -872,12 +887,22 @@ object SpatialJoins {
     // sides') so two pieces crossing with midpoints at exactly
     // maxPiece apart still key the same cell/cap
     val coverAngle = math.min(math.Pi, maxPiece * (1.0 + 1e-9))
-    // same sizing rule as corridorJoin / the AOI covers: ~96 cells
-    // per A-side cap disc (radius maxPiece, one level coarser than
-    // the old half-angle symmetric cover)
+    // corridorJoin's sizing formula but targeting ~8 cells per A-side
+    // cap disc, NOT ~96: the 96 rule suits point-probe joins, where
+    // the probe side is huge (one cell per point) and every false
+    // candidate pays a kernel call on a wide payload row — fine cells
+    // are worth their cover volume there. Here BOTH sides are piece
+    // grain, false candidates are slim 4-column id rows collapsed
+    // before the kernel, and the cover explode dominates the cost:
+    // measured on the 3k-route sf0.1 gate, level 7 (the 96 rule) =
+    // 7.2M cover rows / 1.36M candidates, level 5 (this rule) = 0.64M
+    // cover rows / 1.98M candidates — the coarser cover more than
+    // halves the join's total row volume. Both levels are exact; the
+    // level moves only cost (candidate slop scales with the same
+    // piece density as the true pairs, so the ratio holds at scale).
     val level = {
       val discArea = 2.0 * math.Pi * (1.0 - math.cos(math.max(coverAngle, 1e-6)))
-      val l = (0.5 * (math.log(96.0 * 4.0 * math.Pi / (6.0 * discArea)) /
+      val l = (0.5 * (math.log(8.0 * 4.0 * math.Pi / (6.0 * discArea)) /
         math.log(2.0))).ceil.toInt
       math.max(2, math.min(CellIndex.MaxLevel, l))
     }

@@ -611,7 +611,7 @@ object SparkEntry {
     * computing 2048 md5 shingles per row in that one task serializes
     * the whole query on one core.
     */
-  private def tSpread(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def tSpread(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(s, dir, name)
     val want = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df

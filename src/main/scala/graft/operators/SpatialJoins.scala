@@ -1160,6 +1160,7 @@ object SpatialJoins {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def keep(df: DataFrame): DataFrame = { retired += df.persist(lvl); df }
+    val dbg = sys.env.get("GRAFT_LADDER_DEBUG").contains("1")
     try {
       var starved = keep(points.select(col(pointId), col(pointNvec)))
       // round 1 always runs (it also types the empty-input result)
@@ -1167,6 +1168,7 @@ object SpatialJoins {
       val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
       var b = startMeters
       while (more) {
+        val tR0 = System.nanoTime()
         val lastRound = b >= maxMeters
         val cand = polygonBufferJoin(starved, pointNvec, pointId,
           polys, polyIdCol, ringsCol, math.min(b, maxMeters), radius, "__sd")
@@ -1184,6 +1186,8 @@ object SpatialJoins {
           more = starved.count() > 0L
           b = b * 4.0
         }
+        if (dbg) println(f"[ladder-poly] b=${math.min(b, maxMeters)}%.0f " +
+          f"sec=${(System.nanoTime() - tR0) / 1e9}%.1f")
       }
       val out = rounds.reduceLeft(_ unionByName _)
         .persist(lvl)
@@ -1227,12 +1231,14 @@ object SpatialJoins {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val retired = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def keep(df: DataFrame): DataFrame = { retired += df.persist(lvl); df }
+    val dbg = sys.env.get("GRAFT_LADDER_DEBUG").contains("1")
     try {
       var starved = keep(points.select(col(pointId), col(pointNvec)))
       var more = true
       val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
       var b = startMeters
       while (more) {
+        val tR0 = System.nanoTime()
         val lastRound = b >= maxMeters
         val cand = corridorJoin(starved, pointNvec, pointId,
           routes, routeIdCol, vertsCol, math.min(b, maxMeters), radius,
@@ -1250,6 +1256,8 @@ object SpatialJoins {
           more = starved.count() > 0L
           b = b * 4.0
         }
+        if (dbg) println(f"[ladder-route] b=${math.min(b, maxMeters)}%.0f " +
+          f"sec=${(System.nanoTime() - tR0) / 1e9}%.1f")
       }
       val out = rounds.reduceLeft(_ unionByName _)
         .persist(lvl)

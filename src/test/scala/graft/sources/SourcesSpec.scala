@@ -7,6 +7,29 @@ import graft.SparkTestSession
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("jpeg fast-raster decode equals the per-pixel getRGB reference") {
+    // ordinals 7 mod 8 are JPG rows; compare ImageTable.decode (bulk
+    // BGR raster copy + identity memo) against an inline per-pixel
+    // getRGB decode of the same payload
+    for (ord <- Seq(7L, 15L, 1023L, 4095L)) {
+      val r = ImageTable.rowOf(ord)
+      assert(r.fmt == "JPG")
+      val got = ImageTable.decode(r.bytes, r.w, r.h, r.fmt)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      val want = new Array[Byte](r.w * r.h * 3)
+      for (y <- 0 until r.h; x <- 0 until r.w) {
+        val rgb = img.getRGB(x, y)
+        val p = (y * r.w + x) * 3
+        want(p) = ((rgb >> 16) & 0xff).toByte
+        want(p + 1) = ((rgb >> 8) & 0xff).toByte
+        want(p + 2) = (rgb & 0xff).toByte
+      }
+      assert(java.util.Arrays.equals(got, want), s"decode mismatch at ordinal $ord")
+      // the identity memo must return the same pixels again
+      assert(java.util.Arrays.equals(ImageTable.decode(r.bytes, r.w, r.h, r.fmt), want))
+    }
+  }
+
   test("image table is deterministic and verifiable per-row") {
     val df = ImageTable.generate(spark, 200, 4).cache()
     assert(df.count() == 200)

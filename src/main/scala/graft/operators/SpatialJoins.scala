@@ -873,7 +873,13 @@ object SpatialJoins {
     * spans no arc and never matches — its point piece fails the
     * crossing predicate by the degenerate-edge rule; route tables
     * with point rows should pre-filter or route them through
-    * [[corridorJoin]] with a radius instead. Column names of the two
+    * [[corridorJoin]] with a radius instead. Segments whose endpoints
+    * are (near-)ANTIPODAL (within ~1e-12 of pi apart) are likewise a
+    * caller bug, the same domain as segDistRad: no unique great
+    * circle exists, corridorPieces' linear-blend/perpendicular
+    * midpoint fallback can sit far from the piece, and the
+    * maxPiece/2 cover-completeness proof does not hold for them —
+    * pre-split such segments before joining. Column names of the two
     * sides must be disjoint.
     */
   def routeIntersectJoin(aRoutes: DataFrame, aIdCol: String, aVertsCol: String,
@@ -1454,7 +1460,12 @@ object SpatialJoins {
     * least one valid fix gets a row — zero dwell included — plus the
     * inside-fix count so downstream can tell "never entered" from
     * "entered between samples". Null time / null position rows drop
-    * by the track-operator contract. `timeCol` must be NUMERIC and
+    * by the track-operator contract — note the consequence: the
+    * interval preceding a dropped fix merges into the PRIOR valid
+    * fix's interval and inherits that fix's inside/outside state, so
+    * dwell silently stretches across sensor-gap rows; pre-filter or
+    * re-segment tracks if gap rows must not attribute time.
+    * `timeCol` must be NUMERIC and
     * unique within a track (duplicate stamps make which tied fix
     * anchors the next interval order-dependent).
     *

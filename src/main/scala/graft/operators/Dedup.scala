@@ -294,18 +294,33 @@ object Dedup {
       .select(col("__rep").as("id_a"), col("__id").as("id_b"),
         lit(0).as("hamming"))
     val reps = tagged.filter(col("__id") === col("__rep")).select("__id", "__fp")
-    // band key = segment index in the bits above the segment value
-    val banded = reps.select(col("__id"),
+    // band key = segment index in the bits above the segment value.
+    // Unlike the id-only bandPairs path (right for WIDE payloads like
+    // embedding vectors), the 8-byte fingerprint RIDES the band
+    // explode: the hamming filter then runs inside the bucket
+    // self-join and the two post-distinct fingerprint re-attach
+    // joins (two exchanges of the rep set) disappear — metadata
+    // travels, payloads would not (guide: shuffle keys and metadata,
+    // not payloads; an 8-byte long IS the metadata here). The pair
+    // set is identical: hamming is a pure function of the carried
+    // fingerprints, the per-band-collision filter commutes with the
+    // final (id_a, id_b) distinct, and capBuckets orders by id
+    // exactly as before.
+    val banded = reps.select(col("__id"), col("__fp"),
       explode(array((0 until nBands).map { b =>
         lit(b.toLong << width).bitwiseOR(
           shiftrightunsigned(col("__fp"), b * width).bitwiseAND(lit(mask)))
       }: _*)).as("__band"))
-    val pairs = Similarity.bandPairs(banded, "__id", maxBucket)
-      .join(reps.select(col("__id").as("id_a"), col("__fp").as("__fp_a")), "id_a")
-      .join(reps.select(col("__id").as("id_b"), col("__fp").as("__fp_b")), "id_b")
+    val capped = Similarity.capBuckets(banded, "__id", maxBucket)
+    val pairs = capped
+      .select(col("__band"), col("__id").as("id_a"), col("__fp").as("__fp_a"))
+      .join(capped.select(col("__band"), col("__id").as("id_b"),
+        col("__fp").as("__fp_b")), "__band")
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hamming(col("__fp_a"), col("__fp_b")).cast("int"))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+      .distinct()
     pairs.unionByName(starPairs)
   }
 

@@ -56,6 +56,18 @@ object ImageTable {
     */
   def pixelsOf(ordinal: Long, w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h * 3)
+    pixelsInto(ordinal, w, h, out)
+    out
+  }
+
+  /** [[pixelsOf]] into a caller-owned buffer (>= w*h*3 bytes) — lets
+    * the verification hot path reuse one per-thread scratch array
+    * instead of allocating ~7 KB per row (at 16+ cores the verify
+    * stage is allocation-rate-bound, not compute-bound: the young-gen
+    * churn of per-row reference buffers was the scaling limiter after
+    * the trig hoist). Same arithmetic, same bytes.
+    */
+  def pixelsInto(ordinal: Long, w: Int, h: Int, out: Array[Byte]): Unit = {
     val fx = 1.0 + (lane(ordinal, 3) & 0x3).toInt * 0.5
     val fy = 1.0 + (lane(ordinal, 4) & 0x3).toInt * 0.5
     val ph = uniform(ordinal, 5) * math.Pi * 2
@@ -85,7 +97,6 @@ object ImageTable {
       }
       y += 1
     }
-    out
   }
 
   def captionOf(ordinal: Long): String = {
@@ -244,9 +255,24 @@ object ImageTable {
 
   // -- static verification kernels (StaticInvoke-friendly) -----------
 
+  // per-thread scratch for the regenerated reference pixels: the
+  // buffer never escapes referencePsnr (psnr only reads it), so one
+  // array per task thread replaces one ~7 KB allocation per verified
+  // row. Grows to the largest row seen; rows are <= 79x79x3 bytes.
+  private val refScratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](80 * 80 * 3)
+  }
+
   /** PSNR of the stored payload vs the regenerated reference pixels. */
-  def referencePsnr(ordinal: Long, bytes: Array[Byte], w: Int, h: Int, fmt: String): Double =
-    psnr(decode(bytes, w, h, fmt), pixelsOf(ordinal, w, h))
+  def referencePsnr(ordinal: Long, bytes: Array[Byte], w: Int, h: Int, fmt: String): Double = {
+    val need = w * h * 3
+    var buf = refScratch.get()
+    if (buf.length < need) { buf = new Array[Byte](need); refScratch.set(buf) }
+    pixelsInto(ordinal, w, h, buf)
+    // psnr iterates a.length (= w*h*3 for both RAW payloads and the
+    // decoded JPG buffer), so a longer scratch b is safe
+    psnr(decode(bytes, w, h, fmt), buf)
+  }
 
   /** Recomputed phash of the stored payload. */
   def payloadPhash(bytes: Array[Byte], w: Int, h: Int, fmt: String): Long =
